@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scan/projection, filter, and the reference's flagship MapReduce apps
+  * (word count `mrapps/wc.go:21-42`, inverted index
+  * `mrapps/indexer.go:21-40`) re-expressed as declarative Spark plans.
+  *
+  * Scale notes: all three scan queries push their predicates and column
+  * pruning into the parquet scan (`PushedFilters`/`ReadSchema` in
+  * `.explain`); the wordcount shuffle carries partially-aggregated
+  * `(word, count)` pairs (HashAggregate partial → final), not one record
+  * per occurrence like the reference's combiner-less shuffle
+  * (`mr/worker.go:142-150`).
+  */
+object CoreQueries {
+
+  /** Select 4 of 11 lineitem columns — the parquet scan must read only
+    * those 4 (column pruning), and TakeOrderedAndProject caps the sort at
+    * 1000 rows instead of a full global sort.
+    */
+  def qScanProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      // (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+      // sort on all four output columns to make the LIMIT deterministic.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .limit(1000)
+
+  /** Conjunctive predicates (`between`, `isin`, `>=` on timestamp, `like`
+    * prefix) — all pushed to the parquet reader — then count per flag.
+    */
+  def qFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(
+        col("l_quantity").between(10, 20) &&
+        col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= to_timestamp(lit("1995-06-01 00:00:00")) &&
+        col("l_linestatus").like("F%"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** Word count over documents.text — the reference's flagship query
+    * (`mrapps/wc.go`): tokenize on runs of non-letters, drop empties,
+    * count per word. flatMap≙explode(split(...)), shuffle≙HashAggregate
+    * exchange, reduce≙count.
+    */
+  def qWordcount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** Inverted index (`mrapps/indexer.go`): per word, the count of distinct
+    * docs containing it plus the sorted comma-joined doc id list. The
+    * per-doc distinct (the reference's `map[string]bool`) falls out of
+    * `collect_set`.
+    */
+  def qInvertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        array_join(sort_array(collect_set(col("doc_id").cast("string"))), ",").as("doc_ids"))
+      .orderBy("word")
+}

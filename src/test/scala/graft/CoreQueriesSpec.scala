@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CoreQueriesSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  test("entry smoke: flagship wordcount returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query key has an oracle and runs at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
+  }
+
+  test("q_wordcount: total count equals total token count") {
+    import spark.implicits._
+    val total = SparkEntry.queries("q_wordcount")(spark, sfDir)
+      .agg(sum($"cnt")).as[Long].head()
+    val tokens = Tables.documents(spark, sfDir)
+      .select(explode(split(lower($"text"), "[^a-z]+")).as("w"))
+      .filter($"w" =!= "").count()
+    assert(total == tokens)
+  }
+
+  test("q_wordcount: ordered by word, counts positive") {
+    import spark.implicits._
+    val words = SparkEntry.queries("q_wordcount")(spark, sfDir)
+      .select($"word").as[String].collect()
+    assert(words.toSeq == words.toSeq.sorted)
+    val minCnt = SparkEntry.queries("q_wordcount")(spark, sfDir)
+      .agg(min($"cnt")).as[Long].head()
+    assert(minCnt >= 1)
+  }
+
+  test("q_inverted_index: n_docs matches doc_ids list length") {
+    import spark.implicits._
+    val bad = SparkEntry.queries("q_inverted_index")(spark, sfDir)
+      .filter(size(split($"doc_ids", ",")) =!= $"n_docs")
+      .count()
+    assert(bad == 0)
+  }
+
+  test("q_scan_project: deterministic limit — stable across runs") {
+    val a = SparkEntry.queries("q_scan_project")(spark, sfDir).collect()
+    val b = SparkEntry.queries("q_scan_project")(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("q_filter: all predicates respected on tiny inline data") {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, sfDir)
+      .filter($"l_quantity".between(10, 20) && $"l_returnflag".isin("A", "R") &&
+        $"l_shipdate" >= to_timestamp(lit("1995-06-01 00:00:00")) &&
+        $"l_linestatus".like("F%"))
+    val expected = rows.groupBy($"l_returnflag").count().count()
+    assert(SparkEntry.queries("q_filter")(spark, sfDir).count() == expected)
+  }
+}
