@@ -13,6 +13,21 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * cannot represent (micros only). Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` so the column arrives as
+    * nanos-since-epoch LONG; `ts DIV 1000` truncates to micros — the
+    * exact same truncation DuckDB applies reading the file, keeping the
+    * oracle comparable. Integer division only: a double roundtrip would
+    * lose precision above 2^53 ns.
+    */
+  private def eventsWithMicrosTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
@@ -20,7 +35,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame     = eventsWithMicrosTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

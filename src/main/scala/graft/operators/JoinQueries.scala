@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The join surface: equi (shuffle + broadcast), outer, semi, anti,
+  * range (equi + residual), and as-of. The reference derives joins from
+  * its single shuffle primitive (`/root/reference/mr/worker.go:125-153`
+  * hash-partitions by key exactly like a shuffled join's exchange); here
+  * each variant is a declarative `Dataset.join` so Catalyst picks
+  * broadcast-hash vs sort-merge from stats and AQE can re-plan at runtime.
+  *
+  * Scale notes (100 TB): dimension tables (region 5 rows, nation 25) are
+  * explicitly `broadcast()` — never shuffled. Fact⋈fact joins
+  * (orders⋈customer, events⋈orders) shuffle on the join key, which is the
+  * partitioning a real cluster wants; none of them collect to the driver.
+  * Deterministic double math: 2-dp monetary doubles are summed through
+  * DECIMAL(18,2/4) casts (exact, engine-order-independent) then cast back
+  * to double so the DuckDB oracle matches bit-for-bit at 6-dp formatting.
+  */
+object JoinQueries {
+
+  /** orders ⋈ customer on custkey; revenue + order count per market
+    * segment. Shuffle-on-key join at scale; AQE may still broadcast the
+    * small side at bench SF.
+    */
+  def qJoinInner(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_revenue"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+
+  /** lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, revenue per region.
+    * nation/region are hint-broadcast (25 and 5 rows — they would be
+    * broadcast at ANY scale); the lineitem⋈orders⋈customer chain shuffles
+    * on the join keys. Revenue = extprice·(1−discount) is exact in
+    * DECIMAL(18,4) since both factors have 2 dp.
+    */
+  def qJoinBroadcast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+             (lit(BigDecimal(1).setScale(2)) - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(asc_nulls_first("r_name"))
+
+  /** customer LEFT JOIN orders — customers without orders appear with
+    * n_orders = 0 (null-safe count of the right key).
+    */
+  def qJoinLeft(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), lit(0.0))
+          .as("total_spent"))
+      .orderBy(asc_nulls_first("c_custkey"))
+
+  /** Customers with at least one order over 300k — LEFT SEMI keeps the
+    * probe side only (no row multiplication, no right columns shuffled).
+    */
+  def qJoinSemi(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(
+        Tables.orders(spark, sfDir).filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy(asc_nulls_first("c_custkey"))
+
+  /** Customers with no order above 300k — LEFT ANTI against the filtered
+    * orders (the bare no-orders-at-all variant is empty at every SF, so
+    * this keeps the check non-trivial). The filter is pushed below the
+    * join build side.
+    */
+  def qJoinAnti(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(
+        Tables.orders(spark, sfDir).filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_nationkey")
+      .orderBy(asc_nulls_first("c_custkey"))
+
+  /** supplier ⋈ customer on nationkey plus a residual range predicate
+    * |s_acctbal − c_acctbal| < 100. The equi key carries the shuffle; the
+    * range term evaluates as a post-join filter (never a cartesian).
+    * Subtraction of identical input doubles is IEEE-deterministic, so no
+    * rounding is needed for the comparison.
+    */
+  def qJoinRange(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir).as("s")
+      .join(Tables.customer(spark, sfDir).as("c"),
+        col("s.s_nationkey") === col("c.c_nationkey") &&
+          abs(col("s.s_acctbal") - col("c.c_acctbal")) < 100.0)
+      .groupBy(col("s.s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(asc_nulls_first("nationkey"))
+
+  /** As-of join: for each event, the latest order of the same user with
+    * o_orderdate <= ts. Spark has no native ASOF, so: inner join on the
+    * user key with the inequality as residual, then keep row_number()=1
+    * per event ordered by (o_orderdate DESC, o_orderkey DESC). At 100 TB
+    * the per-user order history is bounded, so the join fan-out stays
+    * proportional; the window is partitioned by event_id (no global sort).
+    * Ref: the reference has no joins at all — this is north-star surface.
+    */
+  def qJoinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val joined = Tables.events(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+      .orderBy(asc_nulls_first("event_id"))
+  }
+}
