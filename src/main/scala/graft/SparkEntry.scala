@@ -42,6 +42,22 @@ object SparkEntry {
     "q_window_rank"     -> (WindowQueries.qWindowRank _),
     "q_window_analytic" -> (WindowQueries.qWindowAnalytic _),
     "q_window_frame"    -> (WindowQueries.qWindowFrame _),
+    "q_scalar_string"   -> (ScalarQueries.qScalarString _),
+    "q_scalar_date"     -> (ScalarQueries.qScalarDate _),
+    "q_scalar_math"     -> (ScalarQueries.qScalarMath _),
+    "q_scalar_case"     -> (ScalarQueries.qScalarCase _),
+    "q_scalar_json"     -> (ScalarQueries.qScalarJson _),
+    "q_scalar_array"    -> (ScalarQueries.qScalarArray _),
+    "q_stream_tumbling" -> (EventQueries.qStreamTumbling _),
+    "q_stream_sliding"  -> (EventQueries.qStreamSliding _),
+    "q_session_window"  -> (EventQueries.qSessionWindow _),
+    "q_dedup_latest"    -> (EventQueries.qDedupLatest _),
+    "q_dedup_exact"     -> (TextQueries.qDedupExact _),
+    "q_dedup_near"      -> (TextQueries.qDedupNear _),
+    "q_text_stats"      -> (TextQueries.qTextStats _),
+    "q_tfidf"           -> (TextQueries.qTfidf _),
+    "q_sim_topk"        -> (SimilarityQueries.qSimTopk _),
+    "udaf_demo"         -> (CoreQueries.udafDemo _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -191,5 +207,160 @@ object SparkEntry {
         |    AS running_revenue
         |FROM orders
         |ORDER BY o_custkey NULLS FIRST, o_orderdate ASC, o_orderkey ASC""".stripMargin,
+    "q_scalar_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  lower(p_brand) AS brand_lower,
+        |  substring(p_type, 1, 3) AS type_prefix,
+        |  length(p_name) AS name_len,
+        |  replace(p_name, ' ', '_') AS name_underscored,
+        |  concat(p_brand, ':', p_type) AS brand_type,
+        |  trim(p_name) AS name_trim,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
+        |FROM part ORDER BY p_partkey NULLS FIRST LIMIT 1000""".stripMargin,
+    "q_scalar_date" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS dom,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_ref
+        |FROM orders ORDER BY o_orderkey NULLS FIRST LIMIT 1000""".stripMargin,
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+        |  round(sqrt(l_quantity), 6) + 0.0 AS qty_sqrt,
+        |  round(ln(l_extendedprice), 6) + 0.0 AS price_ln,
+        |  round(pow(l_discount, 2), 6) + 0.0 AS disc_sq,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  abs(l_quantity - 25.0) AS qty_dev,
+        |  l_orderkey % 7 AS okey_mod7
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |LIMIT 1000""".stripMargin,
+    "q_scalar_case" ->
+      """SELECT CASE WHEN o_totalprice < 100000.0 THEN 'low'
+        |            WHEN o_totalprice < 300000.0 THEN 'mid'
+        |            ELSE 'high' END AS band,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY band ORDER BY band NULLS FIRST""".stripMargin,
+    "q_scalar_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        |  round(CAST(sum(k) AS DOUBLE) / count(k), 6) + 0.0 AS avg_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |      FROM events) t
+        |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_scalar_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS first_val,
+        |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |        x -> x * x))), 6) + 0.0 AS l2_norm
+        |FROM embeddings ORDER BY vec_id NULLS FIRST""".stripMargin,
+    "q_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+    "q_stream_sliding" ->
+      """SELECT window_start, count(*) AS n_events FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+        |    AS window_start FROM events) t
+        |GROUP BY window_start ORDER BY window_start NULLS FIRST""".stripMargin,
+    "q_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST""".stripMargin,
+    "q_dedup_latest" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY text
+        |ORDER BY canonical_doc_id NULLS FIRST""".stripMargin,
+    "q_dedup_near" ->
+      """SELECT min(doc_id) AS canonical_doc_id, count(*) AS group_size
+        |FROM (
+        |  SELECT doc_id,
+        |    array_to_string(list_sort(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))), ' ')
+        |      AS signature
+        |  FROM documents) t
+        |GROUP BY signature ORDER BY canonical_doc_id NULLS FIRST""".stripMargin,
+    "q_text_stats" ->
+      """WITH doc_level AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> x <> ''))) AS BIGINT) AS sum_tokens
+        |  FROM documents GROUP BY lang
+        |), vocab AS (
+        |  SELECT lang, count(DISTINCT word) AS distinct_tokens FROM (
+        |    SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents) t
+        |  WHERE word <> '' GROUP BY lang)
+        |SELECT d.lang AS lang, d.n_docs AS n_docs, d.sum_chars AS sum_chars,
+        |  round(CAST(d.sum_chars AS DOUBLE) / d.n_docs, 6) + 0.0 AS avg_chars,
+        |  round(CAST(d.sum_tokens AS DOUBLE) / d.n_docs, 6) + 0.0 AS avg_tokens,
+        |  v.distinct_tokens AS distinct_tokens
+        |FROM doc_level d JOIN vocab v ON d.lang = v.lang
+        |ORDER BY lang NULLS FIRST""".stripMargin,
+    "q_tfidf" ->
+      """SELECT word, count(DISTINCT doc_id) AS df,
+        |  round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) /
+        |        count(DISTINCT doc_id)), 6) + 0.0 AS idf
+        |FROM (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |  FROM documents) t
+        |WHERE word <> '' GROUP BY word
+        |ORDER BY df DESC, word ASC LIMIT 50""".stripMargin,
+    "q_sim_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+        |    round(list_dot_product(p.v, c.v) /
+        |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))),
+        |      6) + 0.0 AS cosine
+        |  FROM e p JOIN e c ON p.vec_id % 100 = 0 AND c.vec_id <> p.vec_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        |  FROM pairs)
+        |SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+        |ORDER BY probe_id NULLS FIRST, rank ASC""".stripMargin,
+    "udaf_demo" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |  FROM documents) t
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
   )
 }

@@ -61,6 +61,22 @@ object CoreQueries {
     * per-doc distinct (the reference's `map[string]bool`) falls out of
     * `collect_set`.
     */
+  /** The wordcount again, but the counting runs through a custom typed
+    * `Aggregator` (graft.functions.CountOccurrences) registered as a
+    * UDAF — proving the reference's `reducef` plugin surface
+    * (`main/mrworker.go:45-49`) on Spark's typed aggregation API. Result
+    * is identical to qWordcount, which is exactly the point.
+    */
+  def udafDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val countWords = udaf(graft.functions.CountOccurrences)
+    Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(countWords(col("word")).as("cnt"))
+      .orderBy("word")
+  }
+
   def qInvertedIndex(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing in batch form — tumbling, sliding, session
+  * (gaps-and-islands), and latest-per-key dedup. Each query's streaming
+  * twin runs the same plan under Structured Streaming (see
+  * StreamingSmokeSpec); batch form is what the DuckDB oracle can check.
+  *
+  * Scale notes: `window()` is a codegen'd projection (no shuffle beyond
+  * the following aggregation); session-ization uses per-user windows —
+  * the shuffle key is user_id, so 100 TB of events sessionize with no
+  * global sort. Timestamps are micros (Tables.events truncation), so gap
+  * arithmetic is exact integer math on unix micros.
+  */
+object EventQueries {
+
+  private val HourUs = 3600L * 1000000L
+
+  /** Events per (1-hour tumbling window × event_type): count + exact
+    * decimal sum of value.
+    */
+  def qStreamTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(asc_nulls_first("window_start"), asc_nulls_first("event_type"))
+
+  /** 1-hour windows sliding every 30 minutes — each event lands in
+    * exactly two windows (the oracle reproduces this as a union of two
+    * shifted 30-minute buckets).
+    */
+  def qStreamSliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+      .orderBy(asc_nulls_first("window_start"))
+
+  /** Per-user sessions with a strict >30-minute inactivity gap,
+    * gaps-and-islands style: flag session starts with lag(), number
+    * sessions with a running sum, then aggregate each island. The same
+    * algebra (same strict comparison, same tie-break) runs in DuckDB —
+    * deliberately NOT Spark's native session_window, whose gap semantics
+    * differ at exact-30-minute boundaries (>= vs >).
+    */
+  def qSessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTime))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > HourUs / 2, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+      .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_id"))
+  }
+
+  /** Latest event per (user_id, event_type) — batch analogue of
+    * streaming dropDuplicatesWithinWatermark, as a row_number()=1 window.
+    */
+  def qDedupLatest(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts", "value")
+      .orderBy(asc_nulls_first("user_id"), asc_nulls_first("event_type"))
+  }
+}

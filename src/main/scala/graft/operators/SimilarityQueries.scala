@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (64-dim float vectors).
+  * Oracle-checked form: brute-force cosine top-k for a small probe set
+  * (vec_id % 100 = 0) via a broadcast join — every executor scans its
+  * slice of candidates against the broadcast probes, so the work is
+  * embarrassingly parallel and shuffles only the per-probe top rows.
+  * The 100 TB path replaces the full candidate scan with LSH bucketing
+  * (see LshKnn) — approximate, hence outside the oracle set.
+  *
+  * Precision: floats are cast to double BEFORE any arithmetic (float
+  * multiply rounds differently than double multiply of the same values),
+  * and cosine is rounded to 6 dp BEFORE ranking so both engines rank the
+  * identical value, with vec_id as the total tie-break.
+  */
+object SimilarityQueries {
+
+  /** Elementwise double cast of an ArrayType(FloatType) column. */
+  def asDoubles(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Sequential left-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Top-5 cosine neighbors for each probe vector (vec_id % 100 = 0). */
+  def qSimTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
+    val probes = emb
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("vec").as("probe_vec"))
+    val pairs = emb
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (round(dot(col("probe_vec"), col("vec")) /
+          (l2Norm(col("probe_vec")) * l2Norm(col("vec"))), 6) + lit(0.0)).as("cosine"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select("probe_id", "vec_id", "cosine", "rank")
+      .orderBy(asc_nulls_first("probe_id"), col("rank").asc)
+  }
+}

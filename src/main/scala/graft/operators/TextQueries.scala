@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-pipeline text operators over the documents corpus:
+  * exact/near deduplication, corpus statistics, and TF-IDF document
+  * frequencies. The corpus is the engine's analogue of the reference's
+  * Gutenberg input set (`/root/reference/main/pg-*.txt`), and the
+  * tokenizer is the reference's wc tokenizer (`mrapps/wc.go:21-27`,
+  * split on non-letter runs) re-expressed as codegen'd column functions.
+  *
+  * Scale notes: exact dedup groups by the full text here (oracle-exact);
+  * at 100 TB you group by sha2(text, 256) first — same shuffle shape,
+  * 32-byte keys instead of document bodies — a variant provided as
+  * `dedupExactByHash`. Near-dup's token-set signature is the
+  * oracle-checkable stand-in for MinHash-LSH (see MinHashDedup for the
+  * scale path); both shuffle once on the signature.
+  */
+object TextQueries {
+
+  /** Tokens of `text`, lowercased, split on non-letter runs, empties
+    * removed — exactly the reference's wc tokenization.
+    */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z]+"), t => t =!= "")
+
+  /** Exact dedup: one output row per distinct text with the canonical
+    * (minimum) doc_id and the duplicate count.
+    */
+  def qDedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_dups"))
+      .select("canonical_doc_id", "n_dups")
+      .orderBy(asc_nulls_first("canonical_doc_id"))
+
+  /** Exact dedup keyed on sha2(text) — the shuffle carries 64-hex-char
+    * keys, not document bodies. Same result as qDedupExact assuming no
+    * sha256 collisions; this is the form to run at 100 TB.
+    */
+  def dedupExactByHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_dups"))
+      .select("canonical_doc_id", "n_dups")
+      .orderBy(asc_nulls_first("canonical_doc_id"))
+
+  /** Near dedup by token-set signature: docs that contain exactly the
+    * same distinct token set (ignoring order and multiplicity) form a
+    * group; emit the canonical member and group size per group.
+    */
+  def qDedupNear(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(array_join(sort_array(array_distinct(tokens(col("text")))), " ")
+        .as("signature"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("group_size"))
+      .select("canonical_doc_id", "group_size")
+      .orderBy(asc_nulls_first("canonical_doc_id"))
+
+  /** Per-language corpus stats: doc count, exact char sum, 6-dp average
+    * chars/tokens (exact integer sums divided in double), and the
+    * per-language distinct vocabulary size. Doc-level and token-level
+    * granularities aggregate separately and join on lang.
+    */
+  def qTextStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        size(tokens(col("text"))).as("n_tokens"))
+    val docLevel = docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sum_chars"),
+      sum(col("n_tokens").cast("long")).as("sum_tokens"))
+    val vocab = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .groupBy("lang")
+      .agg(countDistinct(col("word")).as("distinct_tokens"))
+    docLevel.join(vocab, Seq("lang"))
+      .select(
+        col("lang"), col("n_docs"),
+        col("sum_chars"),
+        (round(col("sum_chars").cast("double") / col("n_docs"), 6) + lit(0.0)).as("avg_chars"),
+        (round(col("sum_tokens").cast("double") / col("n_docs"), 6) + lit(0.0)).as("avg_tokens"),
+        col("distinct_tokens"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
+  /** Document frequency + inverse document frequency per token, top-50
+    * by df (tie-break token). N arrives via a broadcast single-row cross
+    * join — no driver-side count baked into the plan.
+    */
+  def qTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("word"), col("df"),
+        (round(log(col("n_docs").cast("double") / col("df")), 6) + lit(0.0)).as("idf"))
+      .orderBy(col("df").desc, col("word").asc)
+      .limit(50)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the scalar-function and event-windowing queries. */
+class ScalarEventSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("scalar string: derived columns are consistent with p_name") {
+    import spark.implicits._
+    val bad = q("q_scalar_string")
+      .filter(length($"name_underscored") =!= $"name_len" ||
+        upper($"name_upper") =!= $"name_upper")
+      .count()
+    assert(bad == 0)
+  }
+
+  test("scalar date: month_start is the first of the order's month") {
+    import spark.implicits._
+    val bad = q("q_scalar_date")
+      .filter(year($"month_start") =!= $"yr" ||
+        month($"month_start") =!= $"mo" ||
+        dayofmonth($"month_start") =!= 1)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("scalar math: sqrt/floor/ceil bracket the inputs") {
+    import spark.implicits._
+    val bad = q("q_scalar_math")
+      .filter($"price_ceil" < $"price_floor" ||
+        abs($"qty_sqrt" * $"qty_sqrt" - $"l_quantity") > 1e-4 ||
+        $"okey_mod7" < 0 || $"okey_mod7" > 6)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("scalar case: bands partition all orders") {
+    import spark.implicits._
+    val n = q("q_scalar_case").agg(sum($"n_orders")).as[Long].head()
+    assert(n == Tables.orders(spark, sfDir).count())
+  }
+
+  test("scalar json: k bounds ordered, counts total") {
+    import spark.implicits._
+    val out = q("q_scalar_json")
+    assert(out.filter($"min_k" > $"max_k").count() == 0)
+    assert(out.agg(sum($"n_events")).as[Long].head() ==
+      Tables.events(spark, sfDir).count())
+  }
+
+  test("scalar array: 64-dim vectors with positive norms") {
+    import spark.implicits._
+    val bad = q("q_scalar_array")
+      .filter($"dim" =!= 64 || $"l2_norm" <= 0.0).count()
+    assert(bad == 0)
+  }
+
+  test("tumbling windows: counts sum to total events") {
+    import spark.implicits._
+    assert(q("q_stream_tumbling").agg(sum($"n_events")).as[Long].head() ==
+      Tables.events(spark, sfDir).count())
+  }
+
+  test("sliding windows: each event in exactly two windows") {
+    import spark.implicits._
+    assert(q("q_stream_sliding").agg(sum($"n_events")).as[Long].head() ==
+      2 * Tables.events(spark, sfDir).count())
+  }
+
+  test("session windows: events partition into sessions; duration consistent") {
+    import spark.implicits._
+    val out = q("q_session_window")
+    assert(out.agg(sum($"n_events")).as[Long].head() ==
+      Tables.events(spark, sfDir).count())
+    val bad = out.filter($"duration_us" < 0 ||
+      ($"n_events" === 1 && $"duration_us" =!= 0)).count()
+    assert(bad == 0)
+  }
+
+  test("dedup latest: one row per (user, type), keeps the max ts") {
+    import spark.implicits._
+    val out = q("q_dedup_latest")
+    assert(out.groupBy("user_id", "event_type").count()
+      .filter($"count" > 1).count() == 0)
+    val maxTs = Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type").agg(max($"ts").as("max_ts"))
+    val bad = out.join(maxTs, Seq("user_id", "event_type"))
+      .filter($"ts" =!= $"max_ts").count()
+    assert(bad == 0)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the LLM-pipeline operators: dedup, text stats, tfidf,
+  * similarity top-k, and the UDAF surface.
+  */
+class TextSimSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("exact dedup: groups cover all docs; hash variant agrees") {
+    import spark.implicits._
+    val out = q("q_dedup_exact")
+    assert(out.agg(sum($"n_dups")).as[Long].head() ==
+      Tables.documents(spark, sfDir).count())
+    val viaHash = operators.TextQueries.dedupExactByHash(spark, sfDir)
+    assert(out.exceptAll(viaHash).count() == 0 &&
+      viaHash.exceptAll(out).count() == 0)
+  }
+
+  test("near dedup: groups cover all docs, at most as many as exact") {
+    import spark.implicits._
+    val near = q("q_dedup_near")
+    assert(near.agg(sum($"group_size")).as[Long].head() ==
+      Tables.documents(spark, sfDir).count())
+    assert(near.count() <= q("q_dedup_exact").count())
+  }
+
+  test("dedup idempotence: re-deduping canonical docs leaves them unchanged") {
+    import spark.implicits._
+    val canon = q("q_dedup_near").select($"canonical_doc_id".as("doc_id"))
+    val docs = Tables.documents(spark, sfDir).join(canon, "doc_id")
+    val regrouped = docs
+      .groupBy(array_join(sort_array(array_distinct(
+        operators.TextQueries.tokens($"text"))), " ").as("sig"))
+      .count().filter($"count" > 1).count()
+    assert(regrouped == 0)
+  }
+
+  test("text stats: per-lang docs sum to corpus size") {
+    import spark.implicits._
+    assert(q("q_text_stats").agg(sum($"n_docs")).as[Long].head() ==
+      Tables.documents(spark, sfDir).count())
+  }
+
+  test("tfidf: df bounded by corpus size, idf >= 0 and anti-monotone in df") {
+    import spark.implicits._
+    val n = Tables.documents(spark, sfDir).count()
+    val rows = q("q_tfidf").collect()
+    assert(rows.forall(r => r.getAs[Long]("df") <= n && r.getAs[Double]("idf") >= 0.0))
+    val sorted = rows.map(r => (r.getAs[Long]("df"), r.getAs[Double]("idf")))
+    sorted.sliding(2).foreach {
+      case Array((df1, idf1), (df2, idf2)) =>
+        if (df1 > df2) assert(idf1 <= idf2)
+      case _ =>
+    }
+  }
+
+  test("sim topk: 5 neighbors per probe, cosine in [-1,1], no self-match") {
+    import spark.implicits._
+    val out = q("q_sim_topk")
+    assert(out.groupBy("probe_id").count().filter($"count" =!= 5).count() == 0)
+    assert(out.filter($"cosine" < -1.0 || $"cosine" > 1.0).count() == 0)
+    assert(out.filter($"probe_id" === $"vec_id").count() == 0)
+  }
+
+  test("sim: cosine of a vector with itself is 1") {
+    import spark.implicits._
+    import operators.SimilarityQueries._
+    val self = Tables.embeddings(spark, sfDir).limit(20)
+      .select(asDoubles($"embedding").as("v"))
+      .select((dot($"v", $"v") / (l2Norm($"v") * l2Norm($"v"))).as("c"))
+      .filter(abs($"c" - 1.0) > 1e-9).count()
+    assert(self == 0)
+  }
+
+  test("udaf_demo equals q_wordcount exactly") {
+    val a = q("udaf_demo")
+    val b = q("q_wordcount")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+}
