@@ -57,6 +57,13 @@ object SparkEntry {
     "q_text_stats"      -> (TextQueries.qTextStats _),
     "q_tfidf"           -> (TextQueries.qTfidf _),
     "q_sim_topk"        -> (SimilarityQueries.qSimTopk _),
+    "q_dedup_embed"     -> (SimilarityQueries.qDedupEmbed _),
+    "q_dedup_minhash"   -> (AdvancedTextQueries.qDedupMinhash _),
+    "q_dedup_simhash"   -> (AdvancedTextQueries.qDedupSimhash _),
+    "q_ngram_jaccard"   -> (AdvancedTextQueries.qNgramJaccard _),
+    "q_fingerprint"     -> (AdvancedTextQueries.qFingerprint _),
+    "q_text_quality"    -> (AdvancedTextQueries.qTextQuality _),
+    "q_lang_id"         -> (AdvancedTextQueries.qLangId _),
     "udaf_demo"         -> (CoreQueries.udafDemo _),
   )
 
@@ -362,5 +369,155 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
         |  FROM documents) t
         |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+        |    6) + 0.0 AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+        |    6) + 0.0 >= 0.4
+        |ORDER BY vec_id_1 NULLS FIRST, vec_id_2 NULLS FIRST""".stripMargin,
+    "q_dedup_minhash" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, concat_ws('|',
+        |    list_min(list_transform(toks, t -> md5('s1:' || t))),
+        |    list_min(list_transform(toks, t -> md5('s2:' || t))),
+        |    list_min(list_transform(toks, t -> md5('s3:' || t))),
+        |    list_min(list_transform(toks, t -> md5('s4:' || t)))) AS signature
+        |  FROM (SELECT doc_id, list_distinct(list_filter(
+        |          string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS toks
+        |        FROM documents) d)
+        |SELECT min(doc_id) AS canonical_doc_id, count(*) AS group_size
+        |FROM sigs GROUP BY signature
+        |ORDER BY canonical_doc_id NULLS FIRST""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::BIGINT AS h FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t
+        |    FROM documents) u
+        |), bits AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0,
+        |    sum(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1,
+        |    sum(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2,
+        |    sum(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3,
+        |    sum(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4,
+        |    sum(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5,
+        |    sum(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6,
+        |    sum(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7,
+        |    sum(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8,
+        |    sum(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9,
+        |    sum(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10,
+        |    sum(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11,
+        |    sum(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12,
+        |    sum(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13,
+        |    sum(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14,
+        |    sum(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15
+        |  FROM tok GROUP BY doc_id
+        |), sig AS (
+        |  SELECT doc_id, CAST(
+        |    (CASE WHEN b0 > 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN b1 > 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN b2 > 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN b3 > 0 THEN 8 ELSE 0 END) +
+        |    (CASE WHEN b4 > 0 THEN 16 ELSE 0 END) +
+        |    (CASE WHEN b5 > 0 THEN 32 ELSE 0 END) +
+        |    (CASE WHEN b6 > 0 THEN 64 ELSE 0 END) +
+        |    (CASE WHEN b7 > 0 THEN 128 ELSE 0 END) +
+        |    (CASE WHEN b8 > 0 THEN 256 ELSE 0 END) +
+        |    (CASE WHEN b9 > 0 THEN 512 ELSE 0 END) +
+        |    (CASE WHEN b10 > 0 THEN 1024 ELSE 0 END) +
+        |    (CASE WHEN b11 > 0 THEN 2048 ELSE 0 END) +
+        |    (CASE WHEN b12 > 0 THEN 4096 ELSE 0 END) +
+        |    (CASE WHEN b13 > 0 THEN 8192 ELSE 0 END) +
+        |    (CASE WHEN b14 > 0 THEN 16384 ELSE 0 END) +
+        |    (CASE WHEN b15 > 0 THEN 32768 ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits)
+        |SELECT simhash, min(doc_id) AS canonical_doc_id, count(*) AS group_size
+        |FROM sig GROUP BY simhash
+        |ORDER BY canonical_doc_id NULLS FIRST""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [] END AS s
+        |  FROM docs
+        |), ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_id_1, doc_id_2,
+        |  round(shared * 1.0 / (x.n + y.n - shared), 6) + 0.0 AS jaccard
+        |FROM pairs JOIN sz x ON doc_id_1 = x.doc_id JOIN sz y ON doc_id_2 = y.doc_id
+        |WHERE round(shared * 1.0 / (x.n + y.n - shared), 6) + 0.0 >= 0.5
+        |ORDER BY doc_id_1 NULLS FIRST, doc_id_2 NULLS FIRST""".stripMargin,
+    "q_fingerprint" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS pos
+        |  FROM (SELECT doc_id, list_filter(
+        |          string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |        FROM documents) d)
+        |SELECT doc_id, CAST(sum(
+        |    (('0x' || substr(md5(t), 1, 8))::BIGINT *
+        |     ((pos * 2654435761) % 1000003)) % 1000000007
+        |  ) % 1000000007 AS BIGINT) AS fingerprint
+        |FROM tok GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  round(len(list_distinct(toks)) * 1.0 / len(toks), 6) + 0.0
+        |    AS type_token_ratio,
+        |  round(len(list_filter(toks, t -> t = 'the' OR t = 'a')) * 1.0
+        |    / len(toks), 6) + 0.0 AS stopword_ratio,
+        |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |    / len(toks), 6) + 0.0 AS avg_token_len,
+        |  round(0.4 * (len(list_distinct(toks)) * 1.0 / len(toks)) +
+        |        0.4 * (1.0 - len(list_filter(toks, t -> t = 'the' OR t = 'a'))
+        |               * 1.0 / len(toks)) +
+        |        0.2 * least(CAST(list_sum(list_transform(toks, t -> length(t)))
+        |               AS DOUBLE) / len(toks) / 10.0, 1.0), 6) + 0.0
+        |    AS quality_score
+        |FROM (SELECT doc_id, lang, list_filter(
+        |        string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |      FROM documents) d
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_lang_id" ->
+      """WITH alltok AS (
+        |  SELECT lang, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+        |  FROM documents
+        |), profiles AS (
+        |  SELECT lang AS profile_lang, word FROM (
+        |    SELECT lang, word, row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, word ASC) AS rn
+        |    FROM alltok GROUP BY lang, word) t
+        |  WHERE rn <= 5
+        |), doctok AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))) AS word
+        |  FROM documents
+        |), overlap AS (
+        |  SELECT d.doc_id, d.lang, p.profile_lang, count(*) AS ov
+        |  FROM doctok d JOIN profiles p ON d.word = p.word
+        |  GROUP BY 1, 2, 3
+        |), guessed AS (
+        |  SELECT doc_id, lang, profile_lang, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY ov DESC, profile_lang ASC) AS rn
+        |  FROM overlap)
+        |SELECT lang, profile_lang AS guess, count(*) AS n_docs
+        |FROM guessed WHERE rn = 1 GROUP BY lang, profile_lang
+        |ORDER BY lang NULLS FIRST, guess NULLS FIRST""".stripMargin,
   )
 }

@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.TextQueries.tokens
+
+/** The full near-duplicate-detection family plus text-analysis
+  * operators a training-data pipeline needs at 100 TB: MinHash
+  * signatures, SimHash, n-gram Jaccard, positional fingerprints, quality
+  * scores, and a corpus-driven language-ID heuristic. All pure column
+  * algebra (codegen'd, no UDFs) so each has an exact DuckDB oracle; the
+  * banded-LSH candidate-pair machinery for genuinely huge corpora lives
+  * in MinHashLsh (non-oracle, property-tested).
+  *
+  * Portability note: every hash here is md5 (identical hex output in
+  * both engines); Spark converts hex→int via conv(·,16,10), DuckDB via
+  * the '0x…'::BIGINT cast — both read the same leading hex chars, so
+  * values match exactly.
+  */
+object AdvancedTextQueries {
+
+  /** First `n` hex chars of md5 of a column, as a long (< 2^(4n)). */
+  private def md5Bits(c: Column, n: Int): Column =
+    conv(substring(md5(c), 1, n), 16, 10).cast("long")
+
+  /** MinHash dedup: k=4 salted md5 min-hashes over the distinct token
+    * set; docs with identical signatures are near-duplicate candidates.
+    * The lexicographic min of salted md5 hex strings is a textbook
+    * min-hash (each salt is one random permutation of the token space).
+    */
+  def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val toksD = array_distinct(tokens(col("text")))
+    val sig = concat_ws("|",
+      (1 to 4).map(i =>
+        array_min(transform(toksD, t => md5(concat(lit(s"s$i:"), t))))): _*)
+    Tables.documents(spark, sfDir)
+      .groupBy(sig.as("signature"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("group_size"))
+      .select("canonical_doc_id", "group_size")
+      .orderBy(asc_nulls_first("canonical_doc_id"))
+  }
+
+  /** SimHash dedup: 16-bit simhash — per token a 16-bit md5 hash, per
+    * bit a +1/−1 majority vote over all token occurrences, vote > 0 sets
+    * the bit. Docs sharing the signature group together.
+    */
+  def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("h", md5Bits(col("t"), 4))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val sig = tok.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
+    sig.groupBy("simhash")
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("group_size"))
+      .select("simhash", "canonical_doc_id", "group_size")
+      .orderBy(asc_nulls_first("canonical_doc_id"))
+  }
+
+  /** Token-trigram shingles of a document, distinct, in order of the
+    * original positions (1-based, matching the oracle's range()).
+    */
+  private def shingles(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - lit(2)),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Near-dup pairs by token-trigram Jaccard ≥ 0.5. The pair space is
+    * pruned by the shingle equi-join (only docs sharing a shingle ever
+    * meet — the same inverted-index pruning that scales this to 100 TB),
+    * then exact |A∩B| / |A|+|B|−|A∩B| on integer counts.
+    */
+  def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sz = docs.select(col("doc_id"), size(shingles(col("text"))).as("n"))
+    val pairs = sh.as("x")
+      .join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sz.as("sa"), col("doc_id_1") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_id_2") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        round(col("shared").cast("double") /
+          (col("sa.n") + col("sb.n") - col("shared")), 6) + lit(0.0))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_id_1", "doc_id_2", "jaccard")
+      .orderBy(asc_nulls_first("doc_id_1"), asc_nulls_first("doc_id_2"))
+  }
+
+  /** Position-sensitive document fingerprint: a weighted polynomial
+    * hash — Σ md5_32(token) · w(pos) mod p with w(pos) =
+    * (pos·2654435761) mod 1000003 — so permuted documents fingerprint
+    * differently while all arithmetic stays below 2^53 (exact in BIGINT
+    * in both engines).
+    */
+  def qFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val P = 1000000007L
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("term",
+        (md5Bits(col("t"), 8) *
+          (((col("pos") + 1) * lit(2654435761L)) % lit(1000003L))) % lit(P))
+      .groupBy("doc_id")
+      .agg((sum(col("term")) % lit(P)).as("fingerprint"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  /** Per-document quality score from type-token ratio, stopword ratio
+    * and average token length — all ratios of exact integer counts, so
+    * both engines divide identical values.
+    */
+  def qTextQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    val nStop = size(filter(toks, t => t === "the" || t === "a")).cast("double")
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x).cast("double")
+    val ttr = nDistinct / nTok
+    val stopRatio = nStop / nTok
+    val avgLen = sumLen / nTok
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"), col("lang"),
+        size(toks).as("n_tokens"),
+        (round(ttr, 6) + lit(0.0)).as("type_token_ratio"),
+        (round(stopRatio, 6) + lit(0.0)).as("stopword_ratio"),
+        (round(avgLen, 6) + lit(0.0)).as("avg_token_len"),
+        (round(lit(0.4) * ttr + lit(0.4) * (lit(1.0) - stopRatio) +
+          lit(0.2) * least(avgLen / lit(10.0), lit(1.0)), 6) + lit(0.0))
+          .as("quality_score"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  /** Language-ID heuristic: build a 5-token frequency profile per
+    * language from the corpus itself, guess each doc's language as the
+    * profile with the largest distinct-token overlap (ties → lexically
+    * smaller lang), and report the lang × guess confusion matrix.
+    */
+  def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(tokens(col("text")))).as("word"))
+    val allTok = docs.select(col("lang"), explode(tokens(col("text"))).as("word"))
+    val profiles = allTok.groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("word").asc)))
+      .filter(col("rn") <= 5)
+      .select(col("lang").as("profile_lang"), col("word"))
+    val overlap = tok
+      .join(broadcast(profiles), "word")
+      .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
+      .agg(count(lit(1)).as("overlap"))
+    val guessed = overlap
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("overlap").desc, col("profile_lang").asc)))
+      .filter(col("rn") === 1)
+    guessed.groupBy(col("lang"), col("profile_lang").as("guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("guess"))
+  }
+}

@@ -49,4 +49,24 @@ object SimilarityQueries {
       .select("probe_id", "vec_id", "cosine", "rank")
       .orderBy(asc_nulls_first("probe_id"), col("rank").asc)
   }
+
+  /** Embedding-cosine near-duplicate pairs: all (a,b) with a < b and
+    * 6-dp-rounded cosine ≥ 0.4. Oracle form is the exact pairwise join;
+    * the 100 TB path buckets by random-hyperplane LSH first (LshKnn) so
+    * only same-bucket pairs are scored. The filter applies to the
+    * ROUNDED cosine so both engines cut at the identical value.
+    */
+  def qDedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
+    emb.as("a")
+      .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_id_1"),
+        col("b.vec_id").as("vec_id_2"),
+        (round(dot(col("a.vec"), col("b.vec")) /
+          (l2Norm(col("a.vec")) * l2Norm(col("b.vec"))), 6) + lit(0.0)).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy(asc_nulls_first("vec_id_1"), asc_nulls_first("vec_id_2"))
+  }
 }

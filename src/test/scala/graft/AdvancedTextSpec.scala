@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the near-dup family, fingerprints, quality scores and
+  * language ID.
+  */
+class AdvancedTextSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  private lazy val nDocs = Tables.documents(spark, sfDir).count()
+
+  test("minhash groups cover all docs; group count <= near-dup signature count") {
+    import spark.implicits._
+    val mh = q("q_dedup_minhash")
+    assert(mh.agg(sum($"group_size")).as[Long].head() == nDocs)
+    // identical token sets hash identically → minhash can only merge
+    // groups relative to the exact token-set signature
+    assert(mh.count() <= q("q_dedup_near").count())
+  }
+
+  test("simhash groups cover all docs") {
+    import spark.implicits._
+    val sh = q("q_dedup_simhash")
+    assert(sh.agg(sum($"group_size")).as[Long].head() == nDocs)
+    assert(sh.filter($"simhash" < 0 || $"simhash" > 65535).count() == 0)
+  }
+
+  test("ngram jaccard pairs are symmetric-free, above threshold, reflexivity sane") {
+    import spark.implicits._
+    val out = q("q_ngram_jaccard")
+    assert(out.filter($"doc_id_1" >= $"doc_id_2").count() == 0)
+    assert(out.filter($"jaccard" < 0.5 || $"jaccard" > 1.0).count() == 0)
+  }
+
+  test("fingerprint: one per doc, in range, order-sensitive on a planted case") {
+    import spark.implicits._
+    val fp = q("q_fingerprint")
+    assert(fp.count() == nDocs)
+    assert(fp.filter($"fingerprint" < 0 || $"fingerprint" >= 1000000007L).count() == 0)
+    // permuted token order must change the fingerprint (position weights)
+    val two = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val tok = operators.TextQueries.tokens($"text")
+    val fps = two.select($"doc_id", posexplode(tok).as(Seq("pos", "t")))
+      .withColumn("term",
+        (conv(substring(md5($"t"), 1, 8), 16, 10).cast("long") *
+          ((($"pos" + 1) * lit(2654435761L)) % lit(1000003L))) % lit(1000000007L))
+      .groupBy("doc_id").agg((sum($"term") % lit(1000000007L)).as("fp"))
+      .select("fp").as[Long].collect().toSet
+    assert(fps.size == 2)
+  }
+
+  test("quality: ratios in [0,1], score bounded") {
+    import spark.implicits._
+    val bad = q("q_text_quality").filter(
+      $"type_token_ratio" < 0 || $"type_token_ratio" > 1 ||
+        $"stopword_ratio" < 0 || $"stopword_ratio" > 1 ||
+        $"quality_score" < 0 || $"quality_score" > 1.0001).count()
+    assert(bad == 0)
+  }
+
+  test("lang id: confusion matrix counts every classified doc exactly once") {
+    import spark.implicits._
+    val total = q("q_lang_id").agg(sum($"n_docs")).as[Long].head()
+    assert(total <= nDocs && total > 0)
+  }
+
+  test("embed near-dup pairs: ordered, thresholded, within [-1,1]") {
+    import spark.implicits._
+    val out = q("q_dedup_embed")
+    assert(out.filter($"vec_id_1" >= $"vec_id_2").count() == 0)
+    assert(out.filter($"cosine" < 0.4 || $"cosine" > 1.0).count() == 0)
+  }
+}
