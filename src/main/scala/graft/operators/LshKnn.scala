@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityQueries.{asDoubles, dot, l2Norm}
+
+/** Random-hyperplane LSH for approximate nearest-neighbor search — the
+  * scale path behind q_sim_topk's brute-force oracle. Each vector gets a
+  * `NumPlanes`-bit sign signature against fixed pseudo-random
+  * hyperplanes; probes only score candidates in the SAME bucket, so the
+  * per-probe work drops from |corpus| to |bucket| (tunable via
+  * NumPlanes). Hyperplanes come from a seeded RNG, so results are
+  * deterministic run-to-run; recall is probabilistic by design
+  * (property-tested against the brute-force result, not oracle-checked).
+  *
+  * At 100 TB: bucket the corpus once (cheap projection), partition by
+  * bucket, broadcast the probes — no shuffle of the big side beyond the
+  * one bucketing exchange; multi-probe (flipping low-margin bits) buys
+  * recall without touching the partitioning.
+  */
+object LshKnn {
+
+  val NumPlanes = 4
+  val Dim = 64
+
+  /** Fixed hyperplanes (seed 42), materialized as literal arrays in the
+    * plan — effectively broadcast constants.
+    */
+  private lazy val planes: Seq[Array[Double]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(NumPlanes)(Array.fill(Dim)(rng.nextGaussian()))
+  }
+
+  private def planeCol(p: Array[Double]): Column =
+    array(p.map(lit(_)).toIndexedSeq: _*)
+
+  /** Sign-bit bucket id of a double-array vector column. */
+  def bucket(vec: Column): Column =
+    (0 until NumPlanes).map { i =>
+      when(dot(vec, planeCol(planes(i))) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate top-k cosine neighbors per probe (vec_id % 100 = 0),
+    * scored only within the probe's bucket.
+    */
+  def approxTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
+      .withColumn("bucket", bucket(col("vec")))
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("vec").as("probe_vec"),
+        col("bucket"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    emb.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (round(dot(col("probe_vec"), col("vec")) /
+          (l2Norm(col("probe_vec")) * l2Norm(col("vec"))), 6) + lit(0.0)).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .orderBy(asc_nulls_first("probe_id"), col("rank").asc)
+  }
+}

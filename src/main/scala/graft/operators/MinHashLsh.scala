@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextQueries.tokens
+
+/** Banded MinHash-LSH near-duplicate detection — the 100 TB path that
+  * q_dedup_minhash's exact signature grouping approximates. Pipeline:
+  * per-doc minhash signature (numHashes salted md5 min-hashes) → split
+  * into bands → docs sharing any band bucket become candidate pairs →
+  * candidates verified with EXACT token-set Jaccard. Only same-bucket
+  * pairs are ever joined, so the quadratic pair space never
+  * materializes; the shuffle keys are (band, bucket-hash). Verification
+  * gives perfect precision; recall is the standard 1−(1−s^r)^b curve.
+  *
+  * Kept out of the oracle set (LSH is probabilistic in recall), but
+  * deterministic end-to-end given the fixed salts — property-tested in
+  * MinHashLshSpec.
+  */
+object MinHashLsh {
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+
+  private def minhash(toksD: Column, i: Int): Column =
+    array_min(transform(toksD, t => md5(concat(lit(s"mh$i:"), t))))
+
+  /** (doc_id, sig: array<string> of NumHashes min-hashes). */
+  def signatures(docs: DataFrame): DataFrame = {
+    val toksD = array_distinct(tokens(col("text")))
+    docs.select(col("doc_id"),
+      array((0 until NumHashes).map(i => minhash(toksD, i)): _*).as("sig"))
+  }
+
+  /** Candidate pairs: docs agreeing on all RowsPerBand hashes of at
+    * least one band. One row per (doc_id_1 < doc_id_2) pair.
+    */
+  def candidatePairs(docs: DataFrame): DataFrame = {
+    val sig = signatures(docs)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b =>
+        concat_ws("|", (0 until RowsPerBand).map(r =>
+          element_at(col("sig"), b * RowsPerBand + r + 1)): _*)): _*))
+        .as(Seq("band", "bucket")))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+      .distinct()
+  }
+
+  /** Candidates filtered by exact token-set Jaccard ≥ threshold. */
+  def nearDupPairs(spark: SparkSession, sfDir: String, threshold: Double): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("t"))
+    val sizes = docs.select(col("doc_id"),
+      size(array_distinct(tokens(col("text")))).as("n"))
+    val shared = candidatePairs(docs).as("p")
+      .join(tok.as("ta"), col("p.doc_id_1") === col("ta.doc_id"))
+      .join(tok.as("tb"),
+        col("p.doc_id_2") === col("tb.doc_id") && col("ta.t") === col("tb.t"))
+      .groupBy(col("p.doc_id_1").as("doc_id_1"), col("p.doc_id_2").as("doc_id_2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("sa"), col("doc_id_1") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_id_2") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sa.n") + col("sb.n") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_1", "doc_id_2", "jaccard")
+  }
+}

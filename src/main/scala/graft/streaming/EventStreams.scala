@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface: the same event-time operators as the
+  * batch EventQueries, run incrementally. The reference has no streaming
+  * at all — this is north-star surface expressed the Spark-native way:
+  * `readStream` file source → watermarked event-time aggregation →
+  * append-mode sink, plus a typed `mapGroupsWithState` operator for
+  * custom state machines (the streaming analogue of the reference's
+  * stateful `reducef` plugin surface).
+  *
+  * Scale notes: a watermarked tumbling aggregation keeps state only for
+  * open windows (bounded by watermark delay × key cardinality); the
+  * stateful per-user counter keys state by user_id, so state shards
+  * across executors with the shuffle. Nothing here collects to the
+  * driver.
+  */
+object EventStreams {
+
+  /** Schema of the (micros-ts) event stream on disk — matches
+    * graft.Tables.events output, which is what tests replay as files.
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet files. */
+  def fileSource(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** 1-hour tumbling counts per event_type with a 10-minute watermark —
+    * the streaming twin of EventQueries.qStreamTumbling. In append mode
+    * a window emits once the watermark passes its end; rows later than
+    * the watermark are dropped.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class UserCount(user_id: Long, n_events: Long)
+
+  /** Custom stateful operator: running per-user event counts via typed
+    * mapGroupsWithState (update mode). State is one long per user —
+    * partitioned by the group key across executors.
+    */
+  def runningUserCounts(spark: SparkSession, events: DataFrame): Dataset[UserCount] = {
+    import spark.implicits._
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, UserCount](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Long], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + batch.size
+          state.update(next)
+          UserCount(user, next)
+      }
+  }
+
+  /** Convenience: run a streaming DataFrame to an in-memory table until
+    * all available input is consumed, return the result table name.
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

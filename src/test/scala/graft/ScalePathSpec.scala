@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+import graft.operators.{LshKnn, MinHashLsh}
+
+/** The non-oracle scale-path operators: banded MinHash-LSH, LSH ANN, and
+  * the multimodal binary-column plumbing.
+  */
+class ScalePathSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  test("minhash-lsh: verified pairs have exact jaccard >= threshold (perfect precision)") {
+    import spark.implicits._
+    val pairs = MinHashLsh.nearDupPairs(spark, sfDir, 0.7)
+    assert(pairs.filter($"jaccard" < 0.7).count() == 0)
+  }
+
+  test("minhash-lsh: identical token sets are always candidates (recall 1 at J=1)") {
+    import spark.implicits._
+    // ground truth: doc pairs with identical token-set signature
+    val sig = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        array_join(sort_array(array_distinct(
+          operators.TextQueries.tokens($"text"))), " ").as("s"))
+    val truth = sig.as("a").join(sig.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val found = MinHashLsh.candidatePairs(Tables.documents(spark, sfDir))
+      .select($"doc_id_1".as("d1"), $"doc_id_2".as("d2"))
+    assert(truth.exceptAll(truth.intersect(found)).count() == 0,
+      "a J=1 pair was missed by LSH banding")
+  }
+
+  test("lsh knn: deterministic, bucketed, nonzero recall vs brute force") {
+    import spark.implicits._
+    val approx = LshKnn.approxTopK(spark, sfDir, 5)
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sfDir)
+    val a = approx.select("probe_id", "vec_id")
+    val e = exact.select("probe_id", "vec_id")
+    val hits = a.intersect(e).count()
+    assert(hits > 0, "LSH found none of the true top-5 neighbors")
+    // determinism: same plan, same result
+    val again = LshKnn.approxTopK(spark, sfDir, 5).select("probe_id", "vec_id")
+    assert(a.exceptAll(again).count() == 0 && again.exceptAll(a).count() == 0)
+  }
+
+  test("multimodal: batched decode is deterministic and preserves rows + partitioning") {
+    val media = Multimodal.syntheticMedia(spark, 200, partitions = 4)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == 200)
+    assert(feats.rdd.getNumPartitions == media.rdd.getNumPartitions,
+      "decode must be a narrow transformation")
+    val f1 = feats.collect().map(f => (f.media_id, f.features.toSeq)).toMap
+    val f2 = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 200, 4))
+      .collect().map(f => (f.media_id, f.features.toSeq)).toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(_.size == Multimodal.StubDecoder.featureDim))
+  }
+
+  test("multimodal: frame sampling fans out deterministically") {
+    val media = Multimodal.syntheticMedia(spark, 50, partitions = 2)
+    val frames = Multimodal.frameSample(media, frameBytes = 32, everyN = 2)
+    val byMedia = frames.collect().groupBy(_.media_id)
+    assert(byMedia.nonEmpty)
+    // every sampled frame index is even and within the payload bounds
+    val mediaLen = media.collect().map(m => (m.media_id, m.content.length)).toMap
+    assert(frames.collect().forall { f =>
+      f.frame_idx % 2 == 0 && f.frame_idx * 32 < mediaLen(f.media_id)
+    })
+  }
+}
