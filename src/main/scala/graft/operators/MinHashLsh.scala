@@ -27,12 +27,15 @@ object MinHashLsh {
   private def minhash(toksD: Column, i: Int): Column =
     array_min(transform(toksD, t => md5(concat(lit(s"mh$i:"), t))))
 
-  /** (doc_id, sig: array<string> of NumHashes min-hashes). */
-  def signatures(docs: DataFrame): DataFrame = {
-    val toksD = array_distinct(tokens(col("text")))
-    docs.select(col("doc_id"),
-      array((0 until NumHashes).map(i => minhash(toksD, i)): _*).as("sig"))
-  }
+  /** (doc_id, sig: array<string> of NumHashes min-hashes). The distinct
+    * token set materializes in its own projection so the 16 min-hash
+    * transforms share one tokenization per row instead of re-running it.
+    */
+  def signatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => minhash(col("toks"), i)): _*).as("sig"))
 
   /** Candidate pairs: docs agreeing on all RowsPerBand hashes of at
     * least one band. One row per (doc_id_1 < doc_id_2) pair.
