@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's I/O surface, Spark-native:
+  *
+  * - whole-file text scan (`/root/reference/mr/worker.go:111-123` reads
+  *   each input file fully into a string; one map task per file) →
+  *   `wholeTextCorpus` via the text source's `wholetext` option — at
+  *   scale each file is one row/split exactly like one reference map
+  *   task, but scheduling/retry is Spark's.
+  * - newline-delimited JSON KV intermediates
+  *   (`mr/worker.go:128-150`: `{"Key":…,"Value":…}` per line) →
+  *   `writeKvJson`/`readKvJson` on the json source. In the engine these
+  *   are a user-facing interchange format; the actual shuffle is
+  *   Tungsten binary (free, compressed — the reference's uncompressed
+  *   JSON shuffle is its main inefficiency).
+  * - text sink `"<key> <value>\n"` (`mr/worker.go:190-207`, format
+  *   string at :207) → `writeKvText`, partitioned output files matching
+  *   the reference's `mr-out-<R>` sharding.
+  *
+  * Plus the engine's primary columnar format: parquet via graft.Tables.
+  */
+object Sources {
+
+  /** One row per file: (path, content) — the reference's map-task input
+    * granularity (`MapPlayer`), schema-on-read left to the caller.
+    */
+  def wholeTextCorpus(spark: SparkSession, globPath: String): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .text(globPath)
+      .select(
+        input_file_name().as("path"),
+        col("value").as("content"))
+
+  /** Line-granular text read (one row per line, with source path). */
+  def textLines(spark: SparkSession, globPath: String): DataFrame =
+    spark.read.text(globPath)
+      .select(input_file_name().as("path"), col("value").as("line"))
+
+  /** The reference's intermediate format: NDJSON {"Key":…,"Value":…}. */
+  def writeKvJson(df: DataFrame, keyCol: String, valueCol: String, path: String): Unit =
+    df.select(col(keyCol).cast("string").as("Key"),
+      col(valueCol).cast("string").as("Value"))
+      .write.mode(SaveMode.Overwrite).json(path)
+
+  def readKvJson(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("Key STRING, Value STRING")
+      .json(path)
+
+  /** The reference's output format: one `"<key> <value>"` line per
+    * group (`mr/worker.go:207`), sharded into `numShards` files by key
+    * hash — the analogue of its fixed nReduce=10 output partitioning.
+    */
+  def writeKvText(df: DataFrame, keyCol: String, valueCol: String,
+      path: String, numShards: Int = 10): Unit =
+    df.select(concat_ws(" ",
+        col(keyCol).cast("string"), col(valueCol).cast("string")).as("value"),
+      col(keyCol).cast("string").as("k"))
+      .repartition(numShards, col("k"))
+      .sortWithinPartitions("value")
+      .select("value")
+      .write.mode(SaveMode.Overwrite).text(path)
+}

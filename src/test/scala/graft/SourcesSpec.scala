@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sources
+
+/** The reference's I/O surface end-to-end, including its flagship
+  * wordcount over its own Gutenberg corpus (read-only at
+  * /root/reference/main/pg-*.txt).
+  */
+class SourcesSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private val gutenberg = "/root/reference/main/pg-*.txt"
+  private lazy val haveCorpus =
+    Files.exists(Paths.get("/root/reference/main/pg-being_ernest.txt"))
+
+  test("whole-file scan: one row per input file, full contents") {
+    assume(haveCorpus)
+    val corpus = Sources.wholeTextCorpus(spark, gutenberg)
+    assert(corpus.count() == 8) // the reference's 8 map tasks
+    val sizes = corpus.select(length(col("content")).as("n")).collect().map(_.getAs[Int]("n"))
+    assert(sizes.forall(_ > 100000)) // whole files, not lines
+  }
+
+  test("reference flagship: wordcount over the Gutenberg corpus") {
+    assume(haveCorpus)
+    import spark.implicits._
+    // mrapps/wc.go semantics: split on non-letter runs, count per word
+    val counts = Sources.wholeTextCorpus(spark, gutenberg)
+      .select(explode(split(col("content"), "[^\\p{L}]+")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy("word").count()
+    assert(counts.count() > 10000)
+    val the = counts.filter($"word" === "the").select("count").as[Long].head()
+    assert(the > 10000) // 'the' dominates any English corpus
+  }
+
+  test("NDJSON KV intermediate round-trips") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kvjson_").toString
+    val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v")
+    Sources.writeKvJson(df, "k", "v", dir)
+    val back = Sources.readKvJson(spark, dir)
+    assert(back.columns.toSeq == Seq("Key", "Value"))
+    assert(back.as[(String, String)].collect().toMap ==
+      Map("a" -> "1", "b" -> "2", "c" -> "3"))
+  }
+
+  test("KV text sink: sharded, sorted-within-shard 'key value' lines") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kvtext_").toString
+    val df = (1 to 100).map(i => (s"k%03d".format(i), i.toLong)).toDF("k", "v")
+    Sources.writeKvText(df, "k", "v", dir, numShards = 4)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+    assert(files.length == 4) // the reference's mr-out-<R> sharding
+    val lines = spark.read.text(dir).as[String].collect()
+    assert(lines.length == 100)
+    assert(lines.forall(_.matches("k\\d{3} \\d+")))
+    // keys sorted within each shard, like the reference's sorted reduce output
+    files.foreach { f =>
+      val shard = scala.io.Source.fromFile(f).getLines().toSeq
+      assert(shard == shard.sorted)
+    }
+  }
+}
