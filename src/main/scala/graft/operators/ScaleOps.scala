@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling building blocks (SURVEY.md §4.1: the reference has
+  * none — one hot key = one slow reduce task). First line of defense is
+  * AQE's runtime skew-join splitting (on in Bench); these utilities are
+  * the explicit fallback for aggregations and for joins whose skew AQE
+  * can't see (e.g. post-explode hot keys).
+  *
+  * Both are pure plan rewrites — results are identical to the unsalted
+  * form for any input.
+  */
+object ScaleOps {
+
+  /** Deterministic pseudo-random salt in [0, buckets) derived from the
+    * full row content (stable under task retry, unlike rand()/
+    * monotonically_increasing_id).
+    */
+  private def rowSalt(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(buckets))
+
+  /** Two-phase salted count: groupBy(key, salt) partial counts →
+    * groupBy(key) final sum. A key with 10^9 rows becomes `buckets`
+    * parallel partials instead of one hot reducer.
+    */
+  def saltedCount(df: DataFrame, keyCol: String, buckets: Int = 16): DataFrame =
+    df.withColumn("__salt", rowSalt(df, buckets))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__partial")).as("cnt"))
+
+  /** Skew-safe inner equi-join: the big (skewed) side gets a
+    * row-derived salt; the small side is replicated `buckets` times so
+    * every (key, salt) bucket finds its match. Equivalent to
+    * big ⋈ small on keyBig = keySmall, but the hot key's rows spread
+    * over `buckets` reducers.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String, buckets: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("__salt", rowSalt(big, buckets))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(array((0 until buckets).map(lit(_)): _*)))
+    saltedBig
+      .join(replicatedSmall,
+        saltedBig(bigKey) === replicatedSmall(smallKey) &&
+          saltedBig("__salt") === replicatedSmall("__salt"))
+      .drop("__salt")
+  }
+}

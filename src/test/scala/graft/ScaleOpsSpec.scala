@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ScaleOps
+
+/** Salting rewrites must be result-identical to their unsalted forms on
+  * skewed data; bucketed tables must join without an exchange.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  // 1 hot key with 50k rows + 1k cold keys
+  private lazy val skewed = spark.range(0, 50000).select(lit(0L).as("k"), $"id".as("v"))
+    .unionAll(spark.range(1, 1001).select($"id".as("k"), ($"id" * 10).as("v")))
+
+  test("saltedCount equals plain groupBy count on skewed data") {
+    val salted = ScaleOps.saltedCount(skewed, "k")
+    val plain = skewed.groupBy("k").agg(count(lit(1)).as("cnt"))
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
+
+  test("saltedJoin equals plain join on skewed data") {
+    val dim = (0L to 1000L).map(k => (k, s"name$k")).toDF("dk", "name")
+    val salted = ScaleOps.saltedJoin(skewed, dim, "k", "dk").select("k", "v", "name")
+    val plain = skewed.join(dim, $"k" === $"dk").select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val warehouse = java.nio.file.Files.createTempDirectory("wh_").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = spark.range(0, 10000).select($"id".as("k"), ($"id" % 7).as("a"))
+      val right = spark.range(0, 10000).select($"id".as("k"), ($"id" % 13).as("b"))
+      left.write.format("parquet").bucketBy(8, "k").sortBy("k")
+        .option("path", s"$warehouse/tl").mode("overwrite").saveAsTable("tl")
+      right.write.format("parquet").bucketBy(8, "k").sortBy("k")
+        .option("path", s"$warehouse/tr").mode("overwrite").saveAsTable("tr")
+      val joined = spark.table("tl").join(spark.table("tr"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join must not shuffle:\n" + plan.take(2000))
+      assert(joined.count() == 10000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS tl")
+      spark.sql("DROP TABLE IF EXISTS tr")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
