@@ -72,6 +72,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming dedup: first event per (user_id, event_type), state
+    * bounded by the watermark — the streaming twin of the batch
+    * q_dedup_latest family (`dropDuplicatesWithinWatermark` evicts seen
+    * keys once the watermark passes them, so state does not grow with
+    * the stream).
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Convenience: run a streaming DataFrame to an in-memory table until
     * all available input is consumed, return the result table name.
     */

@@ -62,6 +62,33 @@ class StreamingSmokeSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("streaming dedup emits at most one row per key within the watermark") {
+    import spark.implicits._
+    EventStreams.runToMemory(
+      EventStreams.dedupWithinWatermark(EventStreams.fileSource(spark, inputDir)),
+      "dedup_smoke", OutputMode.Append())
+    val out = spark.table("dedup_smoke")
+    assert(out.count() > 0)
+    // no (user, type) appears twice within any 10-minute span
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy($"ts")
+    val tooClose = out
+      .withColumn("prev", lag(unix_micros($"ts"), 1).over(w))
+      .filter($"prev".isNotNull &&
+        unix_micros($"ts") - $"prev" < 10L * 60 * 1000000)
+      .count()
+    assert(tooClose == 0)
+    assert(out.select("user_id", "event_type").distinct().count() ==
+      Tables.events(spark, sfDir).select("user_id", "event_type").distinct().count())
+  }
+
+  test("vec_dot is callable from SQL via GraftExtensions") {
+    import spark.implicits._
+    val r = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(r == 11.0)
+  }
+
   test("stateful running counts converge to per-user totals") {
     import spark.implicits._
     EventStreams.runToMemory(
