@@ -55,6 +55,7 @@ object SparkEntry {
     "q_dedup_exact"     -> (TextQueries.qDedupExact _),
     "q_dedup_near"      -> (TextQueries.qDedupNear _),
     "q_text_stats"      -> (TextQueries.qTextStats _),
+    "q_pipeline"        -> (TextQueries.qPipeline _),
     "q_tfidf"           -> (TextQueries.qTfidf _),
     "q_sim_topk"        -> (SimilarityQueries.qSimTopk _),
     "q_dedup_embed"     -> (SimilarityQueries.qDedupEmbed _),
@@ -339,6 +340,27 @@ object SparkEntry {
         |  v.distinct_tokens AS distinct_tokens
         |FROM doc_level d JOIN vocab v ON d.lang = v.lang
         |ORDER BY lang NULLS FIRST""".stripMargin,
+    "q_pipeline" ->
+      """WITH canonical AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        |), toked AS (
+        |  SELECT doc_id, lang, n_chars, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), kept AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    len(d.toks) AS n_tokens,
+        |    len(list_filter(d.toks, t -> t = 'the' OR t = 'a')) * 1.0
+        |      / len(d.toks) AS stop_ratio
+        |  FROM toked d JOIN canonical c ON d.doc_id = c.doc_id
+        |  WHERE len(d.toks) >= 10
+        |    AND len(list_filter(d.toks, t -> t = 'the' OR t = 'a')) * 1.0
+        |        / len(d.toks) <= 0.5)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(stop_ratio), 6) + 0.0 AS avg_stop_ratio
+        |FROM kept GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
     "q_tfidf" ->
       """SELECT word, count(DISTINCT doc_id) AS df,
         |  round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) /

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic as-of join operator (no native Spark equivalent): for each
+  * left row, the single most recent right row with
+  * rightTime <= leftTime (backward direction) or the earliest with
+  * rightTime >= leftTime (forward), matching on an equi key. Composed
+  * from existing operators per SURVEY §4.2's preference order: equi
+  * join on the key carries the shuffle, the inequality is a residual
+  * predicate, and a per-left-row window keeps exactly one match —
+  * deterministic via the caller-supplied tie-break column.
+  *
+  * Scale: the join fans out to |left| × (right rows per key) before the
+  * window prunes it, so keys must bound their right-side history — true
+  * for per-user event/order streams. For unbounded histories, bucket
+  * rightTime into coarse time bands and add the band to the key first.
+  */
+object AsofJoin {
+
+  /** leftId must uniquely identify left rows (the window partitions on
+    * it). Keeps left columns plus the matched right columns; inner
+    * semantics (unmatched left rows drop).
+    */
+  def asofBackward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      leftId: String, rightTieBreak: String): DataFrame = {
+    val joined = left.join(right,
+      left(leftKey) === right(rightKey) && right(rightTime) <= left(leftTime))
+    val w = Window.partitionBy(left(leftId))
+      .orderBy(right(rightTime).desc, right(rightTieBreak).desc)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  def asofForward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      leftId: String, rightTieBreak: String): DataFrame = {
+    val joined = left.join(right,
+      left(leftKey) === right(rightKey) && right(rightTime) >= left(leftTime))
+    val w = Window.partitionBy(left(leftId))
+      .orderBy(right(rightTime).asc, right(rightTieBreak).asc)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -86,6 +86,34 @@ object TextQueries {
       .orderBy(asc_nulls_first("lang"))
   }
 
+  /** End-to-end training-data pipeline as ONE declarative plan:
+    * exact-dedup to canonical docs → quality gate (≥10 tokens and
+    * stopword ratio ≤ 0.5) → per-language corpus stats. This is the
+    * composition a 100 TB data-prep job runs; Catalyst sees the whole
+    * pipeline and prunes/pushes across the stages.
+    */
+  def qPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val canonical = docs
+      .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val toks = tokens(col("text"))
+    val kept = docs
+      .join(canonical, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(toks).as("n_tokens"),
+        (size(filter(toks, t => t === "the" || t === "a")).cast("double") /
+          size(toks)).as("stop_ratio"))
+      .filter(col("n_tokens") >= 10 && col("stop_ratio") <= 0.5)
+    kept.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (round(avg(col("stop_ratio")), 6) + lit(0.0)).as("avg_stop_ratio"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
   /** Document frequency + inverse document frequency per token, top-50
     * by df (tie-break token). N arrives via a broadcast single-row cross
     * join — no driver-side count baked into the plan.
