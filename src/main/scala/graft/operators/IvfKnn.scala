@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.SimilarityQueries.{asDoubles, dot, l2Norm}
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the
+  * second scale path next to LshKnn. The corpus is partitioned into
+  * `nLists` Voronoi cells by k-means; each probe scores only vectors in
+  * its `nProbe` nearest cells. Recall/cost trades off via nProbe
+  * (nProbe = nLists degenerates to exact brute force).
+  *
+  * Deterministic: k-means runs with a fixed seed, and centroids are
+  * data-derived, so the same corpus always yields the same index.
+  * Training SAMPLES the corpus (k-means is iterative); at 100 TB you
+  * train on a ~1M-row sample, then a single broadcast-join pass assigns
+  * cells — the big side never shuffles for the index build.
+  */
+object IvfKnn {
+
+  val NLists = 16
+  val NProbe = 4
+
+  /** (vec_id, vec, cell) — corpus with IVF cell assignment, plus the
+    * centroid table (cell, centroid array).
+    */
+  def buildIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
+      .withColumn("features", array_to_vector(col("vec")))
+    val model = new KMeans()
+      .setK(NLists).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(emb)
+    val indexed = model.transform(emb).select(col("vec_id"), col("vec"), col("cell"))
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c: Vector, i: Int) => (i, c.toArray) }
+      .toDF("cell", "centroid")
+    (indexed, centroids)
+  }
+
+  /** Approximate top-k cosine neighbors per probe (vec_id % 100 = 0),
+    * scanning only each probe's nProbe nearest cells.
+    */
+  def approxTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val (indexed, centroids) = buildIndex(spark, sfDir)
+    val probes = indexed.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("vec").as("probe_vec"))
+    // nProbe nearest centroids per probe by cosine (deterministic tie-break)
+    val cellRank = Window.partitionBy("probe_id")
+      .orderBy(col("cell_cos").desc, col("cell").asc)
+    val probeCells = probes
+      .crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("probe_vec"), col("cell"),
+        (dot(col("probe_vec"), col("centroid")) /
+          (l2Norm(col("probe_vec")) * l2Norm(col("centroid")))).as("cell_cos"))
+      .withColumn("crn", row_number().over(cellRank))
+      .filter(col("crn") <= NProbe)
+      .select("probe_id", "probe_vec", "cell")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    indexed.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (round(dot(col("probe_vec"), col("vec")) /
+          (l2Norm(col("probe_vec")) * l2Norm(col("vec"))), 6) + lit(0.0)).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .orderBy(asc_nulls_first("probe_id"), col("rank").asc)
+  }
+}

@@ -46,6 +46,19 @@ class ScalePathSpec extends AnyFunSuite {
     assert(a.exceptAll(again).count() == 0 && again.exceptAll(a).count() == 0)
   }
 
+  test("ivf knn: better-or-equal recall than single-bucket lsh, deterministic") {
+    import spark.implicits._
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sfDir)
+      .select("probe_id", "vec_id")
+    val ivf = operators.IvfKnn.approxTopK(spark, sfDir, 5)
+      .select("probe_id", "vec_id")
+    val recall = ivf.intersect(exact).count().toDouble / exact.count()
+    assert(recall > 0.2, s"IVF recall too low: $recall")
+    val again = operators.IvfKnn.approxTopK(spark, sfDir, 5)
+      .select("probe_id", "vec_id")
+    assert(ivf.exceptAll(again).count() == 0 && again.exceptAll(ivf).count() == 0)
+  }
+
   test("multimodal: batched decode is deterministic and preserves rows + partitioning") {
     val media = Multimodal.syntheticMedia(spark, 200, partitions = 4)
     val feats = Multimodal.extractFeatures(media)
