@@ -101,9 +101,9 @@ object SparkEntry {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
     "q_join_broadcast" ->
       """SELECT r_name, count(*) AS n_lines,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |    (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+        |    AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -140,12 +140,15 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY event_id NULLS FIRST""".stripMargin,
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |    (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) + 0.0 AS avg_qty,
+        |  CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+        |    / 10000.0 AS sum_disc_price,
+        |  round(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 / count(*), 6) + 0.0 AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Aggregation surface: hash agg with partial+final (the map-side
@@ -14,26 +14,35 @@ import org.apache.spark.sql.functions._
   * Exchange → HashAggregate(final), so the shuffle carries one row per
   * (group, partition) not per input row. Top-k is
   * TakeOrderedAndProject — per-partition heaps, no global sort.
-  * Exact-deterministic money math via DECIMAL casts as in JoinQueries.
+  * Exact-deterministic money math via integer cents on the fact-table
+  * queries (see cents()); DECIMAL casts on the smaller dimensions.
   */
 object AggQueries {
 
+  /** A 2-dp monetary double as exact integer cents. x·100 is within
+    * ~1e-9 of an integer (never at a .5 boundary), so HALF_UP rounding
+    * is identical in both engines; all downstream arithmetic is
+    * overflow-free long math — exact, order-independent, and (unlike
+    * DECIMAL aggregation) pure primitive codegen with no per-row
+    * allocation.
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
   /** TPC-H Q1 style: per (returnflag, linestatus) sums/avg/count over
-    * lineitem. Quantities and prices are 2-dp doubles → DECIMAL(18,2)
-    * sums are exact; disc price (product of two 2-dp values) is exact in
-    * DECIMAL(18,4). avg = exact decimal sum / count, divided in double
+    * lineitem. All money math in exact integer cents (see cents());
+    * disc price = cents·(100−discount_cents) is exact in units of
+    * 10^-4. avg = exact long sum / count divided in double
     * (deterministic), rounded to 6 dp.
     */
   def qAggHash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-        sum((col("l_extendedprice").cast("decimal(18,2)") *
-             (lit(BigDecimal(1).setScale(2)) - col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
-        (round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+        (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))).cast("double") / 100.0).as("sum_base_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .cast("double") / 10000.0).as("sum_disc_price"),
+        (round(sum(cents(col("l_quantity"))).cast("double") / 100.0 /
                count(lit(1)), 6) + lit(0.0)).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))

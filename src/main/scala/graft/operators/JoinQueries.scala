@@ -51,9 +51,11 @@ object JoinQueries {
       .groupBy("r_name")
       .agg(
         count(lit(1)).as("n_lines"),
-        sum((col("l_extendedprice").cast("decimal(18,2)") *
-             (lit(BigDecimal(1).setScale(2)) - col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        // exact integer-cents math (see AggQueries.cents): long codegen,
+        // no per-row decimal allocation on the 600k-row fact side
+        (sum(round(col("l_extendedprice") * 100).cast("long") *
+             (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .cast("double") / 10000.0).as("revenue"))
       .orderBy(asc_nulls_first("r_name"))
 
   /** customer LEFT JOIN orders — customers without orders appear with
