@@ -64,6 +64,7 @@ object SparkEntry {
     "q_ngram_jaccard"   -> (AdvancedTextQueries.qNgramJaccard _),
     "q_fingerprint"     -> (AdvancedTextQueries.qFingerprint _),
     "q_text_quality"    -> (AdvancedTextQueries.qTextQuality _),
+    "q_token_count"     -> (AdvancedTextQueries.qTokenCount _),
     "q_lang_id"         -> (AdvancedTextQueries.qLangId _),
     "udaf_demo"         -> (CoreQueries.udafDemo _),
   )
@@ -518,6 +519,17 @@ object SparkEntry {
         |        string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
         |      FROM documents) d
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t <> ''))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+        |    AS BIGINT) AS bpe_tokens,
+        |  round(CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+        |      AS DOUBLE) /
+        |    sum(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))),
+        |    6) + 0.0 AS bpe_per_ws
+        |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
     "q_lang_id" ->
       """WITH alltok AS (
         |  SELECT lang, unnest(list_filter(

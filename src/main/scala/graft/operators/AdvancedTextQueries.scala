@@ -129,6 +129,29 @@ object AdvancedTextQueries {
       .orderBy(asc_nulls_first("doc_id"))
   }
 
+  /** Token counting two ways per document: whitespace tokens and a
+    * BPE-style sub-word regex (letter runs | digit runs | single other
+    * non-space). The pattern avoids lookahead so Java (Spark) and RE2
+    * (DuckDB) agree. Per-lang totals keep the output compact and
+    * aggregate-exact.
+    */
+  def qTokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = split(col("text"), "\\s+")
+    val bpe = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        size(filter(ws, t => t =!= "")).as("n_ws"),
+        size(bpe).as("n_bpe"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws").cast("long")).as("ws_tokens"),
+        sum(col("n_bpe").cast("long")).as("bpe_tokens"),
+        (round(sum(col("n_bpe").cast("long")).cast("double") /
+          sum(col("n_ws").cast("long")), 6) + lit(0.0)).as("bpe_per_ws"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
   /** Per-document quality score from type-token ratio, stopword ratio
     * and average token length — all ratios of exact integer counts, so
     * both engines divide identical values.

@@ -69,6 +69,13 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(total <= nDocs && total > 0)
   }
 
+  test("token count: bpe tokenization is at least as fine as whitespace") {
+    import spark.implicits._
+    val out = q("q_token_count")
+    assert(out.filter($"bpe_tokens" < $"ws_tokens" || $"bpe_per_ws" < 1.0).count() == 0)
+    assert(out.agg(sum($"n_docs")).as[Long].head() == nDocs)
+  }
+
   test("embed near-dup pairs: ordered, thresholded, within [-1,1]") {
     import spark.implicits._
     val out = q("q_dedup_embed")
