@@ -56,6 +56,65 @@ object EventStreams {
 
   case class UserCount(user_id: Long, n_events: Long)
 
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long) {
+    def tsUs: Long = ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+  }
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long)
+
+  /** Streaming sessionizer: per-user sessions with a strict >gap
+    * inactivity boundary (the same algebra as the batch
+    * q_session_window), as a flatMapGroupsWithState state machine with
+    * EVENT-TIME timeout — a session closes either when a later event
+    * arrives past the gap, or when the watermark passes lastTs+gap (the
+    * timeout path), so state is bounded and sessions emit without
+    * waiting for the user's next event. Events are sorted
+    * (ts, event_id) within each batch; correctness across batches
+    * assumes arrival disorder stays within the watermark delay — the
+    * same contract every watermarked streaming aggregation has.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    // the watermarked `ts` column itself must reach the stateful
+    // operator — projecting it away breaks EventTimeTimeout
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          if (state.hasTimedOut) {
+            state.getOption.foreach(s =>
+              out += SessionOut(user, s.startUs, s.lastUs, s.n))
+            state.remove()
+          } else {
+            var open = state.getOption
+            batch.toSeq.sortBy(e => (e.tsUs, e.event_id)).foreach { e =>
+              open = open match {
+                case Some(s) if e.tsUs - s.lastUs <= gapUs =>
+                  Some(OpenSession(s.startUs, math.max(s.lastUs, e.tsUs), s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(user, s.startUs, s.lastUs, s.n)
+                  Some(OpenSession(e.tsUs, e.tsUs, 1))
+                case None =>
+                  Some(OpenSession(e.tsUs, e.tsUs, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes * 60L * 1000)
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Custom stateful operator: running per-user event counts via typed
     * mapGroupsWithState (update mode). State is one long per user —
     * partitioned by the group key across executors.

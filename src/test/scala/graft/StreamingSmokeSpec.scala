@@ -82,6 +82,29 @@ class StreamingSmokeSpec extends AnyFunSuite {
       Tables.events(spark, sfDir).select("user_id", "event_type").distinct().count())
   }
 
+  test("streaming sessionizer emits exactly the batch sessions it closes") {
+    import spark.implicits._
+    EventStreams.runToMemory(
+      EventStreams.sessionize(spark, EventStreams.fileSource(spark, inputDir)).toDF(),
+      "session_smoke", OutputMode.Append())
+    val streamed = spark.table("session_smoke")
+      .select($"user_id",
+        $"session_start_us".as("start_us"),
+        $"session_end_us".as("end_us"),
+        $"n_events")
+    assert(streamed.count() > 0)
+    val batch = SparkEntry.queries("q_session_window")(spark, sfDir)
+      .select($"user_id",
+        unix_micros($"session_start").as("start_us"),
+        unix_micros($"session_end").as("end_us"),
+        $"n_events")
+    // every streamed session is exactly one batch session
+    assert(streamed.exceptAll(batch).count() == 0,
+      "streaming emitted a session the batch algebra does not contain")
+    // and no session was emitted twice
+    assert(streamed.distinct().count() == streamed.count())
+  }
+
   test("vec_dot is callable from SQL via GraftExtensions") {
     import spark.implicits._
     val r = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
