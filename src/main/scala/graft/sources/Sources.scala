@@ -51,6 +51,15 @@ object Sources {
       .schema("Key STRING, Value STRING")
       .json(path)
 
+  /** Header-on CSV with explicit schema (never inferSchema — schema
+    * inference is a full extra pass over the data at scale).
+    */
+  def readCsv(spark: SparkSession, path: String, ddlSchema: String): DataFrame =
+    spark.read.option("header", "true").schema(ddlSchema).csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
   /** The reference's output format: one `"<key> <value>"` line per
     * group (`mr/worker.go:207`), sharded into `numShards` files by key
     * hash — the analogue of its fixed nReduce=10 output partitioning.

@@ -48,6 +48,18 @@ class SourcesSpec extends AnyFunSuite {
       Map("a" -> "1", "b" -> "2", "c" -> "3"))
   }
 
+  test("CSV round-trips with explicit schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("csv_").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "x")
+    Sources.writeCsv(df, dir)
+    val back = Sources.readCsv(spark, dir, "id BIGINT, s STRING, x DOUBLE")
+    // compare names+types; CSV reads are nullable while literal Seqs are not
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+  }
+
   test("KV text sink: sharded, sorted-within-shard 'key value' lines") {
     import spark.implicits._
     val dir = Files.createTempDirectory("kvtext_").toString
