@@ -95,10 +95,19 @@ object AdvancedTextQueries {
   def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingleRows(Tables.documents(spark, sfDir))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("x")
-      .join(sh.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+    // Pair generation via group-by-shingle + within-group explosion
+    // rather than a self-join: one exchange on the shingle instead of
+    // two, and the shingle pipeline evaluates once per side instead of
+    // twice. Doc lists per shingle are small here (max 25 at sf0.1); at
+    // 100 TB a doc-frequency cap on shingles bounds the blowup the same
+    // way stop-word removal does.
+    val pairs = sh.groupBy("sh")
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("d1"), col("docs"))
+      .select(col("d1"), explode(col("docs")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"))
       .agg(count(lit(1)).as("shared"))
     pairs
       .join(sz.as("sa"), col("doc_id_1") === col("sa.doc_id"))
