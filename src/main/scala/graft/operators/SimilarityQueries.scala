@@ -40,6 +40,7 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
       .withColumn("norm", l2Norm(col("vec")))
+      .repartition(spark.sparkContext.defaultParallelism)
     val probes = emb
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("probe_id"), col("vec").as("probe_vec"),
@@ -65,9 +66,13 @@ object SimilarityQueries {
     * ROUNDED cosine so both engines cut at the identical value.
     */
   def qDedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    // The embeddings table is one parquet file → one input partition; the
+    // pairwise nested-loop work is |corpus|² so spread the STREAMED side
+    // over all cores first (the broadcast side ships whole either way).
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
       .withColumn("norm", l2Norm(col("vec")))
+      .repartition(spark.sparkContext.defaultParallelism)
     emb.as("a")
       .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(
