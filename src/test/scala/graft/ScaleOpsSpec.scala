@@ -8,7 +8,7 @@ import graft.operators.ScaleOps
   * skewed data; bucketed tables must join without an exchange.
   */
 class ScaleOpsSpec extends AnyFunSuite {
-  import SparkTestSession.spark
+  import SparkTestSession.{spark, sfDir}
   import spark.implicits._
 
   // 1 hot key with 50k rows + 1k cold keys
@@ -27,6 +27,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     val plain = skewed.join(dim, $"k" === $"dk").select("k", "v", "name")
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
+
+  test("partitioned writes prune partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("part_").toString
+    Tables.orders(spark, sfDir)
+      .withColumn("order_year", year($"o_orderdate"))
+      .write.partitionBy("order_year").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter($"order_year" === 1997)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year"),
+      "year filter must prune partitions, not scan-and-filter:\n" + plan.take(1500))
+    assert(pruned.count() ==
+      Tables.orders(spark, sfDir).filter(year($"o_orderdate") === 1997).count())
   }
 
   test("bucketed tables join without a shuffle exchange") {
