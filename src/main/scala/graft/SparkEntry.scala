@@ -57,6 +57,9 @@ object SparkEntry {
     "q_text_stats"      -> (TextQueries.qTextStats _),
     "q_pipeline"        -> (TextQueries.qPipeline _),
     "q_tfidf"           -> (TextQueries.qTfidf _),
+    "q_median"          -> (StatsQueries.qMedian _),
+    "q_corr"            -> (StatsQueries.qCorr _),
+    "q_histogram"       -> (StatsQueries.qHistogram _),
     "q_sim_topk"        -> (SimilarityQueries.qSimTopk _),
     "q_dedup_embed"     -> (SimilarityQueries.qDedupEmbed _),
     "q_dedup_minhash"   -> (AdvancedTextQueries.qDedupMinhash _),
@@ -395,6 +398,44 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
         |  FROM documents) t
         |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+    "q_median" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal ASC, c_custkey ASC) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer)
+        |SELECT c_mktsegment, max(n) AS n_customers,
+        |  round(avg(c_acctbal), 6) + 0.0 AS median_acctbal
+        |FROM ranked WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    "q_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(round(l_quantity * 100, 0) AS HUGEINT)) AS sx,
+        |    sum(CAST(round(l_extendedprice * 100, 0) AS HUGEINT)) AS sy,
+        |    sum(CAST(round(l_quantity * 100, 0) AS HUGEINT) *
+        |        CAST(round(l_extendedprice * 100, 0) AS HUGEINT)) AS sxy,
+        |    sum(CAST(round(l_quantity * 100, 0) AS HUGEINT) *
+        |        CAST(round(l_quantity * 100, 0) AS HUGEINT)) AS sxx,
+        |    sum(CAST(round(l_extendedprice * 100, 0) AS HUGEINT) *
+        |        CAST(round(l_extendedprice * 100, 0) AS HUGEINT)) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n AS n_rows,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
+        |    AS corr_qty_price
+        |FROM s ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+    "q_histogram" ->
+      """SELECT bucket, bucket * 50000 AS lo, (bucket + 1) * 50000 AS hi,
+        |  count(*) AS n_orders
+        |FROM (SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket
+        |      FROM orders) t
+        |GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin,
     "q_dedup_embed" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

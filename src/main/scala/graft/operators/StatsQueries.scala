@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical OLAP operators, all engineered to be exact across
+  * engines: the median avoids percentile-interpolation dialects by
+  * selecting middle rows with window algebra; correlation assembles
+  * from exact integer-cents power sums (every intermediate is exact
+  * long math, the final formula is one deterministic double
+  * expression); histograms bucket with explicit integer floors.
+  */
+object StatsQueries {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Exact per-segment median of customer account balances: the mean of
+    * the middle one-or-two order statistics, picked by row_number —
+    * identical algebra in both engines, no quantile interpolation.
+    */
+  def qMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+      // DIV: integer division ((n+1)/2 with `/` would be double division)
+      .filter(col("rn") === expr("(n + 1) DIV 2") || col("rn") === expr("n DIV 2 + 1"))
+      .groupBy("c_mktsegment")
+      .agg(
+        max(col("n")).as("n_customers"),
+        (round(avg(col("c_acctbal")), 6) + lit(0.0)).as("median_acctbal"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
+
+  /** Pearson correlation of quantity vs extended price per return flag,
+    * built from exact integer power sums (cents): n, Σx, Σy, Σxy, Σx²,
+    * Σy² are all exact longs, so both engines evaluate the SAME final
+    * double expression on the SAME integers. Largest term:
+    * Σ(price_cents²) ≈ 6·10^5 rows × (7·10^6)² ≈ 3·10^19 — beyond long,
+    * so power sums accumulate in DECIMAL(38,0) (exact) and convert to
+    * double only in the final formula.
+    */
+  def qCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = cents(col("l_quantity")).cast("decimal(38,0)")
+    val y = cents(col("l_extendedprice")).cast("decimal(38,0)")
+    val agged = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+    agged.select(
+      col("l_returnflag"),
+      col("n").cast("long").as("n_rows"),
+      (round(
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6) + lit(0.0))
+        .as("corr_qty_price"))
+      .orderBy(asc_nulls_first("l_returnflag"))
+  }
+
+  /** Histogram of order totals in 50k-wide buckets: explicit integer
+    * floor bucketing (no width_bucket dialect differences), bucket
+    * bounds reported exactly.
+    */
+  def qHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"))
+      .select(
+        col("bucket"),
+        (col("bucket") * 50000L).as("lo"),
+        ((col("bucket") + 1) * 50000L).as("hi"),
+        col("n_orders"))
+      .orderBy(asc_nulls_first("bucket"))
+}
