@@ -32,6 +32,32 @@ class StatsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("approx_count_distinct (HLL) tracks the exact distinct count within rsd") {
+    import spark.implicits._
+    // approximate aggregates stay out of the oracle set (SURVEY §2.3);
+    // cross-check them against the exact answer here instead
+    val both = Tables.lineitem(spark, sfDir).agg(
+      countDistinct($"l_partkey").as("exact"),
+      approx_count_distinct($"l_partkey", 0.02).as("approx"),
+      approx_count_distinct($"l_partkey").as("approx_default"))
+      .head()
+    val exact = both.getAs[Long]("exact").toDouble
+    assert(math.abs(both.getAs[Long]("approx") - exact) / exact < 0.1)
+    assert(math.abs(both.getAs[Long]("approx_default") - exact) / exact < 0.15)
+  }
+
+  test("approx percentile brackets the exact median") {
+    import spark.implicits._
+    val med = q("q_median").filter($"c_mktsegment" === "BUILDING")
+      .select($"median_acctbal").as[Double].head()
+    val Array(lo, hi) = Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .agg(percentile_approx($"c_acctbal", lit(0.4), lit(1000)),
+        percentile_approx($"c_acctbal", lit(0.6), lit(1000)))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(med >= lo && med <= hi)
+  }
+
   test("histogram buckets partition all orders with consistent bounds") {
     import spark.implicits._
     val out = q("q_histogram")
