@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // One process compiles ~100 whole-stage-codegen plans (warm + measured
+  // pass over 50 queries); the JVM default 240 MB code cache fills and
+  // JIT compilation stops, degrading late queries 10-40x (observed in
+  // BENCH_r01: alphabetically-late queries slowed in exactly execution
+  // order). Size the cache for the workload and let it evict.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )
