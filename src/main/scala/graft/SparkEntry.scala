@@ -31,6 +31,7 @@ object SparkEntry {
     "q_join_anti"       -> (JoinQueries.qJoinAnti _),
     "q_join_range"      -> (JoinQueries.qJoinRange _),
     "q_join_asof"       -> (JoinQueries.qJoinAsof _),
+    "q_join_asof_banded" -> (JoinQueries.qJoinAsofBanded _),
     "q_agg_hash"        -> (AggQueries.qAggHash _),
     "q_agg_distinct"    -> (AggQueries.qAggDistinct _),
     "q_agg_rollup"      -> (AggQueries.qAggRollup _),
@@ -141,6 +142,18 @@ object SparkEntry {
         |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
+        |WHERE rn = 1 ORDER BY event_id NULLS FIRST""".stripMargin,
+    "q_join_asof_banded" ->
+      """SELECT event_id, user_id, ts, click_id, click_ts FROM (
+        |  SELECT p.event_id, p.user_id, p.ts,
+        |    c.event_id AS click_id, c.ts AS click_ts,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |                       ORDER BY epoch_us(c.ts) DESC, c.event_id DESC) AS rn
+        |  FROM events p JOIN events c
+        |    ON p.user_id = c.user_id
+        |   AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |   AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |   AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000) t
         |WHERE rn = 1 ORDER BY event_id NULLS FIRST""".stripMargin,
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,

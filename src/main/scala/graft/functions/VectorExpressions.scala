@@ -45,7 +45,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = DotProduct.checkedDim(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -58,7 +58,8 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = graft.functions.DotProduct.checkedDim(
+         |  $x.numElements(), $y.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $x.getDouble($i) * $y.getDouble($i);
@@ -70,6 +71,21 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Both engines must fail identically on malformed input: DuckDB's
+    * list_dot_product errors on length mismatch, so a silent
+    * min-length fold here would turn an upstream dimension bug into a
+    * plausible-but-wrong similarity. Called from generated code via the
+    * companion's static forwarder.
+    */
+  def checkedDim(nx: Int, ny: Int): Int = {
+    if (nx != ny)
+      throw new IllegalArgumentException(
+        s"vec_dot: array dimensions differ ($nx vs $ny)")
+    nx
+  }
 }
 
 /** Column-API entry points for the native vector expressions. */

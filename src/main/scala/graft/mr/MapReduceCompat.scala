@@ -46,13 +46,22 @@ object MapReduceCompat {
     Sources.writeKvText(reduced.toDF("key", "value"), "key", "value", outDir, nReduce)
   }
 
+  /** The reference hands Map the bare CLI filename
+    * (`mr/worker.go:111-123` passes os.Args verbatim), not a URI;
+    * wholeTextCorpus yields `file:///...` paths. Strip to the basename
+    * so plugins that embed the name (indexer) emit the reference's
+    * exact values.
+    */
+  private def basename(path: String): String =
+    path.substring(path.lastIndexOf('/') + 1)
+
   /** The dataflow without the sink — one row per (key, reduced value). */
   def transform(spark: SparkSession, mapf: MapF, reducef: ReduceF,
       inputGlob: String): Dataset[KeyValue] = {
     import spark.implicits._
     Sources.wholeTextCorpus(spark, inputGlob)
       .as[(String, String)]
-      .flatMap { case (path, contents) => mapf(path, contents) }
+      .flatMap { case (path, contents) => mapf(basename(path), contents) }
       .groupByKey(_._1)
       .mapGroups { (key, kvs) => (key, reducef(key, kvs.map(_._2).toSeq)) }
   }
@@ -77,9 +86,23 @@ object MapReduceCompat {
     }
     Sources.wholeTextCorpus(spark, inputGlob)
       .as[(String, String)]
-      .flatMap { case (path, contents) => mapf(path, contents) }
+      .flatMap { case (path, contents) => mapf(basename(path), contents) }
       .groupByKey(_._1)
       .agg(agg.toColumn)
+  }
+
+  /** `run` with the combiner path: same sink contract as `run`, but the
+    * reduce is a typed Aggregator so partial aggregation happens
+    * map-side — the form to use for associative reduces at 100 TB.
+    */
+  def runAggregated[B: Encoder](
+      spark: SparkSession, mapf: MapF,
+      zeroValue: B, foldF: (B, String) => B, mergeF: (B, B) => B,
+      finishF: B => String,
+      inputGlob: String, nReduce: Int, outDir: String): Unit = {
+    val reduced = transformAggregated(spark, mapf, zeroValue, foldF, mergeF,
+      finishF, inputGlob)
+    Sources.writeKvText(reduced.toDF("key", "value"), "key", "value", outDir, nReduce)
   }
 }
 

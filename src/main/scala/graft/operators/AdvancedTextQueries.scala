@@ -87,23 +87,44 @@ object AdvancedTextQueries {
       .distinct()
   }
 
+  /** Shingles appearing in more documents than this are dropped before
+    * pair generation. A shingle shared by df documents generates df²
+    * candidate pairs and its collect_list holds df entries on one
+    * reducer — unbounded on a hot shingle ("to be or" at corpus scale).
+    * Dropping ultra-common shingles is the same move as stop-word
+    * removal and barely affects Jaccard≥0.5 pairs (a shingle in >1000
+    * docs carries no near-duplicate signal). The cap is far above any
+    * df in the test corpora (max observed 25 at sf0.1), so oracle
+    * results are unchanged there.
+    */
+  val ShingleDfCap = 1000
+
   /** Near-dup pairs by token-trigram Jaccard ≥ 0.5. The pair space is
     * pruned by the shingle equi-join (only docs sharing a shingle ever
     * meet — the same inverted-index pruning that scales this to 100 TB),
     * then exact |A∩B| / |A|+|B|−|A∪B∩…| on integer counts.
     */
-  def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleRows(Tables.documents(spark, sfDir))
+  def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, sfDir), ShingleDfCap)
+
+  def ngramJaccardPairs(docs: DataFrame, dfCap: Int): DataFrame = {
+    // One explicit exchange on the shingle; both consumers below need
+    // hashpartitioning(sh), so ReuseExchange materializes the expensive
+    // shingle pipeline once and the df-count agg, the df-cap join and
+    // the collect_list all run shuffle-free on top of it.
+    val sh = shingleRows(docs).repartition(col("sh"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Pair generation via group-by-shingle + within-group explosion
     // rather than a self-join: one exchange on the shingle instead of
-    // two, and the shingle pipeline evaluates once per side instead of
-    // twice. Doc lists per shingle are small here (max 25 at sf0.1); at
-    // 100 TB a doc-frequency cap on shingles bounds the blowup the same
-    // way stop-word removal does.
-    val pairs = sh.groupBy("sh")
+    // two. The df pre-count keeps hot shingles out of collect_list
+    // BEFORE it accumulates (df > dfCap dropped, df == 1 dropped —
+    // singleton shingles, the vast majority, never reach the collect).
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1 && col("df") <= dfCap)
+      .select("sh")
+    val pairs = sh.join(df, "sh")
+      .groupBy("sh")
       .agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) > 1)
       .select(explode(col("docs")).as("d1"), col("docs"))
       .select(col("d1"), explode(col("docs")).as("d2"))
       .filter(col("d1") < col("d2"))
@@ -197,7 +218,19 @@ object AdvancedTextQueries {
     val tok = docs.select(col("doc_id"), col("lang"),
       explode(array_distinct(tokens(col("text")))).as("word"))
     val allTok = docs.select(col("lang"), explode(tokens(col("text"))).as("word"))
+    // Two-phase top-K: a window partitioned by lang alone would give one
+    // reducer per language, each sorting its ENTIRE vocabulary (5
+    // partitions total at any scale). Phase 1 takes a local top-5 per
+    // (lang, word-hash bucket) — 32 parallel partitions per language,
+    // each sorting 1/32 of the vocab; phase 2 re-ranks the ≤ 160
+    // survivors per language. Same deterministic (cnt desc, word asc)
+    // order both phases, so the final top-5 is identical.
+    val langBkt = pmod(hash(col("word")), lit(32))
     val profiles = allTok.groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("lang"), langBkt)
+          .orderBy(col("cnt").desc, col("word").asc)))
+      .filter(col("prn") <= 5)
       .withColumn("rn", row_number().over(
         Window.partitionBy("lang").orderBy(col("cnt").desc, col("word").asc)))
       .filter(col("rn") <= 5)

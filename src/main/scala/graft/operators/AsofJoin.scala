@@ -39,6 +39,43 @@ object AsofJoin {
       .drop("__rn")
   }
 
+  /** Backward as-of with a bounded lookback: only right rows with
+    * leftTime − tolerance < rightTime <= leftTime can match. This is the
+    * unbounded-history mitigation the plain variant's doc describes —
+    * the tolerance doubles as the time band: both sides key on
+    * (equi key, floor(time / tolerance)), the left side probing its own
+    * band and the previous one (any in-tolerance right row lands in one
+    * of those two). Join fan-out per left row is bounded by the right
+    * rows in two bands of one key, however long the key's total history
+    * — pandas merge_asof(tolerance=…) semantics at shuffle scale.
+    *
+    * Time columns must be numeric (unix micros, days, …); the caller
+    * picks the unit and a tolerance in that unit.
+    */
+  def asofBackwardBanded(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      leftId: String, rightTieBreak: String,
+      tolerance: Long): DataFrame = {
+    require(tolerance > 0, "tolerance must be positive")
+    val l = left
+      .withColumn("__lband",
+        explode(array(floor(col(leftTime) / tolerance),
+          floor(col(leftTime) / tolerance) - 1)))
+    val r = right.withColumn("__rband", floor(col(rightTime) / tolerance))
+    val joined = l.join(r,
+      l(leftKey) === r(rightKey) && l("__lband") === r("__rband") &&
+        r(rightTime) <= l(leftTime) &&
+        r(rightTime) > l(leftTime) - tolerance)
+    val w = Window.partitionBy(l(leftId))
+      .orderBy(r(rightTime).desc, r(rightTieBreak).desc)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__lband", "__rband")
+  }
+
   def asofForward(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,

@@ -26,6 +26,15 @@ object IvfKnn {
   val NLists = 16
   val NProbe = 4
 
+  /** k-means training set ceiling. Iterative fitting over the full
+    * corpus would make the index build the bottleneck at 100 TB; 100k
+    * vectors bound the training cost regardless of corpus size while
+    * centroid quality saturates far below that for NLists=16. Below the
+    * ceiling (all test SFs) the sample IS the corpus, so the index is
+    * byte-identical to full-corpus training.
+    */
+  val MaxTrainRows = 100000L
+
   /** (vec_id, vec, cell) — corpus with IVF cell assignment, plus the
     * centroid table (cell, centroid array).
     */
@@ -33,10 +42,17 @@ object IvfKnn {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
       .withColumn("features", array_to_vector(col("vec")))
+    // Fit on a bounded seeded sample; the one pass that touches every
+    // vector is model.transform below — a narrow map against broadcast
+    // centroids, no shuffle of the corpus.
+    val n = emb.count()
+    val train =
+      if (n <= MaxTrainRows) emb
+      else emb.sample(withReplacement = false, MaxTrainRows.toDouble / n, seed = 42L)
     val model = new KMeans()
       .setK(NLists).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(emb)
+      .fit(train)
     val indexed = model.transform(emb).select(col("vec_id"), col("vec"), col("cell"))
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex.toSeq

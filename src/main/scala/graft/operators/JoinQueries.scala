@@ -119,6 +119,33 @@ object JoinQueries {
     * proportional; the window is partitioned by event_id (no global sort).
     * Ref: the reference has no joins at all — this is north-star surface.
     */
+  /** Purchase attribution via the banded as-of operator
+    * (AsofJoin.asofBackwardBanded): each purchase joins the same
+    * user's most recent click within the preceding hour. The tolerance
+    * bounds the join fan-out per purchase to the clicks in two 1-hour
+    * bands of one user, regardless of how long the user's total click
+    * history grows — the unbounded-history mitigation q_join_asof's
+    * doc describes, as a first-class oracle query. Times are compared
+    * in unix micros (session TZ is UTC on both engines). A strict
+    * same-row exclusion is unnecessary: left and right are disjoint
+    * event types.
+    */
+  def qJoinAsofBanded(spark: SparkSession, sfDir: String): DataFrame = {
+    val tolUs = 3600L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts_us").as("c_ts_us"),
+        col("ts").as("click_ts"), col("event_id").as("click_id"))
+    AsofJoin.asofBackwardBanded(purchases, clicks,
+      leftKey = "user_id", rightKey = "c_user_id",
+      leftTime = "ts_us", rightTime = "c_ts_us",
+      leftId = "event_id", rightTieBreak = "click_id", tolerance = tolUs)
+      .select("event_id", "user_id", "ts", "click_id", "click_ts")
+      .orderBy(asc_nulls_first("event_id"))
+  }
+
   def qJoinAsof(spark: SparkSession, sfDir: String): DataFrame = {
     val joined = Tables.events(spark, sfDir)
       .join(Tables.orders(spark, sfDir),

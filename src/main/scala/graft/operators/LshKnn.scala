@@ -42,16 +42,48 @@ object LshKnn {
       when(dot(vec, planeCol(planes(i))) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Multi-probe candidate buckets: the vector's own bucket plus, for
+    * nFlip > 0, the buckets reached by flipping the sign bits with the
+    * smallest |margin| — the hyperplanes this vector sits closest to,
+    * which is exactly where a near neighbor lands on the other side.
+    * Only probes fan out (nFlip+1 rows each); the corpus keeps its
+    * single-bucket assignment and partitioning, so recall rises without
+    * re-partitioning anything.
+    */
+  def probeBuckets(vec: Column, nFlip: Int): Column = {
+    val dots = (0 until NumPlanes).map(i => dot(vec, planeCol(planes(i))))
+    val base = dots.zipWithIndex.map { case (d, i) =>
+      when(d > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    if (nFlip <= 0) array(base)
+    else {
+      val margins = array(dots.zipWithIndex.map { case (d, i) =>
+        struct(abs(d).as("m"), lit(1 << i).as("bit"))
+      }: _*)
+      val flips = slice(array_sort(margins), 1, nFlip)
+      concat(array(base), transform(flips, f => base.bitwiseXOR(f.getField("bit"))))
+    }
+  }
+
   /** Approximate top-k cosine neighbors per probe (vec_id % 100 = 0),
     * scored only within the probe's bucket.
     */
-  def approxTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+  def approxTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
+    approxTopKMultiProbe(spark, sfDir, k, nFlip = 0)
+
+  /** approxTopK with multi-probe: each probe also scores the nFlip
+    * lowest-margin neighboring buckets.
+    */
+  def approxTopKMultiProbe(spark: SparkSession, sfDir: String, k: Int = 5,
+      nFlip: Int = 1): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
       .withColumn("bucket", bucket(col("vec")))
-    val probes = emb.filter(col("vec_id") % 100 === 0)
+    val probes = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
+      .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("probe_id"), col("vec").as("probe_vec"),
-        col("bucket"))
+        explode(probeBuckets(col("vec"), nFlip)).as("bucket"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     emb.join(broadcast(probes), Seq("bucket"))

@@ -36,6 +36,27 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(out.filter($"jaccard" < 0.5 || $"jaccard" > 1.0).count() == 0)
   }
 
+  test("ngram jaccard: shingle df cap drops hot-shingle pairs, keeps real ones") {
+    import spark.implicits._
+    // docs 1,2 share 2 of 3 shingles (J = 0.5 exactly, df = 2 per shared
+    // shingle); docs 10..15 are identical copies of one hot phrase whose
+    // single shingle has df = 6.
+    val docs = (Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d f")) ++
+      (10L to 15L).map(i => (i, "x y z"))).toDF("doc_id", "text")
+    val uncapped = operators.AdvancedTextQueries.ngramJaccardPairs(docs, 1000)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)))
+    assert(uncapped.count { case (a, b) => a >= 10 && b >= 10 } == 15,
+      "all 15 pairs of the 6 identical docs expected without a cap")
+    // cap 5 < df 6: the hot shingle never reaches collect_list, so its
+    // pairs vanish; the ordinary pair is untouched
+    val capped = operators.AdvancedTextQueries.ngramJaccardPairs(docs, 5)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)))
+  }
+
   test("fingerprint: one per doc, in range, order-sensitive on a planted case") {
     import spark.implicits._
     val fp = q("q_fingerprint")

@@ -31,6 +31,33 @@ class AsofPipelineSpec extends AnyFunSuite {
     assert(out.groupBy("event_id").count().filter($"count" > 1).count() == 0)
   }
 
+  test("banded asof: equals tolerance-filtered plain asof on a long-history key") {
+    import spark.implicits._
+    // user 1 has 200 right rows over a long span — the unbounded-history
+    // shape the banded variant exists for. Tolerance 300 = band width.
+    val left = Seq(
+      (1L, 1L, 9999L),  // nearest right (9950) inside tolerance
+      (2L, 1L, 5000L),  // exact band-boundary neighborhood
+      (3L, 1L, 99L),    // match in previous band
+      (4L, 1L, 30000L), // nearest right (9950) OUTSIDE tolerance → no row
+      (5L, 2L, 500L))   // no right rows for this key at all
+      .toDF("event_id", "user_id", "t")
+    val right = (0 until 200).map(i => (1L, i.toLong * 50, i.toLong))
+      .toDF("o_user", "o_t", "o_id")
+    val tol = 300L
+    val banded = AsofJoin.asofBackwardBanded(left, right,
+      "user_id", "o_user", "t", "o_t", "event_id", "o_id", tol)
+      .select($"event_id", $"o_id")
+    val plain = AsofJoin.asofBackward(left, right,
+      "user_id", "o_user", "t", "o_t", "event_id", "o_id")
+      .filter($"o_t" > $"t" - tol)
+      .select($"event_id", $"o_id")
+    assert(banded.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(banded).count() == 0)
+    val got = banded.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 199L, 2L -> 100L, 3L -> 1L))
+  }
+
   test("pipeline: kept docs never exceed canonical count, stats sane") {
     import spark.implicits._
     val out = SparkEntry.queries("q_pipeline")(spark, sfDir)

@@ -42,14 +42,20 @@ class NullEdgeSpec extends AnyFunSuite {
     assert(l.join(r, $"k" === $"k2", "left_anti").count() == 1)
   }
 
-  test("dot product on empty and mismatched arrays") {
-    val df = Seq(
-      (Array.empty[Double], Array.empty[Double]),
-      (Array(1.0, 2.0), Array(3.0))).toDF("a", "b")
-    val out = df.select(functions.VectorFunctions.vecDot($"a", $"b").as("d"))
+  test("dot product on empty arrays is 0; mismatched dimensions error") {
+    val ok = Seq((Array.empty[Double], Array.empty[Double])).toDF("a", "b")
+      .select(functions.VectorFunctions.vecDot($"a", $"b").as("d"))
       .as[Double].collect()
-    assert(out(0) == 0.0) // empty → empty sum
-    assert(out(1) == 3.0) // min-length semantics
+    assert(ok(0) == 0.0) // empty → empty sum
+    // DuckDB's list_dot_product errors on length mismatch; vec_dot must
+    // too, or an upstream dimension bug becomes a silent wrong answer
+    val bad = Seq((Array(1.0, 2.0), Array(3.0))).toDF("a", "b")
+      .select(functions.VectorFunctions.vecDot($"a", $"b").as("d"))
+    val e = intercept[Exception] { bad.collect() }
+    def hasDimMsg(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("dimensions differ")) ||
+        hasDimMsg(t.getCause))
+    assert(hasDimMsg(e))
   }
 
   test("null vector → null dot product (null-intolerant column semantics)") {

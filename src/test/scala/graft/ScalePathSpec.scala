@@ -46,6 +46,31 @@ class ScalePathSpec extends AnyFunSuite {
     assert(a.exceptAll(again).count() == 0 && again.exceptAll(a).count() == 0)
   }
 
+  test("lsh multi-probe: recall never below single-bucket and improves here") {
+    import spark.implicits._
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sfDir)
+      .select("probe_id", "vec_id")
+    val nExact = exact.count()
+    val single = LshKnn.approxTopK(spark, sfDir, 5).select("probe_id", "vec_id")
+    val multi = LshKnn.approxTopKMultiProbe(spark, sfDir, 5, nFlip = 2)
+      .select("probe_id", "vec_id")
+    val rSingle = single.intersect(exact).count().toDouble / nExact
+    val rMulti = multi.intersect(exact).count().toDouble / nExact
+    // candidate supersets can only help: any true neighbor the single
+    // bucket finds is still top-5 when more candidates are scored
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single $rSingle")
+    assert(rMulti > rSingle,
+      s"flipping 2 low-margin bits should find extra neighbors at NumPlanes=4 (single=$rSingle multi=$rMulti)")
+    // structural: each probe fans out to exactly nFlip+1 distinct buckets
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", operators.SimilarityQueries.asDoubles($"embedding").as("vec"))
+      .filter($"vec_id" % 100 === 0)
+    val fanout = emb.select($"vec_id",
+        explode(LshKnn.probeBuckets($"vec", 2)).as("bucket"))
+      .groupBy("vec_id").agg(countDistinct($"bucket").as("nb"))
+    assert(fanout.filter($"nb" =!= 3).count() == 0)
+  }
+
   test("ivf knn: better-or-equal recall than single-bucket lsh, deterministic") {
     import spark.implicits._
     val exact = SparkEntry.queries("q_sim_topk")(spark, sfDir)

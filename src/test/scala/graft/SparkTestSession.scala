@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
 object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[threads, maxFailures]: allow one task retry so the
+      // fault-injection spec can exercise Spark's re-execution path
+      // (plain local[4] fails the job on first task failure).
+      .master("local[4,2]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -105,6 +105,48 @@ class StreamingSmokeSpec extends AnyFunSuite {
     assert(streamed.distinct().count() == streamed.count())
   }
 
+  test("a row later than the watermark is dropped, its window is not re-emitted") {
+    import spark.implicits._
+    // Three files arriving in order: (1) three rows in hour-window W,
+    // (2) one row 3 hours later — advances the watermark far past W's
+    // end, closing and emitting W, (3) one LATE row back inside W,
+    // beyond the 10-minute watermark delay. The reference's correctness
+    // story is "wrong/duplicate data must not reach output": the late
+    // row must neither bump W's emitted count nor re-emit W.
+    val dir = Files.createTempDirectory("late_events_").toString
+    val h0 = 1700000000000000L // micros, on an hour boundary? not needed
+    def write(rows: Seq[(Long, Long)]): Unit = {
+      rows.map { case (id, us) =>
+        (id, new java.sql.Timestamp(us / 1000), 1L, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(30)
+    }
+    // Drive the batches explicitly (AvailableNow may coalesce files into
+    // one batch, and the watermark only advances BETWEEN batches): each
+    // processAllAvailable() is a completed batch, so batch 3 provably
+    // runs with the watermark h0+3h−10min established by batch 2.
+    val q = EventStreams
+      .tumblingCounts(EventStreams.fileSource(spark, dir))
+      .writeStream.format("memory").queryName("late_smoke")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      write(Seq((1L, h0), (2L, h0 + 60L * 1000000), (3L, h0 + 120L * 1000000)))
+      q.processAllAvailable()
+      write(Seq((4L, h0 + 3L * 3600 * 1000000)))
+      q.processAllAvailable()
+      write(Seq((5L, h0 + 180L * 1000000))) // late: far behind the watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_smoke").filter($"event_type" === "click")
+    val firstWindow = out.filter(unix_micros($"window_start") <= h0)
+      .select($"n_events".cast("long")).as[Long].collect()
+    assert(firstWindow.length == 1,
+      s"late row re-opened an emitted window: ${out.collect().mkString(", ")}")
+    assert(firstWindow.head == 3L,
+      s"late row leaked into the closed window count: got ${firstWindow.head}")
+  }
+
   test("vec_dot is callable from SQL via GraftExtensions") {
     import spark.implicits._
     val r = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
