@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-handling building blocks (SURVEY.md §4.1: the reference has
@@ -31,6 +31,31 @@ object ScaleOps {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(keyCol))
       .agg(sum(col("__partial")).as("cnt"))
+
+  /** Persist a DataFrame as a bucketed, bucket-sorted table: rows are
+    * hash-partitioned into `nBuckets` files by `key` at WRITE time, so
+    * any later equi-join or aggregation on `key` between tables
+    * bucketed the same way needs NO exchange — the join that would
+    * shuffle 100 TB every run instead shuffles once, at ingest. This is
+    * the engine's co-located-join story (the reference's fixed
+    * nReduce=10 hash sharding is exactly a 10-bucket layout, but it
+    * never exploits it on the read side).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Shuffle-free equi-join of two same-bucketed tables (see
+    * writeBucketed). The plan must contain no Exchange on either side —
+    * asserted by BucketedJoinSpec.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable)
+      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
 
   /** Skew-safe inner equi-join: the big (skewed) side gets a
     * row-derived salt; the small side is replicated `buckets` times so

@@ -131,6 +131,34 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: purchase→click attribution pairs —
+    * every (purchase, click) of the same user where the click happened
+    * within the hour before the purchase. Both sides carry a watermark
+    * and the join condition bounds click time relative to purchase
+    * time, so Spark evicts join state once the watermark passes the
+    * interval: state is bounded by (watermark delay + interval) × rate,
+    * not by stream length — the streaming twin of the batch
+    * q_join_asof_banded's candidate generation.
+    */
+  def purchaseClickPairs(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      col("p_user_id") === col("c_user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("p_user_id").as("user_id"),
+        col("p_ts"), col("click_id"), col("c_ts"))
+  }
+
   /** Streaming dedup: first event per (user_id, event_type), state
     * bounded by the watermark — the streaming twin of the batch
     * q_dedup_latest family (`dropDuplicatesWithinWatermark` evicts seen

@@ -105,6 +105,27 @@ class StreamingSmokeSpec extends AnyFunSuite {
     assert(streamed.distinct().count() == streamed.count())
   }
 
+  test("stream-stream interval join emits exactly the batch attribution pairs") {
+    import spark.implicits._
+    EventStreams.runToMemory(
+      EventStreams.purchaseClickPairs(EventStreams.fileSource(spark, inputDir)),
+      "pairs_smoke", OutputMode.Append())
+    val streamed = spark.table("pairs_smoke").select("purchase_id", "click_id")
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("pu"), $"ts".as("p_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("cu"), $"ts".as("c_ts"))
+    val batch = p.join(c,
+      $"pu" === $"cu" && $"c_ts" <= $"p_ts" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "click_id")
+    assert(batch.count() > 0, "fixture lost its in-interval pairs")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "stream-stream join diverged from the batch interval join")
+  }
+
   test("a row later than the watermark is dropped, its window is not re-emitted") {
     import spark.implicits._
     // Three files arriving in order: (1) three rows in hour-window W,
