@@ -24,6 +24,7 @@ object SparkEntry {
     "q_filter"          -> (CoreQueries.qFilter _),
     "q_wordcount"       -> (CoreQueries.qWordcount _),
     "q_inverted_index"  -> (CoreQueries.qInvertedIndex _),
+    "q_inverted_index_capped" -> (CoreQueries.qInvertedIndexCapped _),
     "q_join_inner"      -> (JoinQueries.qJoinInner _),
     "q_join_broadcast"  -> (JoinQueries.qJoinBroadcast _),
     "q_join_left"       -> (JoinQueries.qJoinLeft _),
@@ -99,6 +100,16 @@ object SparkEntry {
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
         |  FROM documents) t
         |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+    "q_inverted_index_capped" ->
+      """SELECT word, count(DISTINCT doc_id) AS n_docs,
+        |       string_agg(DISTINCT CAST(doc_id AS VARCHAR), ','
+        |                  ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+        |FROM (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |  FROM documents) t
+        |WHERE word <> '' GROUP BY word
+        |HAVING count(DISTINCT doc_id) <= 1000
+        |ORDER BY word""".stripMargin,
     "q_join_inner" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue

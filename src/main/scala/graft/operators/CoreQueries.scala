@@ -86,4 +86,42 @@ object CoreQueries {
         countDistinct(col("doc_id")).as("n_docs"),
         array_join(sort_array(collect_set(col("doc_id").cast("string"))), ",").as("doc_ids"))
       .orderBy("word")
+
+  /** Words appearing in more documents than this keep no posting list
+    * in the capped index. Far above any df in the test corpora, so the
+    * capped query matches the uncapped one there.
+    */
+  val IndexDfCap = 1000
+
+  /** The inverted index in its 100 TB form. qInvertedIndex's
+    * `collect_set` of every doc per word is the reference indexer's
+    * exact contract, but unbounded on stop words — at corpus scale
+    * "the"'s posting list IS the corpus, on one reducer. Here the
+    * (doc_id, word) pairs dedupe first, then a df pre-count (partial-
+    * aggregated, so a hot word costs one long per partition) drops
+    * ultra-common words BEFORE any posting list accumulates — the same
+    * move search engines make (stop-word elision) and the same shape as
+    * qNgramJaccard's shingle cap. One explicit exchange on `word`
+    * serves the df count, the cap join and the final collect
+    * (ReuseExchange).
+    */
+  def invertedIndexCapped(docs: DataFrame, dfCap: Int): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+      .repartition(col("word"))
+    val keep = pairs.groupBy("word").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("word")
+    pairs.join(keep, "word")
+      .groupBy("word")
+      .agg(
+        count(col("doc_id")).as("n_docs"),
+        array_join(sort_array(collect_set(col("doc_id").cast("string"))), ",").as("doc_ids"))
+      .orderBy("word")
+  }
+
+  def qInvertedIndexCapped(spark: SparkSession, sfDir: String): DataFrame =
+    invertedIndexCapped(Tables.documents(spark, sfDir), IndexDfCap)
 }

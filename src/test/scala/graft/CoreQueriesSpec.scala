@@ -49,6 +49,22 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("capped inverted index: drops hot words, equals uncapped below cap") {
+    import spark.implicits._
+    // cap above any real df → identical to the reference-faithful index
+    val uncapped = SparkEntry.queries("q_inverted_index")(spark, sfDir)
+    val capped = SparkEntry.queries("q_inverted_index_capped")(spark, sfDir)
+    assert(capped.exceptAll(uncapped).count() == 0 &&
+      uncapped.exceptAll(capped).count() == 0)
+    // a word in more docs than the cap keeps no posting list (letters
+    // only: the [^a-z]+ tokenizer splits on digits)
+    val docs = (1L to 6L)
+      .map(i => (i, s"common uniq${('a' + i).toChar}")).toDF("doc_id", "text")
+    val out = operators.CoreQueries.invertedIndexCapped(docs, 5)
+      .select($"word").as[String].collect().toSet
+    assert(out == (1 to 6).map(i => s"uniq${('a' + i).toChar}").toSet, s"got $out")
+  }
+
   test("q_scan_project: deterministic limit — stable across runs") {
     val a = SparkEntry.queries("q_scan_project")(spark, sfDir).collect()
     val b = SparkEntry.queries("q_scan_project")(spark, sfDir).collect()
