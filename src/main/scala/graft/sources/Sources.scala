@@ -60,6 +60,15 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** ORC — the second columnar format next to parquet, same pushdown /
+    * pruning behavior through the datasource API.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** The reference's output format: one `"<key> <value>"` line per
     * group (`mr/worker.go:207`), sharded into `numShards` files by key
     * hash — the analogue of its fixed nReduce=10 output partitioning.

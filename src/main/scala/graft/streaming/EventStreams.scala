@@ -182,4 +182,25 @@ object EventStreams {
       .start()
     q.awaitTermination()
   }
+
+  /** Run a streaming DataFrame to a parquet sink with a durable
+    * checkpoint, consuming all currently-available input, then stop.
+    * Calling this again with the same checkpoint resumes EXACTLY where
+    * the last run committed: the file-sink log plus the source offsets
+    * in the checkpoint give end-to-end exactly-once across restarts —
+    * the reference's crash/jobcount guarantee (re-executed work must
+    * not duplicate output), but across whole process lifetimes, not
+    * just task retries. Exercised by StreamingRestartSpec.
+    */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String,
+      mode: OutputMode = OutputMode.Append()): Unit = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -60,6 +60,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
   }
 
+  test("ORC round-trips with schema and pushes filters like parquet") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("orc_").toString
+    val df = Tables.lineitem(spark, SparkTestSession.sfDir)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    Sources.writeOrc(df, dir)
+    val back = Sources.readOrc(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.count() == df.count())
+    val filtered = back.filter($"l_quantity" > 25)
+    assert(filtered.count() == df.filter($"l_quantity" > 25).count())
+    // the predicate reaches the ORC reader, not a post-scan filter only
+    val explained = filtered.queryExecution.executedPlan.toString
+    assert(explained.contains("PushedFilters") &&
+      explained.contains("l_quantity"), explained)
+  }
+
   test("KV text sink: sharded, sorted-within-shard 'key value' lines") {
     import spark.implicits._
     val dir = Files.createTempDirectory("kvtext_").toString
