@@ -99,6 +99,29 @@ object Multimodal {
     }
   }
 
+  /** Composed multimodal near-dup pipeline: decode (batched, narrow) →
+    * feature vector → random-hyperplane LSH bucket → candidate groups
+    * per (kind, bucket). One declarative plan end-to-end: the only
+    * shuffle is the final groupBy on (kind, bucket) carrying one row
+    * per media item, and media in different buckets never meet — the
+    * same pair-space pruning the text near-dup family uses, over a
+    * binary modality. Swap StubDecoder for a real codec and this IS
+    * image/audio near-dedup at 100 TB.
+    */
+  def nearDupMedia(
+      ds: Dataset[MediaRecord],
+      decoder: MediaDecoder = StubDecoder): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    extractFeatures(ds, decoder).toDF()
+      .withColumn("vec", transform(col("features"), _.cast("double")))
+      .withColumn("bucket",
+        graft.operators.LshKnn.bucket(col("vec"), decoder.featureDim))
+      .groupBy(col("kind"), col("bucket"))
+      .agg(min(col("media_id")).as("canonical_media_id"),
+        count(lit(1)).as("group_size"))
+      .orderBy(asc_nulls_first("kind"), asc_nulls_first("bucket"))
+  }
+
   /** Frame sampling: every `everyN`-th fixed-size chunk of the payload
     * (a real video decoder would seek keyframes; the chunking shape and
     * fan-out are identical). One input row → 0..n frame rows.

@@ -25,21 +25,31 @@ object LshKnn {
   val NumPlanes = 4
   val Dim = 64
 
-  /** Fixed hyperplanes (seed 42), materialized as literal arrays in the
-    * plan — effectively broadcast constants.
+  /** Fixed hyperplanes (seed 42) per dimensionality, materialized as
+    * literal arrays in the plan — effectively broadcast constants. The
+    * same seed always yields the same planes, so bucketing is
+    * deterministic per (dim, plane index).
     */
-  private lazy val planes: Seq[Array[Double]] = {
-    val rng = new scala.util.Random(42)
-    Seq.fill(NumPlanes)(Array.fill(Dim)(rng.nextGaussian()))
-  }
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Seq[Array[Double]]]
+
+  private def planesFor(dim: Int): Seq[Array[Double]] =
+    planeCache.getOrElseUpdate(dim, {
+      val rng = new scala.util.Random(42)
+      Seq.fill(NumPlanes)(Array.fill(dim)(rng.nextGaussian()))
+    })
+
+  private def planes: Seq[Array[Double]] = planesFor(Dim)
 
   private def planeCol(p: Array[Double]): Column =
     array(p.map(lit(_)).toIndexedSeq: _*)
 
-  /** Sign-bit bucket id of a double-array vector column. */
-  def bucket(vec: Column): Column =
+  /** Sign-bit bucket id of a double-array vector column of `dim`
+    * elements (defaults to the embeddings table's 64).
+    */
+  def bucket(vec: Column, dim: Int = Dim): Column =
     (0 until NumPlanes).map { i =>
-      when(dot(vec, planeCol(planes(i))) > 0, lit(1 << i)).otherwise(lit(0))
+      when(dot(vec, planeCol(planesFor(dim)(i))) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** Multi-probe candidate buckets: the vector's own bucket plus, for

@@ -97,6 +97,17 @@ class ScalePathSpec extends AnyFunSuite {
     assert(f1.values.forall(_.size == Multimodal.StubDecoder.featureDim))
   }
 
+  test("multimodal: composed near-dup pipeline is deterministic and covers all media") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, 300, partitions = 4)
+    val groups = Multimodal.nearDupMedia(media)
+    assert(groups.agg(sum($"group_size")).as[Long].head() == 300,
+      "every media item must land in exactly one (kind, bucket) group")
+    assert(groups.select("kind").distinct().count() == 3)
+    val again = Multimodal.nearDupMedia(Multimodal.syntheticMedia(spark, 300, 4))
+    assert(groups.exceptAll(again).count() == 0 && again.exceptAll(groups).count() == 0)
+  }
+
   test("multimodal: frame sampling fans out deterministically") {
     val media = Multimodal.syntheticMedia(spark, 50, partitions = 2)
     val frames = Multimodal.frameSample(media, frameBytes = 32, everyN = 2)
