@@ -39,6 +39,47 @@ object AsofJoin {
       .drop("__rn")
   }
 
+  /** Backward as-of by union-merge — the no-fan-out form. Instead of
+    * join-then-prune (|left| × per-key right history intermediate
+    * rows), both sides union into one stream tagged by side, one
+    * window per key sorts by (time, side, tie-break) and a running
+    * `last(…, ignoreNulls)` carries the most recent right row forward
+    * onto each left row. Cost: ONE shuffle on the key and one sort of
+    * |left| + |right| rows — the intermediate never exceeds the input,
+    * whatever the history length. Right rows sort before left rows at
+    * equal times (inclusive rightTime <= leftTime), and ascending
+    * tie-break makes the LAST same-time right row the winner, matching
+    * asofBackward's (rightTime DESC, tieBreak DESC) row_number()=1.
+    *
+    * Returns left keys/id/time plus the matched right time and
+    * tie-break column; inner semantics (unmatched left rows drop).
+    */
+  def asofBackwardUnion(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      leftId: String, rightTieBreak: String): DataFrame = {
+    val l = left.select(
+      col(leftKey).as("__key"), col(leftTime).as("__time"),
+      lit(1).as("__side"), col(leftId).as("__left_id"),
+      lit(null).cast(right.schema(rightTieBreak).dataType).as("__r_tie"),
+      lit(null).cast(right.schema(rightTime).dataType).as("__r_time"))
+    val r = right.select(
+      col(rightKey).as("__key"), col(rightTime).as("__time"),
+      lit(0).as("__side"), lit(null).cast(left.schema(leftId).dataType).as("__left_id"),
+      col(rightTieBreak).as("__r_tie"), col(rightTime).as("__r_time"))
+    val w = Window.partitionBy("__key")
+      .orderBy(col("__time").asc, col("__side").asc, col("__r_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__m_tie", last(col("__r_tie"), ignoreNulls = true).over(w))
+      .withColumn("__m_time", last(col("__r_time"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__m_tie").isNotNull)
+      .select(col("__key").as(leftKey), col("__left_id").as(leftId),
+        col("__time").as(leftTime),
+        col("__m_tie").as(rightTieBreak), col("__m_time").as(rightTime))
+  }
+
   /** Backward as-of with a bounded lookback: only right rows with
     * leftTime − tolerance < rightTime <= leftTime can match. This is the
     * unbounded-history mitigation the plain variant's doc describes —

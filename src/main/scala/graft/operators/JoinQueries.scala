@@ -111,14 +111,6 @@ object JoinQueries {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(asc_nulls_first("nationkey"))
 
-  /** As-of join: for each event, the latest order of the same user with
-    * o_orderdate <= ts. Spark has no native ASOF, so: inner join on the
-    * user key with the inequality as residual, then keep row_number()=1
-    * per event ordered by (o_orderdate DESC, o_orderkey DESC). At 100 TB
-    * the per-user order history is bounded, so the join fan-out stays
-    * proportional; the window is partitioned by event_id (no global sort).
-    * Ref: the reference has no joins at all — this is north-star surface.
-    */
   /** Purchase attribution via the banded as-of operator
     * (AsofJoin.asofBackwardBanded): each purchase joins the same
     * user's most recent click within the preceding hour. The tolerance
@@ -146,16 +138,36 @@ object JoinQueries {
       .orderBy(asc_nulls_first("event_id"))
   }
 
+  /** As-of join: for each event, the latest order of the same user with
+    * o_orderdate <= ts. Spark has no native ASOF; this is the
+    * union-merge form (AsofJoin.asofBackwardUnion): both sides tagged
+    * and unioned, one window per user carries the running most-recent
+    * order onto each event — ONE shuffle on user_id and an
+    * intermediate that never exceeds |events| + |orders|, versus the
+    * join-then-prune form whose fan-out is |events| × per-user order
+    * history. Times union as unix micros (date → midnight UTC, the
+    * same coercion SQL's date <= timestamp comparison applies) and
+    * round-trip exactly.
+    * Ref: the reference has no joins at all — this is north-star surface.
+    */
   def qJoinAsof(spark: SparkSession, sfDir: String): DataFrame = {
-    val joined = Tables.events(spark, sfDir)
-      .join(Tables.orders(spark, sfDir),
-        col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-    val w = Window.partitionBy("event_id")
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    joined
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        // parquet stores o_orderdate as TIMESTAMP_NTZ; the UTC-session
+        // cast is wall-clock-preserving, so od_us is the exact instant
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+    AsofJoin.asofBackwardUnion(ev, ord,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts_us", rightTime = "od_us",
+      leftId = "event_id", rightTieBreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("ts"),
+        col("o_orderkey"),
+        // back to TIMESTAMP_NTZ — the type the parquet column has, so
+        // the output schema is identical to the join-form's
+        timestamp_micros(col("od_us")).cast("timestamp_ntz").as("o_orderdate"))
       .orderBy(asc_nulls_first("event_id"))
   }
 }
