@@ -67,5 +67,11 @@ class MapReduceCompatSpec extends AnyFunSuite {
     assert(parts.length == 10) // nReduce shards, like mr-out-0..9
     val lines = spark.read.text(outDir).count()
     assert(lines > 10000)
+    // early_exit (mrapps/early_exit.go): when run() returns, the output
+    // is fully committed — no in-flight temporary state, success marker
+    // present. A reader starting at this instant sees complete output.
+    val names = new java.io.File(outDir).listFiles().map(_.getName).toSet
+    assert(!names.contains("_temporary"), "uncommitted output remains")
+    assert(names.contains("_SUCCESS"), "commit marker missing")
   }
 }

@@ -32,6 +32,26 @@ class ParallelismSpec extends AnyFunSuite {
     case other => other.children.flatMap(scanStats)
   }
 
+  test("rtiming: the reduce side of a shuffle runs with >1 partition") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val prevCoalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    // AQE legitimately coalesces tiny test shuffles to 1 — disable it so
+    // the assertion sees the configured reduce parallelism, which is
+    // what a real data volume would get
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val reduced = Tables.documents(spark, sfDir)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").count()
+      assert(reduced.rdd.getNumPartitions > 1,
+        "reduce stage ran on a single partition")
+    } finally {
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
   test("mtiming: every oracle query scans non-trivial inputs with >1 task") {
     val conf = spark.conf
     val prevMax = conf.get("spark.sql.files.maxPartitionBytes")
