@@ -36,6 +36,8 @@ object SparkEntry {
     "q_agg_hash"        -> (AggQueries.qAggHash _),
     "q_agg_distinct"    -> (AggQueries.qAggDistinct _),
     "q_agg_rollup"      -> (AggQueries.qAggRollup _),
+    "q_pivot"           -> (AggQueries.qPivot _),
+    "q_unpivot"         -> (AggQueries.qUnpivot _),
     "q_agg_cube"        -> (AggQueries.qAggCube _),
     "q_topk"            -> (AggQueries.qTopk _),
     "q_set_union"       -> (AggQueries.qSetUnion _),
@@ -185,6 +187,27 @@ object SparkEntry {
         |  count(*) AS n_customers
         |FROM customer GROUP BY c_mktsegment
         |ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click')    AS click,
+        |  count(*) FILTER (WHERE event_type = 'error')    AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view')     AS view
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
+    "q_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+        |      AS sum_qty,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+        |      AS sum_base_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_base_price' AS metric, sum_base_price AS value FROM a
+        |ORDER BY l_returnflag NULLS FIRST, metric NULLS FIRST""".stripMargin,
     "q_agg_rollup" ->
       """SELECT r_name, n_name, CAST(GROUPING(r_name, n_name) AS INT) AS gid,
         |  count(*) AS n_orders,

@@ -47,6 +47,35 @@ object AggQueries {
         count(lit(1)).as("count_order"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** Pivot: per-user event counts spread across one column per
+    * event_type. The pivot values are given explicitly, so Spark skips
+    * the extra distinct-values job and the output schema is static —
+    * the form to use at scale (an unbounded pivot column is a schema
+    * explosion, not a query). Absent (user, type) combos count 0.
+    */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(asc_nulls_first("user_id"))
+
+  /** Unpivot (melt): wide per-flag sums back to long (flag, metric,
+    * value) rows — the inverse reshaping operator, constant fan-out 2×.
+    */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))).cast("double") / 100.0).as("sum_base_price"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_base_price")),
+        "metric", "value")
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("metric"))
+
   /** Distinct aggregation: nations represented per market segment.
     * countDistinct expands to a two-phase plan (distinct shuffle on
     * (segment, nationkey) then final agg) — no driver-side set.

