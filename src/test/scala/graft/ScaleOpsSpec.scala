@@ -42,6 +42,33 @@ class ScaleOpsSpec extends AnyFunSuite {
       Tables.orders(spark, sfDir).filter(year($"o_orderdate") === 1997).count())
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("dpp_").toString
+    Tables.events(spark, sfDir)
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a real datasource with a surviving, LIKELY-
+    // SELECTIVE filter: an inline LocalRelation constant-folds the
+    // predicate away, and a bare boolean attribute does not count as
+    // selective (nor does `=== true`, which BooleanSimplification
+    // reduces to the bare attribute) — an EqualTo on an int does
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp_dim_").toString
+    Seq(("purchase", 1), ("click", 0), ("view", 0),
+      ("error", 0), ("signup", 0)).toDF("etype", "flag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"flag" === 1)
+    // the fact-side partition filter is only known at RUNTIME (it comes
+    // out of the filtered dim) — DPP turns it into a pruning subquery
+    // on the scan instead of reading all partitions
+    val joined = fact.join(dim, $"event_type" === $"etype")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "expected a dynamic pruning predicate on the partitioned scan:\n" +
+        plan.take(1500))
+    assert(joined.count() ==
+      Tables.events(spark, sfDir).filter($"event_type" === "purchase").count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val warehouse = java.nio.file.Files.createTempDirectory("wh_").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
