@@ -57,6 +57,8 @@ object SparkEntry {
     "q_session_window"  -> (EventQueries.qSessionWindow _),
     "q_dedup_latest"    -> (EventQueries.qDedupLatest _),
     "q_dedup_exact"     -> (TextQueries.qDedupExact _),
+    "q_sample_hash"     -> (TextQueries.qSampleHash _),
+    "q_chunk"           -> (TextQueries.qChunk _),
     "q_dedup_near"      -> (TextQueries.qDedupNear _),
     "q_text_stats"      -> (TextQueries.qTextStats _),
     "q_pipeline"        -> (TextQueries.qPipeline _),
@@ -363,6 +365,26 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rn = 1
         |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT lang, count(*) AS n_sampled,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM documents
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 10
+        |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+    "q_chunk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '')) AS t,
+        |    generate_subscripts(
+        |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                  x -> x <> ''), 1) - 1 AS pos
+        |  FROM documents)
+        |SELECT doc_id, CAST(floor(pos / 32.0) AS BIGINT) AS chunk_id,
+        |  count(*) AS n_tokens,
+        |  string_agg(t, ' ' ORDER BY pos) AS chunk_text
+        |FROM tok GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_dups
         |FROM documents GROUP BY text

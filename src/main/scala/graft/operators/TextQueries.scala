@@ -59,6 +59,48 @@ object TextQueries {
       .select("canonical_doc_id", "group_size")
       .orderBy(asc_nulls_first("canonical_doc_id"))
 
+  /** Deterministic hash sampling: keep documents whose md5(doc_id)
+    * falls in the first `pct` of 100 hash buckets. Seed-free,
+    * partition-layout-free and stable across engines and re-runs — the
+    * sampling a training pipeline wants (rand()-based sampling changes
+    * under retry/repartition; reservoir sampling needs a pass through
+    * the driver). Emits per-lang sample counts so the oracle check is
+    * aggregate-exact.
+    */
+  def qSampleHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    Tables.documents(spark, sfDir)
+      .filter(bucket < 10)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
+  /** Fixed-size document chunking: split each document into
+    * consecutive 32-token chunks (the shape LLM pre-tokenization
+    * pipelines feed to packing). Chunk text reassembles in token order
+    * via a sorted struct collect — deterministic under any
+    * partitioning. The explode is a narrow fan-out; the only shuffle
+    * groups (doc_id, chunk_id), whose row count is bounded by token
+    * count / 32.
+    */
+  def qChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunkSize = 32
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("chunk_id", (col("pos") / chunkSize).cast("long"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("t")))),
+            s => s.getField("t")), " ").as("chunk_text"))
+      .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("chunk_id"))
+  }
+
   /** Per-language corpus stats: doc count, exact char sum, 6-dp average
     * chars/tokens (exact integer sums divided in double), and the
     * per-language distinct vocabulary size. Doc-level and token-level

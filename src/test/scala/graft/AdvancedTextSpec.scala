@@ -75,6 +75,39 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(fps.size == 2)
   }
 
+  test("chunking: token totals conserved, chunk text reassembles in order") {
+    import spark.implicits._
+    val chunks = q("q_chunk")
+    val totalTokens = Tables.documents(spark, sfDir)
+      .select(explode(operators.TextQueries.tokens($"text")).as("t")).count()
+    assert(chunks.agg(sum($"n_tokens")).as[Long].head() == totalTokens)
+    // every chunk except a doc's last has exactly 32 tokens
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val bad = chunks
+      .withColumn("last", $"chunk_id" === max($"chunk_id").over(w))
+      .filter(!$"last" && $"n_tokens" =!= 32).count()
+    assert(bad == 0)
+    // reassembled text matches the tokenized document
+    val rebuilt = chunks
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(sort_array(collect_list(struct($"chunk_id", $"chunk_text"))),
+          s => s.getField("chunk_text")), " ").as("rebuilt"))
+    val original = Tables.documents(spark, sfDir)
+      .select($"doc_id", concat_ws(" ", operators.TextQueries.tokens($"text")).as("orig"))
+    assert(rebuilt.join(original, "doc_id")
+      .filter($"rebuilt" =!= $"orig").count() == 0)
+  }
+
+  test("hash sampling: deterministic and ~10% of the corpus") {
+    import spark.implicits._
+    val s = q("q_sample_hash")
+    val n = s.agg(sum($"n_sampled")).as[Long].head()
+    assert(n > 0 && n < nDocs / 4, s"sample size $n of $nDocs looks wrong")
+    val again = q("q_sample_hash")
+    assert(s.exceptAll(again).count() == 0 && again.exceptAll(s).count() == 0)
+  }
+
   test("quality: ratios in [0,1], score bounded") {
     import spark.implicits._
     val bad = q("q_text_quality").filter(
