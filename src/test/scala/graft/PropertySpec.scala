@@ -81,6 +81,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("as-of: union-merge form equals join-then-prune form on random histories") {
+    import graft.operators.AsofJoin
+    // random (key, time) left rows and right rows with duplicate times
+    // to exercise the tie-break; keys overlap only partially
+    val row = Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 100L))
+    val gen = Gen.zip(Gen.nonEmptyListOf(row), Gen.nonEmptyListOf(row))
+    forAllSamples(gen, 8) { case (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }.toDF("lk", "lt", "lid")
+      val right = rs.zipWithIndex
+        .map { case ((k, t), i) => (k + 2, t, i.toLong) }.toDF("rk", "rt", "rid")
+      val viaJoin = AsofJoin.asofBackward(left, right,
+          "lk", "rk", "lt", "rt", "lid", "rid")
+        .select($"lid", $"rid", $"rt").as[(Long, Long, Long)].collect().toSet
+      val viaUnion = AsofJoin.asofBackwardUnion(left, right,
+          "lk", "rk", "lt", "rt", "lid", "rid")
+        .select($"lid", $"rid", $"rt").as[(Long, Long, Long)].collect().toSet
+      assert(viaUnion == viaJoin)
+    }
+  }
+
   test("session windows: total session count between 1 and n for any gap layout") {
     val gaps = Gen.nonEmptyListOf(Gen.chooseNum(1L, 7200L)) // seconds between events
     forAllSamples(gaps) { deltas =>
