@@ -58,6 +58,7 @@ object SparkEntry {
     "q_dedup_latest"    -> (EventQueries.qDedupLatest _),
     "q_dedup_exact"     -> (TextQueries.qDedupExact _),
     "q_sample_hash"     -> (TextQueries.qSampleHash _),
+    "q_decontaminate"   -> (TextQueries.qDecontaminate _),
     "q_chunk"           -> (TextQueries.qChunk _),
     "q_dedup_near"      -> (TextQueries.qDedupNear _),
     "q_text_stats"      -> (TextQueries.qTextStats _),
@@ -365,6 +366,30 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rn = 1
         |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+    "q_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '')) AS t,
+        |    generate_subscripts(
+        |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                  x -> x <> ''), 1) - 1 AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS sh
+        |    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+        |  WHERE sh IS NOT NULL),
+        |probes AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT s.doc_id FROM sh s JOIN probes p USING (sh)
+        |  WHERE s.doc_id % 97 <> 0)
+        |SELECT lang, count(*) AS clean_docs
+        |FROM documents d
+        |WHERE d.doc_id % 97 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+        |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
     "q_sample_hash" ->
       """SELECT lang, count(*) AS n_sampled,
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id

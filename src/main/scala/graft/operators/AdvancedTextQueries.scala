@@ -75,7 +75,7 @@ object AdvancedTextQueries {
     * row inside the generator, lead() is one pass over the doc-partition
     * sort the self-join needs anyway.
     */
-  private def shingleRows(docs: DataFrame): DataFrame = {
+  private[operators] def shingleRows(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))

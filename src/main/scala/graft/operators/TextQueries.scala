@@ -101,6 +101,45 @@ object TextQueries {
       .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("chunk_id"))
   }
 
+  /** Benchmark decontamination: drop training documents sharing ANY
+    * token-trigram with the held-out probe set (doc_id % 97 = 0 stands
+    * in for a benchmark), then count surviving docs per language. The
+    * probe shingle set is small by construction (benchmarks are), so
+    * it broadcasts: the corpus-side shingle stream is filtered by a
+    * broadcast semi-join and NEVER shuffles — at 100 TB the only
+    * exchange is the final per-lang count.
+    */
+  def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = AdvancedTextQueries.shingleRows(docs)
+    val probeSh = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
+    val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(probeSh), Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("clean_docs"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
+  /** Redact PII-shaped spans: email addresses, long digit runs (7+,
+    * phone/account numbers) and 4-part dotted numbers (IPv4-shaped),
+    * each replaced by a typed tag. Lookahead-free patterns evaluate
+    * identically under Java regex and RE2. Pure projection — codegen'd,
+    * no shuffle, safe at any scale.
+    */
+  def redactPii(text: Column): Column = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val digits = "\\+?[0-9][0-9 ()+._-]{5,}[0-9]"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ip, "<IP>"),
+      digits, "<NUMBER>")
+  }
+
   /** Per-language corpus stats: doc count, exact char sum, 6-dp average
     * chars/tokens (exact integer sums divided in double), and the
     * per-language distinct vocabulary size. Doc-level and token-level

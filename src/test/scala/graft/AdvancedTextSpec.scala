@@ -99,6 +99,40 @@ class AdvancedTextSpec extends AnyFunSuite {
       .filter($"rebuilt" =!= $"orig").count() == 0)
   }
 
+  test("decontamination: probes excluded, exact copies of probes dropped") {
+    import spark.implicits._
+    val clean = q("q_decontaminate").agg(sum($"clean_docs")).as[Long].head()
+    val nonProbes = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 97 =!= 0).count()
+    assert(clean > 0 && clean < nonProbes,
+      s"decontamination should drop some but not all of $nonProbes docs (kept $clean)")
+    // any non-probe doc with text identical to a probe doc must be dropped
+    val probeTexts = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 97 === 0).select("text").distinct()
+    val copies = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 97 =!= 0)
+      .join(probeTexts, Seq("text"), "left_semi").count()
+    val expectedClean = nonProbes - copies
+    assert(clean <= expectedClean,
+      "an exact probe copy survived decontamination")
+  }
+
+  test("pii redaction: plants scrubbed, clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk today"),
+      (2L, "server at 192.168.001.1 responded"),
+      (3L, "call +1 (555) 123-4567 or 5551234567 now"),
+      (4L, "plain words only here")).toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+      operators.TextQueries.redactPii($"text").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "contact me at <EMAIL> today")
+    assert(out(2L) == "server at <IP> responded")
+    assert(out(3L) == "call <NUMBER> or <NUMBER> now")
+    assert(out(4L) == "plain words only here")
+  }
+
   test("hash sampling: deterministic and ~10% of the corpus") {
     import spark.implicits._
     val s = q("q_sample_hash")
