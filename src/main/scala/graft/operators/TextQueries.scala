@@ -140,6 +140,33 @@ object TextQueries {
       digits, "<NUMBER>")
   }
 
+  /** Overlapping chunking: `size`-token windows starting every
+    * `stride` tokens (stride < size ⇒ consecutive chunks share
+    * size − stride tokens — the context-overlap shape LLM tokenizer
+    * pipelines use). A token at position p belongs to chunks c with
+    * c·stride ≤ p < c·stride + size, a bounded ≤ ⌈size/stride⌉ fan-out
+    * per token; the only shuffle groups (doc_id, chunk_id).
+    */
+  def chunkTokensStrided(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("c_lo",
+        greatest(lit(0L),
+          ceil((col("pos") - size + 1).cast("double") / stride).cast("long")))
+      .withColumn("c_hi", (col("pos") / stride).cast("long"))
+      .select(col("doc_id"), col("pos"), col("t"),
+        explode(sequence(col("c_lo"), col("c_hi"))).as("chunk_id"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("t")))),
+            s => s.getField("t")), " ").as("chunk_text"))
+      .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("chunk_id"))
+  }
+
   /** Per-language corpus stats: doc count, exact char sum, 6-dp average
     * chars/tokens (exact integer sums divided in double), and the
     * per-language distinct vocabulary size. Doc-level and token-level

@@ -99,6 +99,27 @@ class AdvancedTextSpec extends AnyFunSuite {
       .filter($"rebuilt" =!= $"orig").count() == 0)
   }
 
+  test("strided chunking: overlap sizes exact on a planted doc, stride=size = disjoint") {
+    import spark.implicits._
+    // 10 tokens, size 4, stride 2 → chunks at 0,2,4,6,8 with sizes 4,4,4,4,2
+    val doc = Seq((1L, (0 until 10).map(i => s"t${('a' + i).toChar}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = operators.TextQueries.chunkTokensStrided(doc, 4, 2)
+      .select($"chunk_id", $"n_tokens", $"chunk_text")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(out.map(_._2).toSeq == Seq(4L, 4L, 4L, 4L, 2L))
+    assert(out.head._3 == "ta tb tc td" && out(1)._3 == "tc td te tf")
+    // consecutive chunks overlap by size - stride tokens
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._3.split(" ").takeRight(2).sameElements(b._3.split(" ").take(2))
+    })
+    // stride == size degenerates to the disjoint q_chunk shape
+    val disjoint = operators.TextQueries.chunkTokensStrided(doc, 4, 4)
+      .agg(sum($"n_tokens")).as[Long].head()
+    assert(disjoint == 10L)
+  }
+
   test("decontamination: probes excluded, exact copies of probes dropped") {
     import spark.implicits._
     val clean = q("q_decontaminate").agg(sum($"clean_docs")).as[Long].head()
