@@ -71,6 +71,7 @@ object SparkEntry {
     "q_dedup_embed"     -> (SimilarityQueries.qDedupEmbed _),
     "q_dedup_minhash"   -> (AdvancedTextQueries.qDedupMinhash _),
     "q_dedup_simhash"   -> (AdvancedTextQueries.qDedupSimhash _),
+    "q_dedup_hamming"   -> (AdvancedTextQueries.qDedupHamming _),
     "q_ngram_jaccard"   -> (AdvancedTextQueries.qNgramJaccard _),
     "q_fingerprint"     -> (AdvancedTextQueries.qFingerprint _),
     "q_text_quality"    -> (AdvancedTextQueries.qTextQuality _),
@@ -79,7 +80,41 @@ object SparkEntry {
     "udaf_demo"         -> (CoreQueries.udafDemo _),
   )
 
+  /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
+    * table `sig(doc_id, simhash)` — used by both simhash oracles.
+    */
+  private val SimhashSigCte: String = {
+    val bitSums = (0 until 16).map(j =>
+      s"    sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n")
+    val bitVals = (0 until 16).map(j =>
+      s"    (CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" +\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::BIGINT AS h FROM (
+       |    SELECT doc_id, unnest(list_filter(
+       |      string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t
+       |    FROM documents) u
+       |), bits AS (
+       |  SELECT doc_id,
+       |$bitSums
+       |  FROM tok GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, CAST(
+       |$bitVals AS BIGINT) AS simhash
+       |  FROM bits)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_simhash" -> (SimhashSigCte + "\n" +
+      """SELECT simhash, min(doc_id) AS canonical_doc_id, count(*) AS group_size
+        |FROM sig GROUP BY simhash
+        |ORDER BY canonical_doc_id NULLS FIRST""".stripMargin),
+    "q_dedup_hamming" -> (SimhashSigCte + "\n" +
+      """SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        |ORDER BY doc_id_1 NULLS FIRST, doc_id_2 NULLS FIRST""".stripMargin),
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
@@ -554,53 +589,6 @@ object SparkEntry {
         |        FROM documents) d)
         |SELECT min(doc_id) AS canonical_doc_id, count(*) AS group_size
         |FROM sigs GROUP BY signature
-        |ORDER BY canonical_doc_id NULLS FIRST""".stripMargin,
-    "q_dedup_simhash" ->
-      """WITH tok AS (
-        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::BIGINT AS h FROM (
-        |    SELECT doc_id, unnest(list_filter(
-        |      string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t
-        |    FROM documents) u
-        |), bits AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0,
-        |    sum(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1,
-        |    sum(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2,
-        |    sum(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3,
-        |    sum(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4,
-        |    sum(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5,
-        |    sum(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6,
-        |    sum(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7,
-        |    sum(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8,
-        |    sum(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9,
-        |    sum(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10,
-        |    sum(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11,
-        |    sum(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12,
-        |    sum(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13,
-        |    sum(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14,
-        |    sum(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15
-        |  FROM tok GROUP BY doc_id
-        |), sig AS (
-        |  SELECT doc_id, CAST(
-        |    (CASE WHEN b0 > 0 THEN 1 ELSE 0 END) +
-        |    (CASE WHEN b1 > 0 THEN 2 ELSE 0 END) +
-        |    (CASE WHEN b2 > 0 THEN 4 ELSE 0 END) +
-        |    (CASE WHEN b3 > 0 THEN 8 ELSE 0 END) +
-        |    (CASE WHEN b4 > 0 THEN 16 ELSE 0 END) +
-        |    (CASE WHEN b5 > 0 THEN 32 ELSE 0 END) +
-        |    (CASE WHEN b6 > 0 THEN 64 ELSE 0 END) +
-        |    (CASE WHEN b7 > 0 THEN 128 ELSE 0 END) +
-        |    (CASE WHEN b8 > 0 THEN 256 ELSE 0 END) +
-        |    (CASE WHEN b9 > 0 THEN 512 ELSE 0 END) +
-        |    (CASE WHEN b10 > 0 THEN 1024 ELSE 0 END) +
-        |    (CASE WHEN b11 > 0 THEN 2048 ELSE 0 END) +
-        |    (CASE WHEN b12 > 0 THEN 4096 ELSE 0 END) +
-        |    (CASE WHEN b13 > 0 THEN 8192 ELSE 0 END) +
-        |    (CASE WHEN b14 > 0 THEN 16384 ELSE 0 END) +
-        |    (CASE WHEN b15 > 0 THEN 32768 ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits)
-        |SELECT simhash, min(doc_id) AS canonical_doc_id, count(*) AS group_size
-        |FROM sig GROUP BY simhash
         |ORDER BY canonical_doc_id NULLS FIRST""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH docs AS (

@@ -46,23 +46,59 @@ object AdvancedTextQueries {
     * bit a +1/−1 majority vote over all token occurrences, vote > 0 sets
     * the bit. Docs sharing the signature group together.
     */
-  def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val tok = Tables.documents(spark, sfDir)
+  /** (doc_id, simhash) — the 16-bit signature table both simhash
+    * queries build on.
+    */
+  private[operators] def simhashSigs(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .withColumn("h", md5Bits(col("t"), 4))
     val bitSums = (0 until 16).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
-    val sig = tok.groupBy("doc_id")
+    tok.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until 16).map(j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
           .as("simhash"))
-    sig.groupBy("simhash")
+  }
+
+  def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashSigs(Tables.documents(spark, sfDir))
+      .groupBy("simhash")
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("group_size"))
       .select("simhash", "canonical_doc_id", "group_size")
       .orderBy(asc_nulls_first("canonical_doc_id"))
+
+  /** Hamming-distance near-dup pairs (≤ 1 differing bit) by banded
+    * multi-index over the simhash: the 16-bit signature splits into
+    * two 8-bit bands, and a pair differing in ≤ 1 bit leaves at least
+    * one band intact (pigeonhole) — so pairs meeting ONLY inside a
+    * shared (band, key) bucket is still exhaustive, which the oracle
+    * proves with its full O(n²) scan. One exchange on the band key; a
+    * pair matching in both bands dedupes before output. At larger
+    * corpora, widen the signature and add bands so bucket sizes stay
+    * bounded (bands = k+1 keeps completeness for Hamming ≤ k).
+    */
+  def qDedupHamming(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = simhashSigs(Tables.documents(spark, sfDir))
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array(
+        concat(lit("lo:"), col("simhash").bitwiseAND(255).cast("string")),
+        concat(lit("hi:"), shiftright(col("simhash"), 8).cast("string"))))
+        .as("bkey"))
+    banded.groupBy("bkey")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 1)
+      .distinct()
+      .orderBy(asc_nulls_first("doc_id_1"), asc_nulls_first("doc_id_2"))
   }
 
   /** Distinct (doc_id, trigram-shingle) rows, built by posexplode +

@@ -29,6 +29,19 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(sh.filter($"simhash" < 0 || $"simhash" > 65535).count() == 0)
   }
 
+  test("hamming pairs: ordered, distance bounded, include every same-sig pair") {
+    import spark.implicits._
+    val out = q("q_dedup_hamming")
+    assert(out.filter($"doc_id_1" >= $"doc_id_2").count() == 0)
+    assert(out.filter($"hamming" < 0 || $"hamming" > 1).count() == 0)
+    // every identical-signature pair (hamming 0) must be present:
+    // sum over simhash groups of C(size, 2)
+    val expectedZero = q("q_dedup_simhash")
+      .select(($"group_size" * ($"group_size" - 1) / 2).cast("long").as("p"))
+      .agg(sum($"p")).as[Long].head()
+    assert(out.filter($"hamming" === 0).count() == expectedZero)
+  }
+
   test("ngram jaccard pairs are symmetric-free, above threshold, reflexivity sane") {
     import spark.implicits._
     val out = q("q_ngram_jaccard")
