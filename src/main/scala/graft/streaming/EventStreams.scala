@@ -54,6 +54,18 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** 1-hour windows sliding every 30 minutes (each event lands in
+    * exactly two windows) — the streaming twin of
+    * EventQueries.qStreamSliding, same watermark/append contract as
+    * tumblingCounts.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+
   case class UserCount(user_id: Long, n_events: Long)
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long) {

@@ -62,6 +62,21 @@ class StreamingSmokeSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("streaming sliding windows match the batch result below the watermark") {
+    import spark.implicits._
+    EventStreams.runToMemory(
+      EventStreams.slidingCounts(EventStreams.fileSource(spark, inputDir)),
+      "sliding_smoke", OutputMode.Append())
+    val streamed = spark.table("sliding_smoke")
+    assert(streamed.count() > 0)
+    val batch = SparkEntry.queries("q_stream_sliding")(spark, sfDir)
+      .withColumnRenamed("n_events", "b_n")
+    val joined = streamed.join(batch, Seq("window_start"))
+    assert(joined.count() == streamed.count(),
+      "streamed sliding window missing from batch")
+    assert(joined.filter($"n_events" =!= $"b_n").count() == 0)
+  }
+
   test("streaming dedup emits at most one row per key within the watermark") {
     import spark.implicits._
     EventStreams.runToMemory(
