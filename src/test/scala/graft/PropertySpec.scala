@@ -102,6 +102,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunking: conservation and reassembly hold for arbitrary corpora") {
+    import graft.operators.TextQueries
+    forAllSamples(Gen.nonEmptyListOf(text), 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunks = TextQueries.chunkTokensStrided(docs, 4, 4)
+      val expectedTokens = texts.map(_.split("[^a-z]+").count(_.nonEmpty).toLong).sum
+      val got = chunks.agg(coalesce(sum($"n_tokens"), lit(0L))).as[Long].head()
+      assert(got == expectedTokens)
+      // rebuild every doc from its chunks and compare to its token join
+      val rebuilt = chunks.groupBy("doc_id")
+        .agg(array_join(
+          transform(sort_array(collect_list(struct($"chunk_id", $"chunk_text"))),
+            s => s.getField("chunk_text")), " ").as("rebuilt"))
+        .as[(Long, String)].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split("[^a-z]+").filter(_.nonEmpty)
+        if (toks.nonEmpty) assert(rebuilt(i.toLong) == toks.mkString(" "))
+        else assert(!rebuilt.contains(i.toLong))
+      }
+    }
+  }
+
   test("session windows: total session count between 1 and n for any gap layout") {
     val gaps = Gen.nonEmptyListOf(Gen.chooseNum(1L, 7200L)) // seconds between events
     forAllSamples(gaps) { deltas =>
