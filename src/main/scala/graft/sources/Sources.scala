@@ -60,6 +60,16 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** Binary ingestion for multimodal payloads (images/audio/video as
+    * opaque bytes): one row per file with (path, modificationTime,
+    * length, content). The datasource prunes `content` when only
+    * metadata is selected, so listing/filtering a petabyte of media by
+    * size or mtime never reads the payloads; pair with
+    * graft.multimodal.Multimodal for the decode stage.
+    */
+  def binaryCorpus(spark: SparkSession, globPath: String): DataFrame =
+    spark.read.format("binaryFile").load(globPath)
+
   /** ORC — the second columnar format next to parquet, same pushdown /
     * pruning behavior through the datasource API.
     */

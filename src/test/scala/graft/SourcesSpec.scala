@@ -60,6 +60,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
   }
 
+  test("binary corpus: one row per file, bytes intact, metadata-only scans prune content") {
+    assume(haveCorpus)
+    import spark.implicits._
+    val media = Sources.binaryCorpus(spark, gutenberg)
+    assert(media.count() == 8)
+    assert(media.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    // bytes round-trip: content length equals the reported file length
+    assert(media.filter(length($"content") =!= $"length").count() == 0)
+    // metadata-only projection must not read payload bytes
+    val metaPlan = media.select("path", "length")
+      .queryExecution.executedPlan.toString
+    assert(!metaPlan.contains("content"),
+      "metadata projection still reads content:\n" + metaPlan.take(800))
+  }
+
   test("ORC round-trips with schema and pushes filters like parquet") {
     import spark.implicits._
     val dir = Files.createTempDirectory("orc_").toString
