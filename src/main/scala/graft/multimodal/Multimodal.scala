@@ -79,6 +79,30 @@ object Multimodal {
     }
   }
 
+  /** Adapt a Sources.binaryCorpus DataFrame (path, modificationTime,
+    * length, content) into the typed MediaRecord pipeline: kind from
+    * the file extension (unknown → "image" by default policy),
+    * media_id from a hash of the path (stable across runs and
+    * listings), intrinsic metadata zeroed until the decode stage fills
+    * it. Pure projection — the payload bytes stay columnar and
+    * unshuffled.
+    */
+  def fromBinary(binary: org.apache.spark.sql.DataFrame): Dataset[MediaRecord] = {
+    import org.apache.spark.sql.functions._
+    import binary.sparkSession.implicits._
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    val kind = when(ext.isin("jpg", "jpeg", "png", "gif", "bmp"), "image")
+      .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+      .when(ext.isin("mp4", "mkv", "webm", "avi"), "video")
+      .otherwise("image")
+    binary.select(
+      xxhash64(col("path")).as("media_id"),
+      kind.as("kind"),
+      col("content"),
+      lit(0).as("width"), lit(0).as("height"), lit(0L).as("duration_ms"))
+      .as[MediaRecord]
+  }
+
   /** Batched feature extraction: mapPartitions + grouped(batchSize), so
     * a real decoder initializes once per partition and processes
     * fixed-size batches (the Arrow-batch shape). Narrow — preserves

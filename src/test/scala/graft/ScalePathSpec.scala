@@ -108,6 +108,25 @@ class ScalePathSpec extends AnyFunSuite {
     assert(groups.exceptAll(again).count() == 0 && again.exceptAll(groups).count() == 0)
   }
 
+  test("multimodal: real files flow binaryCorpus → records → features") {
+    import spark.implicits._
+    val gutenberg = "/root/reference/main/pg-*.txt"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get("/root/reference/main/pg-being_ernest.txt")))
+    val records = Multimodal.fromBinary(
+      graft.sources.Sources.binaryCorpus(spark, gutenberg))
+    assert(records.count() == 8)
+    val feats = Multimodal.extractFeatures(records)
+    assert(feats.count() == 8)
+    assert(feats.collect().forall(f =>
+      f.features.length == Multimodal.StubDecoder.featureDim && f.n_bytes > 100000))
+    // media ids are stable across listings
+    val again = Multimodal.fromBinary(
+      graft.sources.Sources.binaryCorpus(spark, gutenberg))
+      .select("media_id").as[Long].collect().toSet
+    assert(records.select("media_id").as[Long].collect().toSet == again)
+  }
+
   test("multimodal: frame sampling fans out deterministically") {
     val media = Multimodal.syntheticMedia(spark, 50, partitions = 2)
     val frames = Multimodal.frameSample(media, frameBytes = 32, everyN = 2)
