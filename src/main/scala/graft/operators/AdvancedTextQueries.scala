@@ -227,7 +227,10 @@ object AdvancedTextQueries {
     val nTok = size(toks).cast("double")
     val nDistinct = size(array_distinct(toks)).cast("double")
     val nStop = size(filter(toks, t => t === "the" || t === "a")).cast("double")
-    val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x).cast("double")
+    // Σ length(token) == length of the empty-separator join — identical
+    // integer value, but array_join+length are codegen'd while an
+    // aggregate(transform(...)) fold evaluates interpreted per token
+    val sumLen = length(array_join(toks, "")).cast("double")
     val ttr = nDistinct / nTok
     val stopRatio = nStop / nTok
     val avgLen = sumLen / nTok
