@@ -42,6 +42,40 @@ class ScaleOpsSpec extends AnyFunSuite {
       Tables.orders(spark, sfDir).filter(year($"o_orderdate") === 1997).count())
   }
 
+  test("AQE splits the skewed partition of a sort-merge join at runtime") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // production defaults (256 MB) scaled to the test corpus so the
+    // hot key's partition registers as skewed
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dim = (0L to 1000L).map(k => (k, s"name$k")).toDF("dk", "name")
+      val joined = skewed.join(dim, $"k" === $"dk")
+      // execute through the Dataset's OWN QueryExecution — count() and
+      // writes plan separate executions and would leave this plan
+      // un-adapted; collect() runs exactly this one
+      assert(joined.collect().length == 51000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        "AQE did not mark the hot-key join partition as skewed:\n" +
+          finalPlan.take(1200))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("dynamic partition pruning: a dim-side filter prunes fact partitions") {
     val dir = java.nio.file.Files.createTempDirectory("dpp_").toString
     Tables.events(spark, sfDir)
