@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by min-label propagation — the
+  * canonicalization step after any near-dup pair generator: pairs say
+  * "these two match", components say "this whole cluster is one
+  * document, keep the canonical member". Each iteration sends every
+  * vertex's current component label across its edges and keeps the
+  * minimum; convergence takes O(graph diameter) rounds of one
+  * join + one min-aggregation each (near-dup graphs are
+  * diameter-bounded clusters, so a handful of rounds in practice; for
+  * adversarially long chains at extreme scale the large-star/
+  * small-star variant halves diameter per round — same per-round
+  * plan shape).
+  *
+  * The driver loop's only per-round action is a change COUNT —
+  * nothing else leaves the executors.
+  */
+object GraphOps {
+
+  /** edges(src, dst) → (id, component) for every vertex appearing in
+    * any edge; component = the minimum vertex id reachable from `id`.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // every vertex offers its label to each neighbor; keep the min of
+      // own label and all offers
+      val offers = sym
+        .join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .unionAll(offers)
+        .groupBy("id")
+        .agg(min(col("component")).as("component"))
+      val changed = next.as("n")
+        .join(labels.as("l"), col("n.id") === col("l.id"))
+        .filter(col("n.component") =!= col("l.component"))
+        .count()
+      labels = next.localCheckpoint(true)
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+}

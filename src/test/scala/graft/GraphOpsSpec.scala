@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.GraphOps
+
+/** Connected components checked two ways: a planted graph with known
+  * clusters, and the real near-dup pair graph cross-validated against
+  * a local union-find on the collected edges.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+  import spark.implicits._
+
+  private def localComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("planted graph: a chain, a triangle and an isolated edge resolve") {
+    // chain 1-2-3-4, triangle 10-11-12, pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1,
+      10L -> 10, 11L -> 10, 12L -> 10, 20L -> 20, 21L -> 20))
+  }
+
+  test("near-dup pair graph components equal a local union-find") {
+    val pairs = SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)
+      .select($"doc_id_1", $"doc_id_2")
+    val local = localComponents(pairs.as[(Long, Long)].collect().toSeq)
+    assume(local.nonEmpty)
+    val distributed = GraphOps.connectedComponents(
+      pairs.toDF("src", "dst")).as[(Long, Long)].collect().toMap
+    assert(distributed == local)
+  }
+}
