@@ -60,6 +60,27 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** Parquet read with schema evolution: a long-lived corpus
+    * accumulates files written by successive pipeline versions;
+    * mergeSchema unions their schemas (older files yield nulls for
+    * newer columns) at the cost of reading every footer — so it is an
+    * explicit opt-in here, not a default.
+    */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Compact a directory of many small files into `targetFiles`
+    * evenly-sized ones (small files are the classic large-corpus
+    * killer: every task, listing and footer read multiplies by file
+    * count). Writes to `outPath` — never in place, so a failed
+    * compaction leaves the source intact.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFiles: Int): Unit =
+    spark.read.parquet(inPath)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+
   /** Binary ingestion for multimodal payloads (images/audio/video as
     * opaque bytes): one row per file with (path, modificationTime,
     * length, content). The datasource prunes `content` when only

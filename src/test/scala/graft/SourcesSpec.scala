@@ -94,6 +94,35 @@ class SourcesSpec extends AnyFunSuite {
       explained.contains("l_quantity"), explained)
   }
 
+  test("schema evolution: mergeSchema unions old and new file schemas") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evolve_").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v1")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 3.5)).toDF("id", "v1", "v2")
+      .write.mode("append").parquet(dir)
+    val merged = Sources.readParquetMerged(spark, dir)
+    assert(merged.columns.toSet == Set("id", "v1", "v2"))
+    assert(merged.count() == 3)
+    // old files surface null for the new column
+    assert(merged.filter($"v2".isNull).count() == 2)
+  }
+
+  test("compaction: many small files become the target count, rows intact") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("small_").toString
+    val out = Files.createTempDirectory("compacted_").toString
+    spark.range(0, 1000).repartition(50).write.mode("overwrite").parquet(in)
+    assert(new java.io.File(in).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 50)
+    Sources.compact(spark, in, out, targetFiles = 4)
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1000)
+    assert(back.as[Long].collect().toSet == (0L until 1000L).toSet)
+  }
+
   test("KV text sink: sharded, sorted-within-shard 'key value' lines") {
     import spark.implicits._
     val dir = Files.createTempDirectory("kvtext_").toString
