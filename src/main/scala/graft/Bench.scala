@@ -32,18 +32,32 @@ object Bench {
 
     // Warm every query once (JIT + codegen compilation dominate a cold
     // first run — measured 13 s vs 1.3 s steady-state on one scalar
-    // query), then measure the second execution: the number that
-    // reflects the PLAN, which is what a long-running cluster job sees.
+    // query), then measure three further executions and record the MIN.
+    // A single measured execution has no defense against a transiently
+    // contended host (an unrelated process stealing the cores inflates
+    // one run 10-60x); the min of three is the number that reflects the
+    // PLAN, which is what a long-running cluster job sees. The median is
+    // reported alongside so contention remains visible in the artifact.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) => run(fn) }
 
     val results = ordered.map { case (name, fn) =>
-      name -> run(fn)
+      val times = Seq.fill(reps)(run(fn)).filter(_ >= 0)
+      val (min, med) =
+        if (times.isEmpty) (-1.0, -1.0)
+        else (times.min, times.sorted.apply(times.size / 2))
+      (name, min, med)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def json(sel: ((String, Double, Double)) => Double): String =
+      results.map { case t @ (k, _, _) => "\"" + k + "\":" + f"${sel(t)}%.3f" }
+        .mkString("{", ",", "}")
+    val qs = json(_._2)
+    val med = json(_._3)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""queries_median":$med,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,6 +57,10 @@ object SparkEntry {
     "q_session_window"  -> (EventQueries.qSessionWindow _),
     "q_dedup_latest"    -> (EventQueries.qDedupLatest _),
     "q_dedup_exact"     -> (TextQueries.qDedupExact _),
+    "q_dedup_exact_hash" -> (TextQueries.dedupExactByHash _),
+    "q_redact_pii"      -> (TextQueries.qRedactPii _),
+    "q_chunk_strided"   -> (TextQueries.qChunkStrided _),
+    "q_dedup_clusters"  -> (AdvancedTextQueries.qDedupClusters _),
     "q_sample_hash"     -> (TextQueries.qSampleHash _),
     "q_decontaminate"   -> (TextQueries.qDecontaminate _),
     "q_chunk"           -> (TextQueries.qChunk _),
@@ -449,6 +453,76 @@ object SparkEntry {
       """SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_dups
         |FROM documents GROUP BY text
         |ORDER BY canonical_doc_id NULLS FIRST""".stripMargin,
+    "q_dedup_exact_hash" ->
+      """SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY sha256(text)
+        |ORDER BY canonical_doc_id NULLS FIRST""".stripMargin,
+    "q_redact_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com or 10.' || CAST(doc_id % 200 AS VARCHAR)
+        |      || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+        |      || ' tel +1 (555) 01' || CAST(doc_id % 10 AS VARCHAR)
+        |      || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+?[0-9][0-9 ()+._-]{5,}[0-9]', '<NUMBER>', 'g') AS redacted
+        |FROM aug ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_chunk_strided" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '')) AS t,
+        |    generate_subscripts(
+        |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                  x -> x <> ''), 1) - 1 AS pos
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, pos, t,
+        |    unnest(range(
+        |      greatest(0, CAST(ceil((pos - 32 + 1) * 1.0 / 24) AS BIGINT)),
+        |      pos // 24 + 1)) AS chunk_id
+        |  FROM tok)
+        |SELECT doc_id, chunk_id, count(*) AS n_tokens,
+        |  string_agg(t, ' ' ORDER BY pos) AS chunk_text
+        |FROM ch GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [] END AS s
+        |  FROM docs
+        |), ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT d1, d2
+        |  FROM cand JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |  WHERE round(shared * 1.0 / (x.n + y.n - shared), 6) + 0.0 >= 0.5),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM jp
+        |  UNION
+        |  SELECT d2 AS src, d1 AS dst FROM jp),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id, min(comp) AS component FROM reach GROUP BY id
+        |ORDER BY id NULLS FIRST""".stripMargin,
     "q_dedup_near" ->
       """SELECT min(doc_id) AS canonical_doc_id, count(*) AS group_size
         |FROM (

@@ -25,6 +25,16 @@ object AdvancedTextQueries {
   private def md5Bits(c: Column, n: Int): Column =
     conv(substring(md5(c), 1, n), 16, 10).cast("long")
 
+  /** (band, key) buckets holding more than this many signatures are
+    * dropped before pair generation — the analogue of ShingleDfCap for
+    * the Hamming index: a bucket of df signatures explodes into df²
+    * candidate pairs on one reducer, unbounded if one band value goes
+    * hot. Far above any bucket population in the test corpora (max ~60
+    * at sf0.1), so oracle results are unchanged there; at a real corpus
+    * scale, widen the signature (more band values) AND keep this cap.
+    */
+  val HammingBucketCap = 10000
+
   /** MinHash dedup: k=4 salted md5 min-hashes over the distinct token
     * set; docs with identical signatures are near-duplicate candidates.
     * The lexicographic min of salted md5 hex strings is a textbook
@@ -49,17 +59,19 @@ object AdvancedTextQueries {
   /** (doc_id, simhash) — the 16-bit signature table both simhash
     * queries build on.
     */
-  private[operators] def simhashSigs(docs: DataFrame): DataFrame = {
+  private[operators] def simhashSigs(docs: DataFrame, width: Int = 16): DataFrame = {
+    require(width > 0 && width % 4 == 0 && width <= 60,
+      "signature width must be a positive multiple of 4 bits, <= 60 (BIGINT-safe)")
     val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .withColumn("h", md5Bits(col("t"), 4))
-    val bitSums = (0 until 16).map { j =>
+      .withColumn("h", md5Bits(col("t"), width / 4))
+    val bitSums = (0 until width).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
     tok.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 16).map(j =>
+        (0 until width).map(j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
           .as("simhash"))
   }
@@ -71,32 +83,56 @@ object AdvancedTextQueries {
       .select("simhash", "canonical_doc_id", "group_size")
       .orderBy(asc_nulls_first("canonical_doc_id"))
 
-  /** Hamming-distance near-dup pairs (≤ 1 differing bit) by banded
-    * multi-index over the simhash: the 16-bit signature splits into
-    * two 8-bit bands, and a pair differing in ≤ 1 bit leaves at least
-    * one band intact (pigeonhole) — so pairs meeting ONLY inside a
-    * shared (band, key) bucket is still exhaustive, which the oracle
-    * proves with its full O(n²) scan. One exchange on the band key; a
-    * pair matching in both bands dedupes before output. At larger
-    * corpora, widen the signature and add bands so bucket sizes stay
-    * bounded (bands = k+1 keeps completeness for Hamming ≤ k).
+  /** Hamming-distance near-dup pairs (≤ 1 differing bit) over the
+    * default 16-bit signature — the oracle entry point for
+    * dedupHammingPairs, which its O(n²) scan proves exhaustive.
     */
-  def qDedupHamming(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = simhashSigs(Tables.documents(spark, sfDir))
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      explode(array(
-        concat(lit("lo:"), col("simhash").bitwiseAND(255).cast("string")),
-        concat(lit("hi:"), shiftright(col("simhash"), 8).cast("string"))))
-        .as("bkey"))
-    banded.groupBy("bkey")
+  def qDedupHamming(spark: SparkSession, sfDir: String): DataFrame =
+    dedupHammingPairs(Tables.documents(spark, sfDir),
+      width = 16, k = 1, bucketCap = HammingBucketCap)
+
+  /** Hamming-distance near-dup pairs (≤ k differing bits) by banded
+    * multi-index over a `width`-bit simhash: the signature splits into
+    * k+1 near-equal bit bands, and a pair differing in ≤ k bits leaves
+    * at least one band intact (pigeonhole) — so pairs meeting ONLY
+    * inside a shared (band, key) bucket is still exhaustive. One
+    * exchange on the band key; a pair matching in several bands dedupes
+    * before output.
+    *
+    * Scale controls, both parameterized: `width` sets the number of
+    * distinct band values (wider signature → exponentially more, smaller
+    * buckets), and `bucketCap` drops pathological hot buckets before
+    * their quadratic within-bucket explosion — enforced by a
+    * count-over-window on the already-bucket-partitioned rows (one
+    * exchange, hot rows dropped before any collect_list builds), the
+    * same guard shape as the shingle df cap.
+    */
+  def dedupHammingPairs(docs: DataFrame, width: Int, k: Int,
+      bucketCap: Int): DataFrame = {
+    require(k >= 0 && k < width, "need 0 <= k < width")
+    require(bucketCap > 1, "bucketCap must exceed 1")
+    val bands = k + 1
+    val bandWidth = (width + bands - 1) / bands
+    val sig = simhashSigs(docs, width)
+    val bandKeys = (0 until bands).map { j =>
+      val lo = j * bandWidth
+      val mask = (1L << math.min(bandWidth, width - lo)) - 1
+      concat(lit(s"$j:"), shiftright(col("simhash"), lo).bitwiseAND(mask).cast("string"))
+    }
+    val banded = sig
+      .select(col("doc_id"), col("simhash"), explode(array(bandKeys: _*)).as("bkey"))
+      .repartition(col("bkey"))
+    banded
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("bkey")))
+      .filter(col("df") > 1 && col("df") <= bucketCap)
+      .groupBy("bkey")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
-      .filter(size(col("ds")) > 1)
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .filter(col("hamming") <= 1)
+      .filter(col("hamming") <= k)
       .distinct()
       .orderBy(asc_nulls_first("doc_id_1"), asc_nulls_first("doc_id_2"))
   }
@@ -180,6 +216,20 @@ object AdvancedTextQueries {
       .filter(col("jaccard") >= 0.5)
       .select("doc_id_1", "doc_id_2", "jaccard")
       .orderBy(asc_nulls_first("doc_id_1"), asc_nulls_first("doc_id_2"))
+  }
+
+  /** Near-dup pairs → clusters: connected components over the
+    * q_ngram_jaccard pair graph (min-label canonicalization — every
+    * member of a near-dup cluster maps to the cluster's minimum
+    * doc_id). The canonical step after ANY pair generator; min-label
+    * propagation is deterministic, so the DuckDB oracle reproduces it
+    * with a recursive reachability CTE.
+    */
+  def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ngramJaccardPairs(Tables.documents(spark, sfDir), ShingleDfCap)
+      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+    GraphOps.connectedComponents(pairs)
+      .orderBy(asc_nulls_first("id"))
   }
 
   /** Position-sensitive document fingerprint: a weighted polynomial

@@ -24,9 +24,13 @@ object GraphOps {
     * any edge; component = the minimum vertex id reachable from `id`.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the symmetrized edge list once: it is re-joined every
+    // iteration, and without the checkpoint each round would re-run the
+    // (possibly expensive) upstream pair-generation plan from scratch
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false

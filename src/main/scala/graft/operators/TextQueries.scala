@@ -140,6 +140,25 @@ object TextQueries {
       digits, "<NUMBER>")
   }
 
+  /** Oracle form of redactPii. The corpus text itself is letters-only,
+    * so each doc is first augmented with deterministic PII-shaped spans
+    * derived from doc_id (an email, an IPv4, a phone number) — the
+    * regexes are then exercised for real and the redacted output is
+    * exactly reproducible in DuckDB (same augmentation, same patterns,
+    * global replace). Pure projection both sides.
+    */
+  def qRedactPii(spark: SparkSession, sfDir: String): DataFrame = {
+    val aug = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail.example.com or 10."),
+      col("doc_id") % 200, lit(".0."), col("doc_id") % 250,
+      lit(" tel +1 (555) 01"), col("doc_id") % 10, lit("-"),
+      col("doc_id") % 9000 + 1000)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), redactPii(aug).as("redacted"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
   /** Overlapping chunking: `size`-token windows starting every
     * `stride` tokens (stride < size ⇒ consecutive chunks share
     * size − stride tokens — the context-overlap shape LLM tokenizer
@@ -166,6 +185,12 @@ object TextQueries {
             s => s.getField("t")), " ").as("chunk_text"))
       .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("chunk_id"))
   }
+
+  /** Oracle form of chunkTokensStrided: 32-token windows every 24
+    * tokens (8-token overlap between consecutive chunks).
+    */
+  def qChunkStrided(spark: SparkSession, sfDir: String): DataFrame =
+    chunkTokensStrided(Tables.documents(spark, sfDir), size = 32, stride = 24)
 
   /** Per-language corpus stats: doc count, exact char sum, 6-dp average
     * chars/tokens (exact integer sums divided in double), and the
