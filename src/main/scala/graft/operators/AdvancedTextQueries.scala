@@ -59,7 +59,7 @@ object AdvancedTextQueries {
   /** (doc_id, simhash) — the 16-bit signature table both simhash
     * queries build on.
     */
-  private[operators] def simhashSigs(docs: DataFrame, width: Int = 16): DataFrame = {
+  private[graft] def simhashSigs(docs: DataFrame, width: Int = 16): DataFrame = {
     require(width > 0 && width % 4 == 0 && width <= 60,
       "signature width must be a positive multiple of 4 bits, <= 60 (BIGINT-safe)")
     val tok = docs

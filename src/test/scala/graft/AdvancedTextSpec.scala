@@ -70,6 +70,45 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(capped == Set((1L, 2L)))
   }
 
+  test("hamming banding: width=32/k=2 pairs match the brute-force scan") {
+    import spark.implicits._
+    // 30 varied docs: enough signature diversity that some pairs sit at
+    // each distance 0/1/2/3+; completeness must hold for any of them
+    val docs = (0L until 30L)
+      .map(i => (i, s"w${i % 7} x${i % 5} y${i % 3} z${i % 11} q${i % 2}"))
+      .toDF("doc_id", "text")
+    val banded = operators.AdvancedTextQueries
+      .dedupHammingPairs(docs, width = 32, k = 2, bucketCap = 100000)
+      .select("doc_id_1", "doc_id_2", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val sigs = operators.AdvancedTextQueries.simhashSigs(docs, 32)
+    val brute = sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("int"))
+      .as[(Long, Long, Int)].collect().filter(_._3 <= 2).toSet
+    assert(brute.nonEmpty, "fixture should contain at least one close pair")
+    assert(banded == brute,
+      "banded multi-index must be exhaustive for Hamming <= k (pigeonhole)")
+  }
+
+  test("hamming bucket cap bounds a planted hot bucket, keeps normal pairs") {
+    import spark.implicits._
+    // 40 identical docs share every band bucket (population 40); two
+    // other docs form an ordinary identical pair (population 2)
+    val docs = ((0L until 40L).map(i => (i, "hot hot hot phrase")) ++
+      Seq((100L, "cool distinct words here"), (101L, "cool distinct words here")))
+      .toDF("doc_id", "text")
+    val unc = operators.AdvancedTextQueries
+      .dedupHammingPairs(docs, width = 16, k = 1, bucketCap = 100000)
+    assert(unc.filter($"doc_id_1" < 40).count() == 40L * 39 / 2)
+    // cap 10 < 40: the hot bucket is dropped BEFORE its quadratic
+    // explosion; the ordinary pair survives
+    val capped = operators.AdvancedTextQueries
+      .dedupHammingPairs(docs, width = 16, k = 1, bucketCap = 10)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)))
+  }
+
   test("fingerprint: one per doc, in range, order-sensitive on a planted case") {
     import spark.implicits._
     val fp = q("q_fingerprint")
