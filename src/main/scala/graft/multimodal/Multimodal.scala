@@ -62,6 +62,54 @@ object Multimodal {
     }
   }
 
+  /** Real image decoder backed by the JDK's javax.imageio (PNG / BMP /
+    * GIF / JPEG — zero external dependencies): decoded pixels reduce to
+    * a 4×4 grid of mean luminance, a 16-dim feature that is
+    * deterministic for a given encoded payload and identical for
+    * byte-identical images regardless of encoding container. Audio and
+    * video have no in-JDK codec, so they still fall back to
+    * StubDecoder, as do undecodable image payloads (truncated files) —
+    * a decode failure must not kill a 100 TB batch job over one bad
+    * blob.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    val featureDim = 16
+    def decode(kind: String, content: Array[Byte]): Array[Float] = {
+      if (kind != "image") return StubDecoder.decode(kind, content)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case _: java.io.IOException => null }
+      if (img == null) StubDecoder.decode(kind, content)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Double](featureDim)
+        val counts = new Array[Int](featureDim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
+            val cell = (y * 4 / h) * 4 + (x * 4 / w)
+            sums(cell) += lum
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val out = new Array[Float](featureDim)
+        var i = 0
+        while (i < featureDim) {
+          out(i) = if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat
+          i += 1
+        }
+        out
+      }
+    }
+  }
+
   /** Deterministic synthetic media table (seed per id) — the test
     * fixture for the binary-column plumbing.
     */

@@ -127,6 +127,61 @@ class ScalePathSpec extends AnyFunSuite {
     assert(records.select("media_id").as[Long].collect().toSet == again)
   }
 
+  test("imageio: genuine PNGs decode to luminance features; identical images bucket together") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def png(seed: Int): Array[Byte] = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      val rng = new scala.util.Random(seed)
+      for (y <- 0 until 32; x <- 0 until 32) img.setRGB(x, y, rng.nextInt(0xffffff))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val ds = Seq(
+      Multimodal.MediaRecord(1, "image", png(1), 32, 32, 0),
+      Multimodal.MediaRecord(2, "image", png(1), 32, 32, 0), // identical twin
+      Multimodal.MediaRecord(3, "image", png(2), 32, 32, 0),
+      Multimodal.MediaRecord(4, "image", Array[Byte](1, 2, 3), 0, 0, 0), // truncated
+      Multimodal.MediaRecord(5, "audio", Array.fill(64)(7.toByte), 0, 0, 1000)
+    ).toDS()
+    val f = Multimodal.extractFeatures(ds, Multimodal.ImageIoDecoder)
+      .collect().map(r => r.media_id -> r.features.toSeq).toMap
+    // real decode: 4x4 mean-luminance grid, every cell in [0,1]
+    assert(f(1).forall(v => v >= 0f && v <= 1f))
+    assert(f(1) == f(2), "byte-identical images must decode identically")
+    assert(f(1) != f(3), "different images must decode differently")
+    // graceful degradation: truncated image and audio fall back to the stub
+    assert(f(4) == Multimodal.StubDecoder.decode("image", Array[Byte](1, 2, 3)).toSeq)
+    assert(f(5) == Multimodal.StubDecoder.decode("audio", Array.fill(64)(7.toByte)).toSeq)
+    // end-to-end: the twins land in one (image, bucket) group, canonical = min id
+    val groups = Multimodal.nearDupMedia(ds, Multimodal.ImageIoDecoder)
+      .filter($"kind" === "image" && $"canonical_media_id" === 1L)
+    assert(groups.as[(String, Int, Long, Long)].collect()
+      .exists(_._4 >= 2), "identical images must share an LSH bucket")
+  }
+
+  test("imageio: encoded files round-trip binaryCorpus → fromBinary → real decode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-img")
+    def writePng(name: String, shade: Int): Unit = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, (shade << 16) | (shade << 8) | shade)
+      javax.imageio.ImageIO.write(img, "png", dir.resolve(name).toFile)
+    }
+    writePng("dark.png", 10)
+    writePng("light.png", 240)
+    val feats = Multimodal.extractFeatures(
+      Multimodal.fromBinary(
+        graft.sources.Sources.binaryCorpus(spark, dir.toString + "/*.png")),
+      Multimodal.ImageIoDecoder).collect()
+    assert(feats.length == 2)
+    val means = feats.map(_.features.sum / 16)
+    // gray level survives the decode: one image near 10/255, one near 240/255
+    assert(means.min < 0.1f && means.max > 0.9f)
+  }
+
   test("multimodal: frame sampling fans out deterministically") {
     val media = Multimodal.syntheticMedia(spark, 50, partitions = 2)
     val frames = Multimodal.frameSample(media, frameBytes = 32, everyN = 2)
