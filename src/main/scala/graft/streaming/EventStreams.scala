@@ -163,10 +163,13 @@ object EventStreams {
       .select(col("event_id").as("click_id"),
         col("user_id").as("c_user_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "10 minutes")
+    // bounds match the batch q_join_asof_banded exactly (inclusive upper,
+    // strict lower), so reducing these pairs to the latest click per
+    // purchase reproduces the batch as-of answer row-for-row
     purchases.join(clicks,
       col("p_user_id") === col("c_user_id") &&
         col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        col("c_ts") > col("p_ts") - expr("INTERVAL 1 HOUR"))
       .select(col("purchase_id"), col("p_user_id").as("user_id"),
         col("p_ts"), col("click_id"), col("c_ts"))
   }

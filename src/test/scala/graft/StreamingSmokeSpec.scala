@@ -77,6 +77,28 @@ class StreamingSmokeSpec extends AnyFunSuite {
     assert(joined.filter($"n_events" =!= $"b_n").count() == 0)
   }
 
+  test("streaming as-of: latest click per purchase equals the batch banded as-of") {
+    import spark.implicits._
+    EventStreams.runToMemory(
+      EventStreams.purchaseClickPairs(EventStreams.fileSource(spark, inputDir)),
+      "asof_pairs_smoke", OutputMode.Append())
+    val pairs = spark.table("asof_pairs_smoke")
+    assert(pairs.count() > 0)
+    // reduce the interval-join candidates to the single latest click per
+    // purchase — the same (c_ts desc, click_id desc) pick the batch
+    // operator's window makes
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("purchase_id")
+      .orderBy($"c_ts".desc, $"click_id".desc)
+    val streamedAsof = pairs
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"purchase_id".as("event_id"), $"user_id", $"p_ts".as("ts"),
+        $"click_id", $"c_ts".as("click_ts"))
+    val batch = SparkEntry.queries("q_join_asof_banded")(spark, sfDir)
+    assert(streamedAsof.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamedAsof).count() == 0,
+      "streaming pairs reduced to latest-click must equal the batch as-of answer")
+  }
+
   test("streaming dedup emits at most one row per key within the watermark") {
     import spark.implicits._
     EventStreams.runToMemory(
