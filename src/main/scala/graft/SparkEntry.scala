@@ -69,8 +69,12 @@ object SparkEntry {
     "q_pipeline"        -> (TextQueries.qPipeline _),
     "q_tfidf"           -> (TextQueries.qTfidf _),
     "q_median"          -> (StatsQueries.qMedian _),
+    "q_percentiles"     -> (StatsQueries.qPercentiles _),
+    "q_mode"            -> (StatsQueries.qMode _),
     "q_corr"            -> (StatsQueries.qCorr _),
     "q_histogram"       -> (StatsQueries.qHistogram _),
+    "q_window_range"    -> (WindowQueries.qWindowRangeFrame _),
+    "q_salted_agg"      -> (ScaleOps.qSaltedAgg _),
     "q_sim_topk"        -> (SimilarityQueries.qSimTopk _),
     "q_dedup_embed"     -> (SimilarityQueries.qDedupEmbed _),
     "q_dedup_minhash"   -> (AdvancedTextQueries.qDedupMinhash _),
@@ -612,6 +616,44 @@ object SparkEntry {
         |  round(avg(c_acctbal), 6) + 0.0 AS median_acctbal
         |FROM ranked WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
         |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    "q_percentiles" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal ASC, c_custkey ASC) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer)
+        |SELECT c_mktsegment, max(n) AS n_customers,
+        |  round(max(CASE WHEN rn = CAST(ceil(n * 25 / 100.0) AS BIGINT)
+        |    THEN c_acctbal END), 6) + 0.0 AS p25,
+        |  round(max(CASE WHEN rn = CAST(ceil(n * 50 / 100.0) AS BIGINT)
+        |    THEN c_acctbal END), 6) + 0.0 AS p50,
+        |  round(max(CASE WHEN rn = CAST(ceil(n * 75 / 100.0) AS BIGINT)
+        |    THEN c_acctbal END), 6) + 0.0 AS p75,
+        |  round(max(CASE WHEN rn = CAST(ceil(n * 90 / 100.0) AS BIGINT)
+        |    THEN c_acctbal END), 6) + 0.0 AS p90
+        |FROM ranked GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    "q_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |  cnt AS mode_count
+        |FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+        |WHERE rn = 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS trailing_30d_revenue
+        |FROM orders
+        |ORDER BY o_custkey NULLS FIRST, o_orderdate ASC, o_orderkey ASC""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_corr" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,

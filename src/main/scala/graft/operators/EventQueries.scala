@@ -51,10 +51,16 @@ object EventQueries {
     * deliberately NOT Spark's native session_window, whose gap semantics
     * differ at exact-30-minute boundaries (>= vs >).
     */
-  def qSessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+  def qSessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    sessionWindows(Tables.events(spark, sfDir))
+
+  /** DataFrame-core sessionization over any (user_id, ts, event_id)
+    * frame — graft.ScaleSmoke drives this on replicated user spaces.
+    */
+  def sessionWindows(events: DataFrame): DataFrame = {
     val byTime = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)
-    Tables.events(spark, sfDir)
+    events
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTime))
       .withColumn("new_session",
         when(col("prev_us").isNull ||

@@ -38,22 +38,33 @@ object IvfKnn {
   /** (vec_id, vec, cell) — corpus with IVF cell assignment, plus the
     * centroid table (cell, centroid array).
     */
-  def buildIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+  def buildIndex(spark: SparkSession, sfDir: String,
+      nLists: Int = NLists): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
-      .withColumn("features", array_to_vector(col("vec")))
+    buildIndexFrom(emb, nLists)
+  }
+
+  /** DataFrame-core index build: `emb` is (vec_id, array<double> vec).
+    * `nLists` is the scale knob: per-probe scan cost is
+    * nProbe/nLists of the corpus, so pick nLists ~ sqrt(corpus) for
+    * the classic IVF balance.
+    */
+  def buildIndexFrom(emb: DataFrame, nLists: Int = NLists): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    val featured = emb.withColumn("features", array_to_vector(col("vec")))
     // Fit on a bounded seeded sample; the one pass that touches every
     // vector is model.transform below — a narrow map against broadcast
     // centroids, no shuffle of the corpus.
-    val n = emb.count()
+    val n = featured.count()
     val train =
-      if (n <= MaxTrainRows) emb
-      else emb.sample(withReplacement = false, MaxTrainRows.toDouble / n, seed = 42L)
+      if (n <= MaxTrainRows) featured
+      else featured.sample(withReplacement = false, MaxTrainRows.toDouble / n, seed = 42L)
     val model = new KMeans()
-      .setK(NLists).setSeed(42L).setMaxIter(10)
+      .setK(nLists).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(train)
-    val indexed = model.transform(emb).select(col("vec_id"), col("vec"), col("cell"))
+    val indexed = model.transform(featured).select(col("vec_id"), col("vec"), col("cell"))
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c: Vector, i: Int) => (i, c.toArray) }
@@ -64,9 +75,18 @@ object IvfKnn {
   /** Approximate top-k cosine neighbors per probe (vec_id % 100 = 0),
     * scanning only each probe's nProbe nearest cells.
     */
-  def approxTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+  def approxTopK(spark: SparkSession, sfDir: String, k: Int = 5,
+      nProbe: Int = NProbe): DataFrame = {
     val (indexed, centroids) = buildIndex(spark, sfDir)
-    val probes = indexed.filter(col("vec_id") % 100 === 0)
+    approxTopKFrom(indexed, centroids, k, nProbe)
+  }
+
+  /** DataFrame-core query: `indexed`/`centroids` from buildIndexFrom;
+    * probes are the rows with vec_id % probeModulus = 0.
+    */
+  def approxTopKFrom(indexed: DataFrame, centroids: DataFrame, k: Int = 5,
+      nProbe: Int = NProbe, probeModulus: Int = 100): DataFrame = {
+    val probes = indexed.filter(col("vec_id") % probeModulus === 0)
       .select(col("vec_id").as("probe_id"), col("vec").as("probe_vec"))
     // nProbe nearest centroids per probe by cosine (deterministic tie-break)
     val cellRank = Window.partitionBy("probe_id")
@@ -77,7 +97,7 @@ object IvfKnn {
         (dot(col("probe_vec"), col("centroid")) /
           (l2Norm(col("probe_vec")) * l2Norm(col("centroid")))).as("cell_cos"))
       .withColumn("crn", row_number().over(cellRank))
-      .filter(col("crn") <= NProbe)
+      .filter(col("crn") <= nProbe)
       .select("probe_id", "probe_vec", "cell")
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)

@@ -8,12 +8,15 @@ import graft.operators.SimilarityQueries.{asDoubles, dot, l2Norm}
 
 /** Random-hyperplane LSH for approximate nearest-neighbor search — the
   * scale path behind q_sim_topk's brute-force oracle. Each vector gets a
-  * `NumPlanes`-bit sign signature against fixed pseudo-random
+  * `numPlanes`-bit sign signature against fixed pseudo-random
   * hyperplanes; probes only score candidates in the SAME bucket, so the
-  * per-probe work drops from |corpus| to |bucket| (tunable via
-  * NumPlanes). Hyperplanes come from a seeded RNG, so results are
-  * deterministic run-to-run; recall is probabilistic by design
-  * (property-tested against the brute-force result, not oracle-checked).
+  * per-probe work drops from |corpus| to |bucket|. `numPlanes` is the
+  * scale knob: buckets double per plane, so candidate cost per probe
+  * halves — pick ~log2(corpus / desired-candidates). Hyperplanes come
+  * from a seeded RNG, so results are deterministic run-to-run; recall is
+  * probabilistic by design (property-tested against the brute-force
+  * result and measured at 1x/4x/16x by graft.ScaleSmoke → SCALING.md,
+  * not oracle-checked).
   *
   * At 100 TB: bucket the corpus once (cheap projection), partition by
   * bucket, broadcast the probes — no shuffle of the big side beyond the
@@ -22,24 +25,26 @@ import graft.operators.SimilarityQueries.{asDoubles, dot, l2Norm}
   */
 object LshKnn {
 
+  /** Default signature width for the test-scale corpora; a real corpus
+    * sets numPlanes per the bucket-size math above.
+    */
   val NumPlanes = 4
   val Dim = 64
 
-  /** Fixed hyperplanes (seed 42) per dimensionality, materialized as
+  /** Fixed hyperplanes (seed 42) per (dim, numPlanes), materialized as
     * literal arrays in the plan — effectively broadcast constants. The
     * same seed always yields the same planes, so bucketing is
-    * deterministic per (dim, plane index).
+    * deterministic per configuration (and prefix-stable: plane i is the
+    * same whatever numPlanes is).
     */
   private val planeCache =
-    scala.collection.concurrent.TrieMap.empty[Int, Seq[Array[Double]]]
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), Seq[Array[Double]]]
 
-  private def planesFor(dim: Int): Seq[Array[Double]] =
-    planeCache.getOrElseUpdate(dim, {
+  private def planesFor(dim: Int, numPlanes: Int): Seq[Array[Double]] =
+    planeCache.getOrElseUpdate((dim, numPlanes), {
       val rng = new scala.util.Random(42)
-      Seq.fill(NumPlanes)(Array.fill(dim)(rng.nextGaussian()))
+      Seq.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
     })
-
-  private def planes: Seq[Array[Double]] = planesFor(Dim)
 
   private def planeCol(p: Array[Double]): Column =
     array(p.map(lit(_)).toIndexedSeq: _*)
@@ -47,9 +52,10 @@ object LshKnn {
   /** Sign-bit bucket id of a double-array vector column of `dim`
     * elements (defaults to the embeddings table's 64).
     */
-  def bucket(vec: Column, dim: Int = Dim): Column =
-    (0 until NumPlanes).map { i =>
-      when(dot(vec, planeCol(planesFor(dim)(i))) > 0, lit(1 << i)).otherwise(lit(0))
+  def bucket(vec: Column, dim: Int = Dim, numPlanes: Int = NumPlanes): Column =
+    (0 until numPlanes).map { i =>
+      when(dot(vec, planeCol(planesFor(dim, numPlanes)(i))) > 0, lit(1 << i))
+        .otherwise(lit(0))
     }.reduce(_ + _)
 
   /** Multi-probe candidate buckets: the vector's own bucket plus, for
@@ -60,8 +66,10 @@ object LshKnn {
     * single-bucket assignment and partitioning, so recall rises without
     * re-partitioning anything.
     */
-  def probeBuckets(vec: Column, nFlip: Int): Column = {
-    val dots = (0 until NumPlanes).map(i => dot(vec, planeCol(planes(i))))
+  def probeBuckets(vec: Column, nFlip: Int, dim: Int = Dim,
+      numPlanes: Int = NumPlanes): Column = {
+    val dots = (0 until numPlanes).map(i =>
+      dot(vec, planeCol(planesFor(dim, numPlanes)(i))))
     val base = dots.zipWithIndex.map { case (d, i) =>
       when(d > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -75,6 +83,11 @@ object LshKnn {
     }
   }
 
+  /** The (vec_id, vec) frame the sfDir entry points share. */
+  private def embFrom(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
+
   /** Approximate top-k cosine neighbors per probe (vec_id % 100 = 0),
     * scored only within the probe's bucket.
     */
@@ -85,18 +98,25 @@ object LshKnn {
     * lowest-margin neighboring buckets.
     */
   def approxTopKMultiProbe(spark: SparkSession, sfDir: String, k: Int = 5,
-      nFlip: Int = 1): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
-      .withColumn("bucket", bucket(col("vec")))
-    val probes = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
-      .filter(col("vec_id") % 100 === 0)
+      nFlip: Int = 1): DataFrame =
+    approxTopKFrom(embFrom(spark, sfDir), k, nFlip)
+
+  /** DataFrame-core form: `emb` is (vec_id, array<double> vec); probes
+    * are the rows with vec_id % probeModulus = 0. All scale knobs
+    * exposed — graft.ScaleSmoke drives this directly for the
+    * recall/cost curves in SCALING.md.
+    */
+  def approxTopKFrom(emb: DataFrame, k: Int = 5, nFlip: Int = 1,
+      probeModulus: Int = 100, dim: Int = Dim,
+      numPlanes: Int = NumPlanes): DataFrame = {
+    val bucketed = emb.withColumn("bucket", bucket(col("vec"), dim, numPlanes))
+    val probes = emb
+      .filter(col("vec_id") % probeModulus === 0)
       .select(col("vec_id").as("probe_id"), col("vec").as("probe_vec"),
-        explode(probeBuckets(col("vec"), nFlip)).as("bucket"))
+        explode(probeBuckets(col("vec"), nFlip, dim, numPlanes)).as("bucket"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    emb.join(broadcast(probes), Seq("bucket"))
+    bucketed.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         (round(dot(col("probe_vec"), col("vec")) /

@@ -32,6 +32,16 @@ object ScaleOps {
       .groupBy(col(keyCol))
       .agg(sum(col("__partial")).as("cnt"))
 
+  /** Oracle query over the salted two-phase aggregation: per-type event
+    * counts through saltedCount, hash-checked against a plain GROUP BY
+    * oracle — proving the salted rewrite is result-identical, under the
+    * driver's hard signal. event_type is the classic low-cardinality /
+    * high-skew key the rewrite exists for.
+    */
+  def qSaltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    saltedCount(graft.Tables.events(spark, sfDir), "event_type", buckets = 16)
+      .orderBy(asc_nulls_first("event_type"))
+
   /** Persist a DataFrame as a bucketed, bucket-sorted table: rows are
     * hash-partitioned into `nBuckets` files by `key` at WRITE time, so
     * any later equi-join or aggregation on `key` between tables

@@ -36,16 +36,25 @@ object SimilarityQueries {
     * stage does a single dot product per pair.
     */
   def qSimTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
-      .withColumn("norm", l2Norm(col("vec")))
       .repartition(spark.sparkContext.defaultParallelism)
-    val probes = emb
-      .filter(col("vec_id") % 100 === 0)
+    bruteTopKFrom(emb, k = 5)
+  }
+
+  /** DataFrame-core brute-force top-k: `emb` is (vec_id, array<double>
+    * vec); probes are the rows with vec_id % probeModulus = 0. The
+    * exact ground truth the ANN paths (LshKnn, IvfKnn) trade against —
+    * graft.ScaleSmoke measures their recall against this at 1x/4x/16x.
+    */
+  def bruteTopKFrom(emb: DataFrame, k: Int = 5, probeModulus: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val normed = emb.withColumn("norm", l2Norm(col("vec")))
+    val probes = normed
+      .filter(col("vec_id") % probeModulus === 0)
       .select(col("vec_id").as("probe_id"), col("vec").as("probe_vec"),
         col("norm").as("probe_norm"))
-    val pairs = emb
+    val pairs = normed
       .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         (round(dot(col("probe_vec"), col("vec")) /
@@ -54,7 +63,7 @@ object SimilarityQueries {
       .orderBy(col("cosine").desc, col("vec_id").asc)
     pairs
       .withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select("probe_id", "vec_id", "cosine", "rank")
       .orderBy(asc_nulls_first("probe_id"), col("rank").asc)
   }

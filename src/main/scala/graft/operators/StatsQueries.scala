@@ -36,6 +36,48 @@ object StatsQueries {
       .orderBy(asc_nulls_first("c_mktsegment"))
   }
 
+  /** Exact nearest-rank percentiles (p25/p50/p75/p90) of account
+    * balance per segment: the value at row_number ceil(q·n) under a
+    * total order — no interpolation, so both engines select the
+    * identical order statistic. One window over the same sort the
+    * median uses; still a single shuffle on the segment key.
+    */
+  def qPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val ranked = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+    val ps = Seq(25, 50, 75, 90)
+    ranked.groupBy("c_mktsegment")
+      .agg(
+        max(col("n")).as("n_customers"),
+        ps.map { p =>
+          (round(max(when(col("rn") === ceil(col("n") * p / 100.0),
+            col("c_acctbal"))), 6) + lit(0.0)).as(s"p$p")
+        }: _*)
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
+
+  /** Per-group mode: the most frequent order priority per order status
+    * (ties → lexically smallest priority), with its count. Two hash
+    * aggregations plus a top-1 window on the small (status, priority)
+    * grid — the big table shuffles once.
+    */
+  def qMode(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("cnt").as("mode_count"))
+      .orderBy(asc_nulls_first("o_orderstatus"))
+  }
+
   /** Pearson correlation of quantity vs extended price per return flag,
     * built from exact integer power sums (cents): n, Σx, Σy, Σxy, Σx²,
     * Σy² are all exact longs, so both engines evaluate the SAME final

@@ -44,6 +44,30 @@ object WindowQueries {
       .orderBy(asc_nulls_first("user_id"), col("ts").asc, col("event_id").asc)
   }
 
+  /** Trailing-30-day revenue per order via a RANGE frame over unix
+    * micros: every order of the same customer whose date falls within
+    * the preceding 30 days contributes — a value-based frame, not a
+    * row-count one, so no tie-break is needed for frame membership
+    * (equal-time rows share the identical frame in both engines). The
+    * sum accumulates in DECIMAL(18,2), exact at any frame.
+    */
+  def qWindowRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("od_us"))
+      .rangeBetween(-30L * dayUs, 0L)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+      .withColumn("trailing_30d_revenue",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        "trailing_30d_revenue")
+      .orderBy(asc_nulls_first("o_custkey"), col("o_orderdate").asc,
+        col("o_orderkey").asc)
+  }
+
   /** Running revenue per customer over orders by (orderdate, orderkey)
     * with an explicit ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
     * frame. The running sum accumulates in DECIMAL(18,2) — exact at any

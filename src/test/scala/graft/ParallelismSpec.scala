@@ -61,8 +61,20 @@ class ParallelismSpec extends AnyFunSuite {
     try {
       val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) =>
-          val stats = scanStats(fn(spark, sfDir).queryExecution.executedPlan)
-          assert(stats.nonEmpty, s"$name has no file scan to parallelize")
+          val df = fn(spark, sfDir)
+          val stats = scanStats(df.queryExecution.executedPlan)
+          // iterative operators (q_dedup_clusters) return a
+          // localCheckpoint-backed frame: lineage is truncated by design
+          // and the file scans ran inside the convergence loop, so the
+          // final plan legitimately has none — only then is empty OK
+          def hasRddScan(p: SparkPlan): Boolean = p match {
+            case a: AdaptiveSparkPlanExec => hasRddScan(a.executedPlan)
+            case _: org.apache.spark.sql.execution.RDDScanExec => true
+            case other => other.children.exists(hasRddScan)
+          }
+          val checkpointBacked = hasRddScan(df.queryExecution.executedPlan)
+          assert(stats.nonEmpty || checkpointBacked,
+            s"$name has no file scan to parallelize")
           val serialBigScans = stats.filter { case (bytes, parts) =>
             bytes > TinyScanBytes && parts <= 1
           }
