@@ -31,8 +31,17 @@ object GraphOps {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // seed with min(id, neighbors) straight from the edge aggregation —
+    // the first propagation round for free, no join
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("component"))
+      .localCheckpoint(false)
+    // Convergence signal: labels are monotone non-increasing (each
+    // round keeps min(own, offers)), so the exact decimal label sum
+    // strictly decreases on any change and is stable iff converged —
+    // one cheap scan-agg per round instead of a join + count, and the
+    // LAZY checkpoint below materializes in the same action.
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -45,12 +54,11 @@ object GraphOps {
         .unionAll(offers)
         .groupBy("id")
         .agg(min(col("component")).as("component"))
-      val changed = next.as("n")
-        .join(labels.as("l"), col("n.id") === col("l.id"))
-        .filter(col("n.component") =!= col("l.component"))
-        .count()
-      labels = next.localCheckpoint(true)
-      converged = changed == 0
+        .localCheckpoint(false)
+      val s = next.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
       iter += 1
     }
     labels
