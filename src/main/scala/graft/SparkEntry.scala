@@ -31,6 +31,7 @@ object SparkEntry {
     "q_join_semi"       -> (JoinQueries.qJoinSemi _),
     "q_join_anti"       -> (JoinQueries.qJoinAnti _),
     "q_join_range"      -> (JoinQueries.qJoinRange _),
+    "q_join_full"       -> (JoinQueries.qJoinFull _),
     "q_join_asof"       -> (JoinQueries.qJoinAsof _),
     "q_join_asof_banded" -> (JoinQueries.qJoinAsofBanded _),
     "q_agg_hash"        -> (AggQueries.qAggHash _),
@@ -39,6 +40,7 @@ object SparkEntry {
     "q_pivot"           -> (AggQueries.qPivot _),
     "q_unpivot"         -> (AggQueries.qUnpivot _),
     "q_agg_cube"        -> (AggQueries.qAggCube _),
+    "q_agg_grouping_sets" -> (AggQueries.qAggGroupingSets _),
     "q_topk"            -> (AggQueries.qTopk _),
     "q_set_union"       -> (AggQueries.qSetUnion _),
     "q_set_intersect"   -> (AggQueries.qSetIntersect _),
@@ -85,6 +87,8 @@ object SparkEntry {
     "q_text_quality"    -> (AdvancedTextQueries.qTextQuality _),
     "q_token_count"     -> (AdvancedTextQueries.qTokenCount _),
     "q_lang_id"         -> (AdvancedTextQueries.qLangId _),
+    "q_fuzzy_match"     -> (AdvancedTextQueries.qFuzzyMatch _),
+    "sketch_distinct"   -> (StatsQueries.sketchDistinct _),
     "udaf_demo"         -> (CoreQueries.udafDemo _),
   )
 
@@ -254,6 +258,36 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_returnflag, 'sum_base_price' AS metric, sum_base_price AS value FROM a
         |ORDER BY l_returnflag NULLS FIRST, metric NULLS FIRST""".stripMargin,
+    "q_join_full" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS id, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT user_id AS id, count(*) AS n_events FROM events GROUP BY 1)
+        |SELECT coalesce(o.id, e.id) AS id,
+        |  coalesce(o.n_orders, 0) AS n_orders,
+        |  coalesce(o.total_spent, 0.0) AS total_spent,
+        |  coalesce(e.n_events, 0) AS n_events
+        |FROM o FULL JOIN e ON o.id = e.id
+        |ORDER BY id NULLS FIRST""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY gid ASC, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_fuzzy_match" ->
+      """SELECT a.p_brand AS brand, count(*) AS n_close_pairs,
+        |  min(levenshtein(a.p_name, b.p_name)) AS min_dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        | AND a.p_partkey < b.p_partkey
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |GROUP BY 1 ORDER BY brand NULLS FIRST""".stripMargin,
     "q_agg_rollup" ->
       """SELECT r_name, n_name, CAST(GROUPING(r_name, n_name) AS INT) AS gid,
         |  count(*) AS n_orders,

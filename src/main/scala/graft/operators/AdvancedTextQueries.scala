@@ -232,6 +232,42 @@ object AdvancedTextQueries {
       .orderBy(asc_nulls_first("id"))
   }
 
+  /** Fuzzy (edit-distance) matching — the near-dup family member for
+    * SHORT strings where token shingles are useless: part-name pairs at
+    * Levenshtein ≤ 2 (exact dups and near-typos) within a
+    * record-linkage block. Blocked, never all-pairs: candidates must
+    * share (brand, container) — the categorical blocking key — AND sit
+    * in adjacent length bands (band width = threshold + 1;
+    * |len(a) − len(b)| > threshold forces distance > threshold, so the
+    * banding loses nothing — the pigeonhole argument the Hamming index
+    * uses, applied to string length). Only the left side fans out
+    * (3 bands); a qualifying pair meets exactly once. The distance
+    * itself uses Spark's THRESHOLDED levenshtein — a banded O(len·k) DP
+    * with early exit rather than the full O(len²) matrix (the oracle
+    * computes the full distance and filters; values agree wherever
+    * dist ≤ k).
+    */
+  def qFuzzyMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxDist = 2
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_name"),
+        floor(length(col("p_name")) / (maxDist + 1)).as("band"))
+    val probe = parts.select(col("p_partkey").as("a_key"),
+      col("p_brand").as("brand"), col("p_type").as("ptype"),
+      col("p_name").as("a_name"),
+      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("a_band"))
+    probe.join(parts,
+      col("brand") === col("p_brand") && col("ptype") === col("p_type") &&
+        col("a_band") === col("band") && col("a_key") < col("p_partkey"))
+      .filter(abs(length(col("a_name")) - length(col("p_name"))) <= maxDist)
+      .select(col("brand"),
+        levenshtein(col("a_name"), col("p_name"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n_close_pairs"), min(col("dist")).as("min_dist"))
+      .orderBy(asc_nulls_first("brand"))
+  }
+
   /** Position-sensitive document fingerprint: a weighted polynomial
     * hash — Σ md5_32(token) · w(pos) mod p with w(pos) =
     * (pos·2654435761) mod 1000003 — so permuted documents fingerprint

@@ -125,6 +125,24 @@ object AggQueries {
       .orderBy(col("gid").asc, asc_nulls_first("o_orderstatus"),
         asc_nulls_first("o_orderpriority"))
 
+  /** Explicit GROUPING SETS — the generalization rollup/cube are sugar
+    * for: exactly the listed groupings ((status, priority), (status),
+    * ()) aggregate in ONE pass over the data (Spark expands the sets
+    * into a single Expand + aggregation, not one job per set).
+    */
+  def qAggGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("gid").asc, asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
   /** Global top-20 orders by totalprice (tie-break orderkey). Compiles to
     * TakeOrderedAndProject: each partition keeps a 20-row heap, the
     * driver merges 20·P rows — no full sort at any scale.

@@ -111,6 +111,29 @@ object JoinQueries {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(asc_nulls_first("nationkey"))
 
+  /** Full outer join over genuinely overlapping-but-distinct key
+    * spaces: per-id order activity ⟗ per-id event activity (the events
+    * user space and the orders customer space each contain ids the
+    * other lacks, so both unmatched sides are non-empty). Aggregates
+    * first, then joins — the full-outer carries one row per id, not one
+    * per fact row.
+    */
+  def qJoinFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("id"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_spent"))
+    val e = Tables.events(spark, sfDir)
+      .groupBy(col("user_id").as("id"))
+      .agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_spent"), lit(0.0)).as("total_spent"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(asc_nulls_first("id"))
+  }
+
   /** Purchase attribution via the banded as-of operator
     * (AsofJoin.asofBackwardBanded): each purchase joins the same
     * user's most recent click within the preceding hour. The tolerance

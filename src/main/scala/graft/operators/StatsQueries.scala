@@ -109,6 +109,23 @@ object StatsQueries {
       .orderBy(asc_nulls_first("l_returnflag"))
   }
 
+  /** Sketch surface: HyperLogLog++ approximate distinct users per event
+    * type, next to the exact count. At 100 TB the exact distinct is a
+    * full shuffle of every key; the sketch is a few KB per group,
+    * merged associatively — partition-order-independent, hence
+    * deterministic (register-wise max), unlike quantile sketches. NOT
+    * oracle-checked (DuckDB's approx_count_distinct is a different
+    * sketch); the driver records rows>0 and PropertySpec bounds the
+    * relative error against the exact count.
+    */
+  def sketchDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(asc_nulls_first("event_type"))
+
   /** Histogram of order totals in 50k-wide buckets: explicit integer
     * floor bucketing (no width_bucket dialect differences), bucket
     * bounds reported exactly.

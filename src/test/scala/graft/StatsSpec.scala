@@ -32,6 +32,17 @@ class StatsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("sketch_distinct query: HLL approx within 5% of the exact per-group count") {
+    val rows = q("sketch_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("approx_count_distinct (HLL) tracks the exact distinct count within rsd") {
     import spark.implicits._
     // approximate aggregates stay out of the oracle set (SURVEY §2.3);
