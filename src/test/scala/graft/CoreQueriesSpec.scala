@@ -15,7 +15,12 @@ class CoreQueriesSpec extends AnyFunSuite {
       val df = fn(spark, sfDir)
       assert(df.count() >= 0, s"$name failed to execute")
     }
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // declared exceptions: approximate sketches have no cross-engine
+    // oracle by design (DuckDB's approx_count_distinct is a different
+    // sketch); their error bound is spec-checked in StatsSpec instead
+    val declaredNoOracle = Set("sketch_distinct")
+    val noOracle =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- declaredNoOracle
     assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
