@@ -77,6 +77,7 @@ object SparkEntry {
     "q_histogram"       -> (StatsQueries.qHistogram _),
     "q_window_range"    -> (WindowQueries.qWindowRangeFrame _),
     "q_salted_agg"      -> (ScaleOps.qSaltedAgg _),
+    "q_salted_join"     -> (ScaleOps.qSaltedJoin _),
     "q_sim_topk"        -> (SimilarityQueries.qSimTopk _),
     "q_dedup_embed"     -> (SimilarityQueries.qDedupEmbed _),
     "q_dedup_minhash"   -> (AdvancedTextQueries.qDedupMinhash _),
@@ -116,7 +117,17 @@ object SparkEntry {
        |  FROM bits)""".stripMargin
   }
 
+  /** q_join_inner and q_salted_join share one oracle: the salted
+    * rewrite must be result-identical to the plain join.
+    */
+  private val JoinInnerSql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_salted_join" -> JoinInnerSql,
     "q_dedup_simhash" -> (SimhashSigCte + "\n" +
       """SELECT simhash, min(doc_id) AS canonical_doc_id, count(*) AS group_size
         |FROM sig GROUP BY simhash
@@ -162,11 +173,7 @@ object SparkEntry {
         |WHERE word <> '' GROUP BY word
         |HAVING count(DISTINCT doc_id) <= 1000
         |ORDER BY word""".stripMargin,
-    "q_join_inner" ->
-      """SELECT c_mktsegment, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    "q_join_inner" -> JoinInnerSql,
     "q_join_broadcast" ->
       """SELECT r_name, count(*) AS n_lines,
         |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *

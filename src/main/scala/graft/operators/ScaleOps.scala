@@ -42,6 +42,19 @@ object ScaleOps {
     saltedCount(graft.Tables.events(spark, sfDir), "event_type", buckets = 16)
       .orderBy(asc_nulls_first("event_type"))
 
+  /** Oracle query over the salted join: orders ⋈ customer through
+    * saltedJoin (salted big side, replicated small side), aggregated to
+    * the exact q_join_inner result — the join rewrite proven
+    * result-identical under the driver's hash compare.
+    */
+  def qSaltedJoin(spark: SparkSession, sfDir: String): DataFrame =
+    saltedJoin(graft.Tables.orders(spark, sfDir),
+      graft.Tables.customer(spark, sfDir), "o_custkey", "c_custkey", buckets = 16)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_revenue"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+
   /** Persist a DataFrame as a bucketed, bucket-sorted table: rows are
     * hash-partitioned into `nBuckets` files by `key` at WRITE time, so
     * any later equi-join or aggregation on `key` between tables

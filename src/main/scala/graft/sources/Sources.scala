@@ -81,6 +81,20 @@ object Sources {
       .repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
 
+  /** Distributed TOTAL sort to disk: `repartitionByRange` assigns
+    * non-overlapping sort-key ranges to `numFiles` partitions (range
+    * boundaries from a driver-side sample — no full sort anywhere),
+    * each partition sorts locally, and the part files concatenate in
+    * filename order to a globally sorted dataset. The scale-safe form
+    * of ORDER BY-into-files: a 100 TB sort is numFiles independent
+    * local sorts after one range exchange.
+    */
+  def writeGlobalSorted(df: DataFrame, sortCol: String, path: String,
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Binary ingestion for multimodal payloads (images/audio/video as
     * opaque bytes): one row per file with (path, modificationTime,
     * length, content). The datasource prunes `content` when only

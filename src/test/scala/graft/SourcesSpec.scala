@@ -123,6 +123,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.as[Long].collect().toSet == (0L until 1000L).toSet)
   }
 
+  test("global sorted write: part files hold non-overlapping ranges, concatenation is sorted") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gsort_").toString
+    val df = Tables.orders(spark, SparkTestSession.sfDir)
+      .select("o_orderkey", "o_totalprice")
+    Sources.writeGlobalSorted(df, "o_totalprice", dir, numFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getAbsolutePath).sorted
+    assert(files.length == 4)
+    // within each file: sorted; across files in name order: ranges ascend
+    var prevMax = Double.NegativeInfinity
+    for (f <- files) {
+      val vals = spark.read.parquet(f).select("o_totalprice").as[Double].collect()
+      assert(vals.sameElements(vals.sorted), s"$f not locally sorted")
+      if (vals.nonEmpty) {
+        assert(vals.head >= prevMax, "file ranges overlap — not a total sort")
+        prevMax = vals.last
+      }
+    }
+    // nothing lost
+    assert(spark.read.parquet(dir).count() == df.count())
+  }
+
   test("KV text sink: sharded, sorted-within-shard 'key value' lines") {
     import spark.implicits._
     val dir = Files.createTempDirectory("kvtext_").toString
