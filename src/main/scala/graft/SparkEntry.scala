@@ -48,6 +48,9 @@ object SparkEntry {
     "q_window_rank"     -> (WindowQueries.qWindowRank _),
     "q_window_analytic" -> (WindowQueries.qWindowAnalytic _),
     "q_window_frame"    -> (WindowQueries.qWindowFrame _),
+    "q_window_dist"     -> (WindowQueries.qWindowDist _),
+    "q_agg_argmax"      -> (AggQueries.qAggArgmax _),
+    "q_sample_stratified" -> (TextQueries.qSampleStratified _),
     "q_scalar_string"   -> (ScalarQueries.qScalarString _),
     "q_scalar_date"     -> (ScalarQueries.qScalarDate _),
     "q_scalar_math"     -> (ScalarQueries.qScalarMath _),
@@ -356,6 +359,44 @@ object SparkEntry {
         |    AS running_revenue
         |FROM orders
         |ORDER BY o_custkey NULLS FIRST, o_orderdate ASC, o_orderkey ASC""".stripMargin,
+    "q_window_dist" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) + 0.0 AS pct_rank,
+        |  round(cume_dist() OVER w, 6) + 0.0 AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_mktsegment NULLS FIRST, c_acctbal ASC, c_custkey ASC""".stripMargin,
+    "q_agg_argmax" ->
+      """WITH j AS (
+        |  SELECT n_name, c_name, c_acctbal, c_custkey
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |r AS (
+        |  SELECT n_name, c_name, c_acctbal,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+        |  FROM j)
+        |SELECT n_name,
+        |  max(CASE WHEN rmax = 1 THEN c_name END) AS richest_customer,
+        |  max(c_acctbal) AS max_acctbal,
+        |  max(CASE WHEN rmin = 1 THEN c_name END) AS poorest_customer,
+        |  min(c_acctbal) AS min_acctbal
+        |FROM r GROUP BY n_name ORDER BY n_name NULLS FIRST""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+        |      % 100 <
+        |      (CASE WHEN lang = 'en' THEN 10
+        |            WHEN lang = 'zh' THEN 80 ELSE 30 END) AS sampled
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  min(CASE WHEN sampled THEN doc_id END) AS min_sampled_doc
+        |FROM s GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
     "q_scalar_string" ->
       """SELECT p_partkey,
         |  upper(p_name) AS name_upper,

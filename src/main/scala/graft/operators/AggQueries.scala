@@ -183,4 +183,25 @@ object AggQueries {
     Tables.orders(spark, sfDir).select(col("o_custkey").as("custkey"))
       .except(Tables.events(spark, sfDir).select(col("user_id").as("custkey")))
       .orderBy(asc_nulls_first("custkey"))
+
+  /** Argmax/argmin aggregation: per nation, the richest and poorest
+    * customer via max_by/min_by over a (c_acctbal, c_custkey) struct —
+    * the struct's lexicographic ordering makes the tie-break explicit
+    * and deterministic (unique custkey), unlike a bare max_by on a
+    * possibly-tied double. One broadcast join (25-row nation) + one
+    * hash agg; the shuffle carries one candidate struct per (nation,
+    * partition). The oracle reproduces the same selection with two
+    * row_number windows.
+    */
+  def qAggArgmax(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        expr("max_by(c_name, struct(c_acctbal, c_custkey))").as("richest_customer"),
+        max(col("c_acctbal")).as("max_acctbal"),
+        expr("min_by(c_name, struct(c_acctbal, c_custkey))").as("poorest_customer"),
+        min(col("c_acctbal")).as("min_acctbal"))
+      .orderBy(asc_nulls_first("n_name"))
 }

@@ -79,6 +79,29 @@ object TextQueries {
       .orderBy(asc_nulls_first("lang"))
   }
 
+  /** Stratified deterministic sampling: per-language keep rates (the
+    * language-mix rebalancing step of a pretraining pipeline — downsample
+    * the dominant language, keep most of the rare ones) applied through
+    * the same seed-free md5 bucketing as qSampleHash, so membership is
+    * stable under retry, repartitioning, and engine. One narrow pass +
+    * one hash agg — the stratification is a codegen'd CASE, never a
+    * per-stratum job.
+    */
+  def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    val rate = when(col("lang") === "en", 10)
+      .when(col("lang") === "zh", 80)
+      .otherwise(30)
+    Tables.documents(spark, sfDir)
+      .withColumn("sampled", bucket < rate)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        min(when(col("sampled"), col("doc_id"))).as("min_sampled_doc"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
   /** Fixed-size document chunking: split each document into
     * consecutive 32-token chunks (the shape LLM pre-tokenization
     * pipelines feed to packing). Chunk text reassembles in token order

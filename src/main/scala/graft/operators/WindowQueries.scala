@@ -84,4 +84,23 @@ object WindowQueries {
         sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
       .orderBy(asc_nulls_first("o_custkey"), col("o_orderdate").asc, col("o_orderkey").asc)
   }
+
+  /** Distribution window functions — quartile assignment (ntile),
+    * percent_rank and cume_dist per customer within a market segment.
+    * The window ordering includes the unique c_custkey, so there are
+    * never ties: percent_rank = (rn−1)/(n−1) and cume_dist = rn/n are
+    * single IEEE divisions of exact integers in both engines, rounded
+    * to 6 dp for the compare.
+    */
+  def qWindowDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6) + lit(0.0))
+      .withColumn("cume", round(cume_dist().over(w), 6) + lit(0.0))
+      .orderBy(asc_nulls_first("c_mktsegment"), col("c_acctbal").asc,
+        col("c_custkey").asc)
+  }
 }
