@@ -51,6 +51,8 @@ object SparkEntry {
     "q_window_dist"     -> (WindowQueries.qWindowDist _),
     "q_agg_argmax"      -> (AggQueries.qAggArgmax _),
     "q_sample_stratified" -> (TextQueries.qSampleStratified _),
+    "q_repetition"      -> (AdvancedTextQueries.qRepetition _),
+    "q_resample"        -> (EventQueries.qResample _),
     "q_scalar_string"   -> (ScalarQueries.qScalarString _),
     "q_scalar_date"     -> (ScalarQueries.qScalarDate _),
     "q_scalar_math"     -> (ScalarQueries.qScalarMath _),
@@ -397,6 +399,59 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         |  min(CASE WHEN sampled THEN doc_id END) AS min_sampled_doc
         |FROM s GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+    "q_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '')) AS t,
+        |    generate_subscripts(
+        |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                  x -> x <> ''), 1) AS pos
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, t,
+        |    lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+        |    lead(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+        |  FROM tok),
+        |bi AS (
+        |  SELECT doc_id, lang, max(cnt) AS max_bi, sum(cnt) AS n_bi FROM (
+        |    SELECT doc_id, lang, t || ' ' || t2 AS gg, count(*) AS cnt
+        |    FROM g WHERE t2 IS NOT NULL GROUP BY doc_id, lang, gg) bc
+        |  GROUP BY doc_id, lang),
+        |tri AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_tri,
+        |    sum(cnt) AS n_tri FROM (
+        |    SELECT doc_id, t || ' ' || t2 || ' ' || t3 AS gg, count(*) AS cnt
+        |    FROM g WHERE t3 IS NOT NULL GROUP BY doc_id, gg) tc
+        |  GROUP BY doc_id)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN max_bi * 5 > n_bi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_top_bigram_heavy,
+        |  CAST(sum(CASE WHEN dup_tri * 2 > n_tri THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_trigram_heavy,
+        |  round(max(CAST(max_bi AS DOUBLE) / n_bi), 6) + 0.0
+        |    AS max_top_bigram_frac
+        |FROM bi JOIN tri USING (doc_id)
+        |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+    "q_resample" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, value FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |daily AS (
+        |  SELECT day, event_type, count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM ev GROUP BY day, event_type)
+        |SELECT day, event_type,
+        |  coalesce(n_events, 0) AS n_events,
+        |  CAST(coalesce(cents, 0) AS DOUBLE) / 100.0 AS total_value
+        |FROM days
+        |CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+        |LEFT JOIN daily USING (day, event_type)
+        |ORDER BY day NULLS FIRST, event_type NULLS FIRST""".stripMargin,
     "q_scalar_string" ->
       """SELECT p_partkey,
         |  upper(p_name) AS name_upper,

@@ -378,4 +378,48 @@ object AdvancedTextQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(asc_nulls_first("lang"), asc_nulls_first("guess"))
   }
+
+  /** Within-document repetition metrics — the Gopher-style repetition
+    * quality filter: per document, the fraction of token bigrams taken
+    * by the single most frequent bigram, and the fraction of trigram
+    * occurrences whose trigram appears more than once. Docs are flagged
+    * heavy by integer cross-multiplication (max_bi·5 > n_bi ⇔ top-bigram
+    * share > 20%; dup_tri·2 > n_tri ⇔ duplicate-trigram share > 50%) so
+    * thresholding never touches a float; only the reported max fraction
+    * divides (single IEEE division, rounded 6 dp). N-grams come from
+    * lead() over a per-doc position window — one exchange on doc_id,
+    * reused by both gram sizes — then two hash aggs whose shuffled width
+    * is one row per distinct gram. Docs under 3 tokens have no trigrams
+    * and drop from the (inner) metric join, mirrored by the oracle.
+    */
+  def qRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("t2", lead(col("t"), 1).over(w))
+      .withColumn("t3", lead(col("t"), 2).over(w))
+    val bi = grams.filter(col("t2").isNotNull)
+      .groupBy(col("doc_id"), col("lang"),
+        concat_ws(" ", col("t"), col("t2")).as("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "lang")
+      .agg(max(col("cnt")).as("max_bi"), sum(col("cnt")).as("n_bi"))
+    val tri = grams.filter(col("t3").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("t"), col("t2"), col("t3")).as("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_tri"),
+        sum(col("cnt")).as("n_tri"))
+    bi.join(tri, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("max_bi") * 5 > col("n_bi"), 1L).otherwise(0L))
+          .as("n_top_bigram_heavy"),
+        sum(when(col("dup_tri") * 2 > col("n_tri"), 1L).otherwise(0L))
+          .as("n_dup_trigram_heavy"),
+        (round(max(col("max_bi").cast("double") / col("n_bi")), 6) + lit(0.0))
+          .as("max_top_bigram_frac"))
+      .orderBy(asc_nulls_first("lang"))
+  }
 }

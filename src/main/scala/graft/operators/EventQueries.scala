@@ -89,4 +89,31 @@ object EventQueries {
       .select("user_id", "event_type", "event_id", "ts", "value")
       .orderBy(asc_nulls_first("user_id"), asc_nulls_first("event_type"))
   }
+
+  /** Time-series resampling / densification: daily revenue per
+    * event_type over a complete calendar grid — every (day, type) cell
+    * appears even when no event landed there (gap-filled with zeros),
+    * the shape downstream charting/forecasting expects. The calendar
+    * derives from the data itself (min/max day, a 1-row aggregate
+    * broadcast into a sequence() explode — no driver round-trip, no
+    * hardcoded dates) and cross-joins the distinct types: both sides are
+    * tiny dimension products, broadcast against the per-day aggregates.
+    * Value math in exact integer cents.
+    */
+  def qResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
+    val days = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = ev.select("event_type").distinct()
+    val daily = ev.groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    days.crossJoin(broadcast(types))
+      .join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        (coalesce(col("cents"), lit(0L)).cast("double") / 100.0).as("total_value"))
+      .orderBy(asc_nulls_first("day"), asc_nulls_first("event_type"))
+  }
 }
