@@ -42,11 +42,17 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) => run(fn) }
 
+    // One short line per query AS IT COMPLETES: the recording harness
+    // captures only a log tail, and a single giant JSON line can lose its
+    // head to the tail window (it did, twice). These lines make any tail
+    // self-sufficient; the machine-readable summary still goes last.
     val results = ordered.map { case (name, fn) =>
       val times = Seq.fill(reps)(run(fn)).filter(_ >= 0)
       val (min, med) =
         if (times.isEmpty) (-1.0, -1.0)
         else (times.min, times.sorted.apply(times.size / 2))
+      println(f"[bench] $name min=$min%.3f med=$med%.3f")
+      Console.out.flush()
       (name, min, med)
     }
     def json(sel: ((String, Double, Double)) => Double): String =
@@ -55,9 +61,14 @@ object Bench {
     val qs = json(_._2)
     val med = json(_._3)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
+    val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_median":$med,"sf":"$sfDir"}""")
+        s""""queries_median":$med,"sf":"$sfDir"}"""
+    println(f"[bench] total_min=$total%.3f over ${results.size} queries")
+    // Stop Spark BEFORE the summary line so no shutdown logging can land
+    // after it — the JSON must be the final bytes of the captured tail.
     spark.stop()
+    println(summary)
+    Console.out.flush()
   }
 }

@@ -25,17 +25,43 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val scalarBroadcasts = Set("q_tfidf")
 
+  /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
+    * event types in q_resample): both sides are tiny dimension products —
+    * O(days × types) at any data scale — and the build side must be a
+    * broadcast exchange, which `assertBroadcastBuild` verifies so the
+    * allowance cannot mask an accidental fact×fact cross join.
+    */
+  private val dimensionGridBroadcasts = Set("q_resample")
+
   private def flatten(plan: SparkPlan): Seq[SparkPlan] = plan match {
     case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
     case p => p +: p.children.flatMap(flatten)
   }
+
+  /** Every BNLJ in the plan must build from a broadcast exchange (the
+    * tiny dimension side), never stream×stream.
+    */
+  private def assertBroadcastBuild(name: String, nodes: Seq[SparkPlan]): Unit =
+    nodes.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+      }
+      assert(flatten(build).exists {
+        case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => true
+        case _: org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec => true
+        case _ => false
+      }, s"$name has a BroadcastNestedLoopJoin whose build side is not a broadcast exchange")
+    }
 
   test("no cartesian products; nested-loop joins only in declared pairwise baselines") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val nodes = flatten(fn(spark, sfDir).queryExecution.executedPlan)
       assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
         s"$name plans a CartesianProduct")
-      if (!pairwiseBaselines(name) && !scalarBroadcasts(name))
+      if (dimensionGridBroadcasts(name))
+        assertBroadcastBuild(name, nodes)
+      else if (!pairwiseBaselines(name) && !scalarBroadcasts(name))
         assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
           s"$name plans a BroadcastNestedLoopJoin")
     }
