@@ -17,7 +17,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * scale paths: their pairwise broadcast loop is the point (exact
     * answers to property-test recall against), so BNLJ is expected.
     */
-  private val pairwiseBaselines = Set("q_sim_topk", "q_dedup_embed")
+  private val pairwiseBaselines = Set("q_sim_topk")
 
   /** Queries whose BNLJ is a single-row broadcast cross join (a scalar
     * like corpus size N entering the plan) — constant work per row at
