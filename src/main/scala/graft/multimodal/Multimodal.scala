@@ -62,24 +62,75 @@ object Multimodal {
     }
   }
 
-  /** Real image decoder backed by the JDK's javax.imageio (PNG / BMP /
-    * GIF / JPEG — zero external dependencies): decoded pixels reduce to
-    * a 4×4 grid of mean luminance, a 16-dim feature that is
-    * deterministic for a given encoded payload and identical for
-    * byte-identical images regardless of encoding container. Audio and
-    * video have no in-JDK codec, so they still fall back to
-    * StubDecoder, as do undecodable image payloads (truncated files) —
-    * a decode failure must not kill a 100 TB batch job over one bad
-    * blob.
+  /** Real in-JDK decoders — zero external dependencies:
+    *   - image via javax.imageio (PNG / BMP / GIF / JPEG): decoded
+    *     pixels reduce to a 4×4 grid of mean luminance;
+    *   - audio via javax.sound.sampled (WAV / AIFF / AU): decoded PCM
+    *     reduces to per-segment RMS energy over 16 equal time slices.
+    * Both are 16-dim, deterministic for a given encoded payload, and
+    * identical for byte-identical media regardless of container
+    * details. Video has no in-JDK codec and falls back to StubDecoder,
+    * as does any undecodable payload (truncated file, codec plugin
+    * throwing) — a decode failure must not kill a 100 TB batch job
+    * over one bad blob, so failures degrade per-record, not per-task.
+    * JDK image/sound plugins throw RuntimeExceptions (not just
+    * IOException) on malformed payloads, hence the NonFatal catch.
     */
-  object ImageIoDecoder extends MediaDecoder {
+  object JdkMediaDecoder extends MediaDecoder {
     val featureDim = 16
-    def decode(kind: String, content: Array[Byte]): Array[Float] = {
-      if (kind != "image") return StubDecoder.decode(kind, content)
+
+    def decode(kind: String, content: Array[Byte]): Array[Float] = kind match {
+      case "image" => decodeImage(content)
+      case "audio" => decodeAudio(content)
+      case _ => StubDecoder.decode(kind, content)
+    }
+
+    /** WAV/AIFF/AU → mono PCM → RMS energy per 1/16th of the clip,
+      * normalized to [0,1] by full-scale 16-bit amplitude.
+      */
+    private def decodeAudio(content: Array[Byte]): Array[Float] = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val pcmBytes =
+        try {
+          val in = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(content))
+          val base = in.getFormat
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            base.getSampleRate, 16, base.getChannels,
+            base.getChannels * 2, base.getSampleRate, false)
+          AudioSystem.getAudioInputStream(target, in).readAllBytes()
+        } catch { case scala.util.control.NonFatal(_) => null }
+      if (pcmBytes == null || pcmBytes.length < 2)
+        return StubDecoder.decode("audio", content)
+      // 16-bit little-endian, channels interleaved → mean over channels
+      // is unnecessary for energy: treat every sample uniformly.
+      val nSamples = pcmBytes.length / 2
+      val sumsq = new Array[Double](featureDim)
+      val counts = new Array[Int](featureDim)
+      var i = 0
+      while (i < nSamples) {
+        val s = ((pcmBytes(2 * i + 1) << 8) | (pcmBytes(2 * i) & 0xff)).toShort
+        val cell = (i.toLong * featureDim / nSamples).toInt
+        val v = s / 32768.0
+        sumsq(cell) += v * v
+        counts(cell) += 1
+        i += 1
+      }
+      val out = new Array[Float](featureDim)
+      i = 0
+      while (i < featureDim) {
+        out(i) = if (counts(i) == 0) 0f
+          else math.sqrt(sumsq(i) / counts(i)).toFloat
+        i += 1
+      }
+      out
+    }
+
+    private def decodeImage(content: Array[Byte]): Array[Float] = {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-        catch { case _: java.io.IOException => null }
-      if (img == null) StubDecoder.decode(kind, content)
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) StubDecoder.decode("image", content)
       else {
         val w = img.getWidth
         val h = img.getHeight

@@ -145,7 +145,7 @@ class ScalePathSpec extends AnyFunSuite {
       Multimodal.MediaRecord(4, "image", Array[Byte](1, 2, 3), 0, 0, 0), // truncated
       Multimodal.MediaRecord(5, "audio", Array.fill(64)(7.toByte), 0, 0, 1000)
     ).toDS()
-    val f = Multimodal.extractFeatures(ds, Multimodal.ImageIoDecoder)
+    val f = Multimodal.extractFeatures(ds, Multimodal.JdkMediaDecoder)
       .collect().map(r => r.media_id -> r.features.toSeq).toMap
     // real decode: 4x4 mean-luminance grid, every cell in [0,1]
     assert(f(1).forall(v => v >= 0f && v <= 1f))
@@ -155,7 +155,7 @@ class ScalePathSpec extends AnyFunSuite {
     assert(f(4) == Multimodal.StubDecoder.decode("image", Array[Byte](1, 2, 3)).toSeq)
     assert(f(5) == Multimodal.StubDecoder.decode("audio", Array.fill(64)(7.toByte)).toSeq)
     // end-to-end: the twins land in one (image, bucket) group, canonical = min id
-    val groups = Multimodal.nearDupMedia(ds, Multimodal.ImageIoDecoder)
+    val groups = Multimodal.nearDupMedia(ds, Multimodal.JdkMediaDecoder)
       .filter($"kind" === "image" && $"canonical_media_id" === 1L)
     assert(groups.as[(String, Int, Long, Long)].collect()
       .exists(_._4 >= 2), "identical images must share an LSH bucket")
@@ -175,11 +175,46 @@ class ScalePathSpec extends AnyFunSuite {
     val feats = Multimodal.extractFeatures(
       Multimodal.fromBinary(
         graft.sources.Sources.binaryCorpus(spark, dir.toString + "/*.png")),
-      Multimodal.ImageIoDecoder).collect()
+      Multimodal.JdkMediaDecoder).collect()
     assert(feats.length == 2)
     val means = feats.map(_.features.sum / 16)
     // gray level survives the decode: one image near 10/255, one near 240/255
     assert(means.min < 0.1f && means.max > 0.9f)
+  }
+
+  test("audio: genuine WAV decodes to per-segment RMS; silence and tone separate") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 8 kHz mono 16-bit WAV: first half a full-scale-/2 sine, second half silence
+    def wav(): Array[Byte] = {
+      val n = 8000
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n / 2) {
+        val s = (math.sin(2 * math.Pi * 440 * i / 8000.0) * 16384).toInt.toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n), AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val payload = wav()
+    val ds = Seq(
+      Multimodal.MediaRecord(1, "audio", payload, 0, 0, 1000),
+      Multimodal.MediaRecord(2, "audio", Array.fill(64)(7.toByte), 0, 0, 1000) // not WAV
+    ).toDS()
+    val f = Multimodal.extractFeatures(ds, Multimodal.JdkMediaDecoder)
+      .collect().map(r => r.media_id -> r.features.toSeq).toMap
+    // real decode: tone half carries RMS ~0.35 (sine at half scale), silent half ~0
+    assert(f(1).take(8).forall(v => v > 0.2f && v < 0.5f),
+      s"tone segments off: ${f(1)}")
+    assert(f(1).drop(8).forall(_ < 0.01f), s"silent segments off: ${f(1)}")
+    // and it is NOT the stub's byte-histogram fake
+    assert(f(1) != Multimodal.StubDecoder.decode("audio", payload).toSeq)
+    // non-WAV bytes degrade per-record to the stub
+    assert(f(2) == Multimodal.StubDecoder.decode("audio", Array.fill(64)(7.toByte)).toSeq)
   }
 
   test("multimodal: frame sampling fans out deterministically") {
