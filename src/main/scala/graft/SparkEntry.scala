@@ -34,6 +34,7 @@ object SparkEntry {
     "q_join_full"       -> (JoinQueries.qJoinFull _),
     "q_join_asof"       -> (JoinQueries.qJoinAsof _),
     "q_join_asof_banded" -> (JoinQueries.qJoinAsofBanded _),
+    "q_join_interval"   -> (JoinQueries.qJoinInterval _),
     "q_agg_hash"        -> (AggQueries.qAggHash _),
     "q_agg_distinct"    -> (AggQueries.qAggDistinct _),
     "q_agg_rollup"      -> (AggQueries.qAggRollup _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "q_lang_id"         -> (AdvancedTextQueries.qLangId _),
     "q_fuzzy_match"     -> (AdvancedTextQueries.qFuzzyMatch _),
     "sketch_distinct"   -> (StatsQueries.sketchDistinct _),
+    "sketch_percentiles" -> (StatsQueries.sketchPercentiles _),
     "udaf_demo"         -> (CoreQueries.udafDemo _),
   )
 
@@ -230,6 +232,18 @@ object SparkEntry {
         |   AND epoch_us(c.ts) <= epoch_us(p.ts)
         |   AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000) t
         |WHERE rn = 1 ORDER BY event_id NULLS FIRST""".stripMargin,
+    "q_join_interval" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+        |  CAST(count(*) AS BIGINT) AS n_clicks,
+        |  max(c.event_id) AS max_click_id,
+        |  max(epoch_us(c.ts)) AS last_click_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        | AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000
+        |GROUP BY 1, 2, 3
+        |ORDER BY purchase_id NULLS FIRST""".stripMargin,
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0

@@ -161,6 +161,40 @@ object JoinQueries {
       .orderBy(asc_nulls_first("event_id"))
   }
 
+  /** Batch form of the stream-stream interval join (EventStreams
+    * .purchaseClickPairs, whose streaming run StreamingSmokeSpec proves
+    * emits exactly these pairs): every (purchase, click) of one user
+    * with the click inside the hour before the purchase, aggregated per
+    * purchase into click count + latest click. The equi-key is user_id
+    * — one shuffle each side — with the time band as a residual join
+    * predicate, so per-purchase fan-out is bounded by one user's clicks
+    * in a 1-hour band no matter how long the stream history grows (the
+    * same state-bounding argument the streaming twin's watermark
+    * eviction makes). Times compare in unix micros, exact on both
+    * engines.
+    */
+  def qJoinInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("ts_us").as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("c_us"))
+    purchases
+      .join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("c_us") <= col("p_us") && col("c_us") > col("p_us") - hourUs)
+      .groupBy("purchase_id", "user_id", "p_ts")
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        max(col("click_id")).as("max_click_id"),
+        max(col("c_us")).as("last_click_us"))
+      .orderBy(asc_nulls_first("purchase_id"))
+  }
+
   /** As-of join: for each event, the latest order of the same user with
     * o_orderdate <= ts. Spark has no native ASOF; this is the
     * union-merge form (AsofJoin.asofBackwardUnion): both sides tagged

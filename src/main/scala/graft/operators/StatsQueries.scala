@@ -126,6 +126,33 @@ object StatsQueries {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(asc_nulls_first("event_type"))
 
+  /** Mergeable quantile sketch next to the exact q_percentiles:
+    * percentile_approx is Spark's Greenwald-Khanna quantile summary —
+    * built per partition, merged associatively, O(accuracy·log n)
+    * space — so at 100 TB each group costs a few KB of sketch instead
+    * of the full-column shuffle the exact nearest-rank form pays. Rank
+    * error is bounded by n/accuracy (≤ n/10⁴ here). NOT oracle-checked
+    * (DuckDB's approx_quantile is a t-digest — a different sketch with
+    * different answers); the driver records rows>0 and StatsSpec bounds
+    * the rank error of every reported value against the exact order
+    * statistics, the same spec-bounded treatment as sketch_distinct.
+    */
+  def sketchPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val qs = Seq(25, 50, 75, 90)
+    Tables.customer(spark, sfDir)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        percentile_approx(col("c_acctbal"),
+          array(qs.map(p => lit(p / 100.0)): _*), lit(10000)).as("ps"))
+      .select(
+        col("c_mktsegment") +: col("n_customers") +:
+          qs.zipWithIndex.map { case (p, i) =>
+            element_at(col("ps"), i + 1).as(s"approx_p$p")
+          }: _*)
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
+
   /** Histogram of order totals in 50k-wide buckets: explicit integer
     * floor bucketing (no width_bucket dialect differences), bucket
     * bounds reported exactly.

@@ -43,6 +43,32 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch_percentiles: every reported value is an order statistic within rank error n/accuracy") {
+    import spark.implicits._
+    val vals = Tables.customer(spark, sfDir)
+      .select($"c_mktsegment", $"c_acctbal").as[(String, Double)]
+      .collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val rows = q("sketch_percentiles").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      val n = r.getLong(1).toInt
+      val sorted = vals(seg)
+      assert(sorted.length == n)
+      Seq(25, 50, 75, 90).zipWithIndex.foreach { case (p, i) =>
+        val v = r.getDouble(2 + i)
+        // GK guarantee: reported value's rank within n·(1/accuracy) of
+        // the target rank; allow one extra row for boundary convention
+        val idx = sorted.indexOf(v)
+        assert(idx >= 0, s"$seg p$p=$v is not a member of the column")
+        val target = math.ceil(n * p / 100.0)
+        val slack = n / 10000.0 + 1
+        assert(math.abs((idx + 1) - target) <= slack,
+          s"$seg p$p=$v at rank ${idx + 1}, target $target, slack $slack")
+      }
+    }
+  }
+
   test("approx_count_distinct (HLL) tracks the exact distinct count within rsd") {
     import spark.implicits._
     // approximate aggregates stay out of the oracle set (SURVEY §2.3);
