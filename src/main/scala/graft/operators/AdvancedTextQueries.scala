@@ -112,11 +112,17 @@ object AdvancedTextQueries {
     require(k >= 0 && k < width, "need 0 <= k < width")
     require(bucketCap > 1, "bucketCap must exceed 1")
     val bands = k + 1
-    val bandWidth = (width + bands - 1) / bands
     val sig = simhashSigs(docs, width)
+    // Bits distribute EVENLY across bands (floor boundaries j·width/bands):
+    // every band carries ≥1 bit because bands = k+1 ≤ width. A ceil-width
+    // split would hand trailing bands an empty range when
+    // ceil(width/bands)·(bands-1) ≥ width (e.g. width=9, k=3) — a
+    // constant band key, i.e. one corpus-sized bucket that bucketCap then
+    // drops, silently breaking the pigeonhole exhaustiveness.
     val bandKeys = (0 until bands).map { j =>
-      val lo = j * bandWidth
-      val mask = (1L << math.min(bandWidth, width - lo)) - 1
+      val lo = j * width / bands
+      val hi = (j + 1) * width / bands
+      val mask = (1L << (hi - lo)) - 1
       concat(lit(s"$j:"), shiftright(col("simhash"), lo).bitwiseAND(mask).cast("string"))
     }
     val banded = sig

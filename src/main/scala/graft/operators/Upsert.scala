@@ -23,8 +23,15 @@ import org.apache.spark.sql.functions._
 object Upsert {
 
   /** The merge as a pure transform: `updates` must contain `target`'s
-    * columns (plus an optional boolean `_deleted`); output schema equals
-    * `target`'s.
+    * columns (plus an optional boolean `_deleted`) and AT MOST ONE ROW
+    * PER KEY — SQL MERGE raises on multiple matches, and so does this
+    * (a full-outer join would otherwise fan the duplicate out into a
+    * silently corrupted snapshot). The check rides the plan itself:
+    * a count-over-window on the batch's key partition feeds
+    * assert_true, so a duplicate fails the job at execution with the
+    * offending key named, costing no extra action and no driver
+    * round-trip; the window's exchange is on the same key the join
+    * shuffles anyway.
     */
   def mergeFrames(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val cols = target.columns
@@ -36,6 +43,12 @@ object Upsert {
       struct(cols.map(col).toIndexedSeq: _*).as("__t"))
     val u = withTombstone.select(col(key).as("__k"),
       struct(cols.map(col).toIndexedSeq: _*).as("__u"), col("_deleted"))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__k")))
+      .filter(assert_true(col("__n") === 1,
+        concat(lit("duplicate key in merge batch: "),
+          col("__k").cast("string"))).isNull)
+      .drop("__n")
     t.join(u, Seq("__k"), "full_outer")
       .filter(col("_deleted").isNull || !col("_deleted"))
       .select(coalesce(col("__u"), col("__t")).as("__r"))

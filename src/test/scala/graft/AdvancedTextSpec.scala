@@ -91,6 +91,34 @@ class AdvancedTextSpec extends AnyFunSuite {
       "banded multi-index must be exhaustive for Hamming <= k (pigeonhole)")
   }
 
+  test("hamming banding: uneven width=9/k=3 still exhaustive (every band carries bits)") {
+    import spark.implicits._
+    // width=9, bands=4: a ceil split would give bands of 3/3/3/0 bits —
+    // the empty fourth band has a constant key (one corpus-sized bucket).
+    // The floor split yields 2/3/2/2; completeness must match brute force.
+    val docs = (0L until 30L)
+      .map(i => (i, s"w${i % 7} x${i % 5} y${i % 3} z${i % 11} q${i % 2}"))
+      .toDF("doc_id", "text")
+    val banded = operators.AdvancedTextQueries
+      .dedupHammingPairs(docs, width = 9, k = 3, bucketCap = 100000)
+      .select("doc_id_1", "doc_id_2", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val sigs = operators.AdvancedTextQueries.simhashSigs(docs, 9)
+    val brute = sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("int"))
+      .as[(Long, Long, Int)].collect().filter(_._3 <= 3).toSet
+    assert(brute.nonEmpty, "fixture should contain at least one close pair")
+    assert(banded == brute)
+    // and no band may ever be empty, for any (width, k) with k < width
+    for (width <- 1 to 64; k <- 0 until math.min(width, 8)) {
+      val bands = k + 1
+      val widths = (0 until bands).map(j => (j + 1) * width / bands - j * width / bands)
+      assert(widths.forall(_ >= 1), s"empty band at width=$width k=$k")
+      assert(widths.sum == width, s"bands must partition bits at width=$width k=$k")
+    }
+  }
+
   test("hamming bucket cap bounds a planted hot bucket, keeps normal pairs") {
     import spark.implicits._
     // 40 identical docs share every band bucket (population 40); two

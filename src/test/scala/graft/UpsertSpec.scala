@@ -38,6 +38,22 @@ class UpsertSpec extends AnyFunSuite {
     assert(out == Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("merge fails fast on a duplicate batch key instead of duplicating the snapshot row") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val dupBatch = Seq((2L, "B1"), (2L, "B2"), (3L, "c")).toDF("id", "v")
+    val e = intercept[Exception] {
+      Upsert.mergeFrames(target, dupBatch, "id").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("duplicate key in merge batch")),
+      s"unexpected failure: $e")
+    // a clean batch still merges
+    val out = Upsert.mergeFrames(target, Seq((2L, "B"), (3L, "c")).toDF("id", "v"), "id")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("merge publishes the next snapshot; the current one is untouched") {
     val v1 = Files.createTempDirectory("upsert_v1_").toString
     val v2 = Files.createTempDirectory("upsert_v2_").toString
