@@ -42,33 +42,28 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) => run(fn) }
 
-    // One short line per query AS IT COMPLETES: the recording harness
-    // captures only a log tail, and a single giant JSON line can lose its
-    // head to the tail window (it did, twice). These lines make any tail
-    // self-sufficient; the machine-readable summary still goes last.
+    // EVERY printed line is small (<120 bytes): the recording harness
+    // captures only a log tail, and a single giant JSON line loses its
+    // head to the tail window (it did, three rounds running — per-query
+    // maps inlined in the summary pushed the head out). One JSON line
+    // per query as it completes makes any tail self-sufficient, and the
+    // machine-readable summary is ONE SHORT line that always fits.
     val results = ordered.map { case (name, fn) =>
       val times = Seq.fill(reps)(run(fn)).filter(_ >= 0)
       val (min, med) =
         if (times.isEmpty) (-1.0, -1.0)
         else (times.min, times.sorted.apply(times.size / 2))
-      println(f"[bench] $name min=$min%.3f med=$med%.3f")
+      println(f"""{"metric":"query","name":"$name","min":$min%.3f,"med":$med%.3f}""")
       Console.out.flush()
       (name, min, med)
     }
-    def json(sel: ((String, Double, Double)) => Double): String =
-      results.map { case t @ (k, _, _) => "\"" + k + "\":" + f"${sel(t)}%.3f" }
-        .mkString("{", ",", "}")
-    val qs = json(_._2)
-    val med = json(_._3)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_median":$med,"sf":"$sfDir"}"""
-    println(f"[bench] total_min=$total%.3f over ${results.size} queries")
+    val totalMed = results.map(_._3).filter(_ >= 0).sum
     // Stop Spark BEFORE the summary line so no shutdown logging can land
     // after it — the JSON must be the final bytes of the captured tail.
     spark.stop()
-    println(summary)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      f""""median_total":$totalMed%.3f,"queries_count":${results.size},"sf":"$sfDir"}""")
     Console.out.flush()
   }
 }

@@ -60,11 +60,13 @@ object AdvancedTextQueries {
     * queries build on.
     */
   private[graft] def simhashSigs(docs: DataFrame, width: Int = 16): DataFrame = {
-    require(width > 0 && width % 4 == 0 && width <= 60,
-      "signature width must be a positive multiple of 4 bits, <= 60 (BIGINT-safe)")
+    require(width > 0 && width <= 60,
+      "signature width must be in [1, 60] bits (BIGINT-safe)")
+    // ceil(width/4) md5 nibbles give >= width bits; only bits 0..width-1
+    // feed the per-bit votes below, so no explicit mask is needed.
     val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .withColumn("h", md5Bits(col("t"), width / 4))
+      .withColumn("h", md5Bits(col("t"), (width + 3) / 4))
     val bitSums = (0 until width).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
@@ -122,7 +124,10 @@ object AdvancedTextQueries {
     val bandKeys = (0 until bands).map { j =>
       val lo = j * width / bands
       val hi = (j + 1) * width / bands
-      val mask = (1L << (hi - lo)) - 1
+      // hi-lo <= width <= 60 today, but guard the 64-bit wrap anyway:
+      // Scala shifts mod 64, so (1L << 64) - 1 would be 0 — a constant
+      // band key, i.e. the corpus-sized bucket this comment warns about.
+      val mask = if (hi - lo >= 64) -1L else (1L << (hi - lo)) - 1
       concat(lit(s"$j:"), shiftright(col("simhash"), lo).bitwiseAND(mask).cast("string"))
     }
     val banded = sig

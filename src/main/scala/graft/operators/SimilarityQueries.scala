@@ -39,13 +39,72 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
       .repartition(spark.sparkContext.defaultParallelism)
-    bruteTopKFrom(emb, k = 5)
+    blockedTopKFrom(emb, k = 5)
+  }
+
+  /** Exact probe×corpus cosine top-k as a BLOCKED grid equi-join — the
+    * scale form of bruteTopKFrom, pair-identical by construction and by
+    * BlockedTopKSpec. Probes hash into `probeBlocks` blocks and
+    * replicate across the `nBlocks` corpus blocks; candidates hash into
+    * corpus blocks and replicate across probe blocks, so every
+    * (probe, candidate) pair meets at exactly one (i, j) grid key and
+    * the join is a shuffled hash/sort-merge equi-join — no probe-set
+    * broadcast (the probe side is n/probeModulus of the corpus: it
+    * GROWS with the data; broadcasting it is the scale-killer this
+    * replaces), no BroadcastNestedLoopJoin.
+    *
+    * Two-level top-k: a per-(i, j, probe) partial rank runs on the
+    * join's own (i, j) exchange (hash on a key subset satisfies the
+    * window's clustering — sort only, no new shuffle) and keeps ≤ k
+    * rows per probe per corpus block, so the final per-probe window
+    * shuffles O(probes·nBlocks·k) rows instead of the n²/probeModulus
+    * full pair stream. The global top-k row set is preserved: each
+    * globally top-k pair survives its own block's top-k, and both
+    * levels rank by the identical (6-dp cosine desc, vec_id asc) total
+    * order.
+    *
+    * Scale: shuffle is O(n·probeBlocks + (n/probeModulus)·nBlocks)
+    * rows; per-task memory is one probe block × one corpus block —
+    * size both so a block pair fits an executor. Compute stays the
+    * exact n²/probeModulus dot products, evenly spread across the
+    * probeBlocks·nBlocks grid.
+    */
+  def blockedTopKFrom(emb: DataFrame, k: Int = 5, probeModulus: Int = 100,
+      nBlocks: Int = 12, probeBlocks: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val normed = emb.withColumn("norm", l2Norm(col("vec")))
+    val probes = normed
+      .filter(col("vec_id") % probeModulus === 0)
+      .withColumn("i", pmod(hash(col("vec_id")), lit(probeBlocks)))
+      .withColumn("j", explode(sequence(lit(0), lit(nBlocks - 1))))
+      .select(col("i"), col("j"), col("vec_id").as("probe_id"),
+        col("vec").as("probe_vec"), col("norm").as("probe_norm"))
+    val cands = normed
+      .withColumn("j", pmod(hash(col("vec_id")), lit(nBlocks)))
+      .withColumn("i", explode(sequence(lit(0), lit(probeBlocks - 1))))
+    val wBlock = Window.partitionBy("i", "j", "probe_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val partial = cands.join(probes, Seq("i", "j"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("i"), col("j"), col("probe_id"), col("vec_id"),
+        (round(dot(col("probe_vec"), col("vec")) /
+          (col("probe_norm") * col("norm")), 6) + lit(0.0)).as("cosine"))
+      .withColumn("block_rank", row_number().over(wBlock))
+      .filter(col("block_rank") <= k)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    partial
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "vec_id", "cosine", "rank")
+      .orderBy(asc_nulls_first("probe_id"), col("rank").asc)
   }
 
   /** DataFrame-core brute-force top-k: `emb` is (vec_id, array<double>
-    * vec); probes are the rows with vec_id % probeModulus = 0. The
-    * exact ground truth the ANN paths (LshKnn, IvfKnn) trade against —
-    * graft.ScaleSmoke measures their recall against this at 1x/4x/16x.
+    * vec); probes are the rows with vec_id % probeModulus = 0. Kept as
+    * the reference plan BlockedTopKSpec proves blockedTopKFrom
+    * row-identical to; the ANN paths (LshKnn, IvfKnn) measure recall
+    * against the blocked form, which computes the same exact answer.
     */
   def bruteTopKFrom(emb: DataFrame, k: Int = 5, probeModulus: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -116,6 +116,10 @@ class AdvancedTextSpec extends AnyFunSuite {
       val widths = (0 until bands).map(j => (j + 1) * width / bands - j * width / bands)
       assert(widths.forall(_ >= 1), s"empty band at width=$width k=$k")
       assert(widths.sum == width, s"bands must partition bits at width=$width k=$k")
+      // the band mask must never collapse to 0 (Scala shifts mod 64:
+      // (1L << 64) - 1 == 0 — a constant key = one corpus-sized bucket)
+      val masks = widths.map(w => if (w >= 64) -1L else (1L << w) - 1)
+      assert(masks.forall(_ != 0L), s"zero band mask at width=$width k=$k")
     }
   }
 

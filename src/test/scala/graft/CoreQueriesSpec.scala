@@ -18,7 +18,7 @@ class CoreQueriesSpec extends AnyFunSuite {
     // declared exceptions: approximate sketches have no cross-engine
     // oracle by design (DuckDB's approx_count_distinct is a different
     // sketch); their error bound is spec-checked in StatsSpec instead
-    val declaredNoOracle = Set("sketch_distinct")
+    val declaredNoOracle = Set("sketch_distinct", "sketch_percentiles")
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- declaredNoOracle
     assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")

@@ -13,11 +13,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanAuditSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sfDir}
 
-  /** The declared quadratic-by-design oracle baselines for the LSH/IVF
-    * scale paths: their pairwise broadcast loop is the point (exact
-    * answers to property-test recall against), so BNLJ is expected.
+  /** Queries allowed a pairwise nested-loop plan. EMPTY as of round 5:
+    * q_sim_topk's probe broadcast was replaced by the blocked grid
+    * equi-join (SimilarityQueries.blockedTopKFrom), the last BNLJ in
+    * the inventory. Kept as a set so a future declared baseline states
+    * its name here instead of weakening the assertion.
     */
-  private val pairwiseBaselines = Set("q_sim_topk")
+  private val pairwiseBaselines = Set.empty[String]
 
   /** Queries whose BNLJ is a single-row broadcast cross join (a scalar
     * like corpus size N entering the plan) — constant work per row at

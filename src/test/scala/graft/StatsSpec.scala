@@ -58,13 +58,20 @@ class StatsSpec extends AnyFunSuite {
       Seq(25, 50, 75, 90).zipWithIndex.foreach { case (p, i) =>
         val v = r.getDouble(2 + i)
         // GK guarantee: reported value's rank within n·(1/accuracy) of
-        // the target rank; allow one extra row for boundary convention
-        val idx = sorted.indexOf(v)
-        assert(idx >= 0, s"$seg p$p=$v is not a member of the column")
+        // the target rank; allow one extra row for boundary convention.
+        // Ties: the value occupies a rank RANGE [first, last occurrence]
+        // and the sketch may sit anywhere in it — pass if any tied rank
+        // is within slack.
+        val lo = sorted.indexOf(v)
+        val hi = sorted.lastIndexOf(v)
+        assert(lo >= 0, s"$seg p$p=$v is not a member of the column")
         val target = math.ceil(n * p / 100.0)
         val slack = n / 10000.0 + 1
-        assert(math.abs((idx + 1) - target) <= slack,
-          s"$seg p$p=$v at rank ${idx + 1}, target $target, slack $slack")
+        val dist = if (target < lo + 1) (lo + 1) - target
+                   else if (target > hi + 1) target - (hi + 1)
+                   else 0.0
+        assert(dist <= slack,
+          s"$seg p$p=$v at ranks ${lo + 1}..${hi + 1}, target $target, slack $slack")
       }
     }
   }
