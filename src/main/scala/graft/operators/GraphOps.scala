@@ -8,12 +8,24 @@ import org.apache.spark.sql.functions._
   * "these two match", components say "this whole cluster is one
   * document, keep the canonical member". Each iteration sends every
   * vertex's current component label across its edges and keeps the
-  * minimum; convergence takes O(graph diameter) rounds of one
-  * join + one min-aggregation each (near-dup graphs are
-  * diameter-bounded clusters, so a handful of rounds in practice; for
-  * adversarially long chains at extreme scale the large-star/
-  * small-star variant halves diameter per round — same per-round
-  * plan shape).
+  * minimum; near-dup graphs are diameter-bounded clusters, so a
+  * handful of rounds in practice.
+  *
+  * Adversarially long chains (a path graph is the worst case: plain
+  * propagation needs O(diameter) rounds) are handled by POINTER
+  * JUMPING: from round `shortcutAfter` on, each round also rewrites
+  * every label through the label table itself (l(v) ← l(l(v)) — one
+  * extra equi-join), which halves the remaining pointer depth per
+  * round, so total rounds are O(shortcutAfter + log diameter) — the
+  * same halving the large-star/small-star formulation buys, with a
+  * simpler per-round plan. The common shallow case converges before
+  * the switch and never pays for the extra join; measured on a 20k
+  * path graph in SCALING.md. Correctness is invariant: every label
+  * is always the id of a vertex in the same component and ≤ the
+  * vertex's own id (propagation keeps it — a neighbor's label is in
+  * the same component; jumping keeps it — l(v)'s label is in l(v)'s
+  * component), so the joint fixpoint is the plain-propagation
+  * fixpoint: the component minimum.
   *
   * The driver loop's only per-round action is a change COUNT —
   * nothing else leaves the executors.
@@ -23,7 +35,17 @@ object GraphOps {
   /** edges(src, dst) → (id, component) for every vertex appearing in
     * any edge; component = the minimum vertex id reachable from `id`.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 40): DataFrame =
+    connectedComponentsWithRounds(edges, maxIter)._1
+
+  /** connectedComponents plus the number of rounds it took — the
+    * evidence channel ScaleSmoke records for the adversarial-diameter
+    * row. `shortcutAfter` is the round index where pointer jumping
+    * joins the per-round plan (3 covers every near-dup graph observed;
+    * deep chains then collapse logarithmically).
+    */
+  def connectedComponentsWithRounds(edges: DataFrame, maxIter: Int = 40,
+      shortcutAfter: Int = 3): (DataFrame, Int) = {
     // materialize the symmetrized edge list once: it is re-joined every
     // iteration, and without the checkpoint each round would re-run the
     // (possibly expensive) upstream pair-generation plan from scratch
@@ -62,17 +84,29 @@ object GraphOps {
     // intermediate's block-cache write outweigh the saved action
     // dispatch. Near-dup graphs converge in a handful of rounds; the
     // action count is already within one of optimal.
+    // Pointer jumping: rewrite every label through the label table
+    // itself. Every component value is a vertex id with its own row
+    // (labels cover all vertices; a label is always some vertex's id),
+    // so the inner join preserves all rows, and the looked-up label is
+    // ≤ the current one (labels are monotone), so this only descends.
+    def shortcut(l: DataFrame): DataFrame =
+      l.join(l.select(col("id").as("component"), col("component").as("c2")),
+          Seq("component"))
+        .select(col("id"), col("c2").as("component"))
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = step(labels).localCheckpoint(false)
+      val prop =
+        if (iter < shortcutAfter) step(labels)
+        else shortcut(step(labels).localCheckpoint(false))
+      val next = prop.localCheckpoint(false)
       val s = next.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       iter += 1
     }
-    labels
+    (labels, iter)
   }
 }

@@ -101,7 +101,11 @@ object IvfKnn {
       .select("probe_id", "probe_vec", "cell")
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    indexed.join(broadcast(probeCells), Seq("cell"))
+    // Plain equi-join on cell — NO broadcast hint on the probe side
+    // (probes grow with the corpus; see LshKnn for the failure mode).
+    // The `centroids` broadcast above is different and right: nLists
+    // rows, independent of corpus size.
+    indexed.join(probeCells, Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         (round(dot(col("probe_vec"), col("vec")) /

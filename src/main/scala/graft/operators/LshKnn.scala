@@ -18,10 +18,11 @@ import graft.operators.SimilarityQueries.{asDoubles, dot, l2Norm}
   * result and measured at 1x/4x/16x by graft.ScaleSmoke → SCALING.md,
   * not oracle-checked).
   *
-  * At 100 TB: bucket the corpus once (cheap projection), partition by
-  * bucket, broadcast the probes — no shuffle of the big side beyond the
-  * one bucketing exchange; multi-probe (flipping low-margin bits) buys
-  * recall without touching the partitioning.
+  * At 100 TB: bucket the corpus once (cheap projection), then a plain
+  * equi-join on the bucket key — one exchange of each side, never a
+  * probe broadcast (probes are corpus/probeModulus rows and grow with
+  * the data); multi-probe (flipping low-margin bits) buys recall
+  * without touching the partitioning.
   */
 object LshKnn {
 
@@ -116,7 +117,13 @@ object LshKnn {
         explode(probeBuckets(col("vec"), nFlip, dim, numPlanes)).as("bucket"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    bucketed.join(broadcast(probes), Seq("bucket"))
+    // Plain equi-join on bucket — NO broadcast hint. The probe set is
+    // corpus/probeModulus rows: it GROWS with the data, so forcing it
+    // broadcast is the classic scale-killer (at 100 TB, ~1 TB shipped
+    // to every executor). Unhinted, the join shuffles each side once on
+    // `bucket` (and AQE may still broadcast a genuinely small probe set
+    // at runtime — a size-based decision, not a plan-forced one).
+    bucketed.join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         (round(dot(col("probe_vec"), col("vec")) /

@@ -86,10 +86,16 @@ object StatsQueries {
     * exact integer total reassembles as hi·2^40 + mid·2^20 + lo in
     * double only inside the final formula — which the DuckDB oracle
     * evaluates verbatim on the same integers, so the doubles are
-    * bit-identical. Exactness bound: digit-group sums stay below 2^63
-    * while n ≤ 2^63/2^20 ≈ 8.8·10^12 rows per group — ~30× the rows a
-    * 100 TB lineitem puts in one return flag; past that, widen to four
-    * groups or fall back to qCorrDecimal.
+    * bit-identical. Bounds, tightest first: the BIT-IDENTICAL limit is
+    * the double cast — a group sum stays an exactly-represented double
+    * only below 2^53, i.e. n ≤ 2^53/2^20 ≈ 8.6·10^9 rows per group
+    * (a few TB of lineitem per return flag); past it the cast rounds,
+    * and cross-engine equality then rests on both engines IEEE-rounding
+    * the same exact long the same way rather than on exact integers.
+    * Long OVERFLOW — actual wrong answers — is much later, at
+    * n ≤ 2^63/2^20 ≈ 8.8·10^12 rows/group. Past the 2^53 bound, widen
+    * the split (four 16-bit groups buy 16× n) or fall back to
+    * qCorrDecimal, whose 128-bit sums never wrap.
     *
     * Why not DECIMAL(38,0) sums (the previous form, kept below as
     * qCorrDecimal): decimal aggregation runs on Decimal128 objects

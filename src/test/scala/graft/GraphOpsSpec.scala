@@ -35,6 +35,20 @@ class GraphOpsSpec extends AnyFunSuite {
       10L -> 10, 11L -> 10, 12L -> 10, 20L -> 20, 21L -> 20))
   }
 
+  test("adversarial diameter: a 2048-vertex path converges in O(log d) rounds") {
+    // worst case for plain min-label propagation (needs ~2047 rounds);
+    // pointer jumping must collapse it within the default maxIter
+    val n = 2048
+    val edges = spark.range(0, n - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val (labels, rounds) = GraphOps.connectedComponentsWithRounds(edges)
+    assert(labels.filter(col("component") =!= 0L).count() == 0,
+      "every path vertex must resolve to component 0")
+    assert(labels.count() == n)
+    // 3 plain rounds + ~log2(2048) jumping rounds + convergence check
+    assert(rounds <= 20, s"path graph took $rounds rounds — diameter escape failed")
+  }
+
   test("near-dup pair graph components equal a local union-find") {
     val pairs = SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)
       .select($"doc_id_1", $"doc_id_2")

@@ -71,6 +71,50 @@ class ScalePathSpec extends AnyFunSuite {
     assert(fanout.filter($"nb" =!= 3).count() == 0)
   }
 
+  test("ann probe side is never plan-forced broadcast (scale-killer guard)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, BroadcastQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def flatten(plan: SparkPlan): Seq[SparkPlan] = plan match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case p => p +: p.children.flatMap(flatten)
+    }
+    def broadcasts(nodes: Seq[SparkPlan]): Seq[SparkPlan] = nodes.filter {
+      case _: BroadcastExchangeExec | _: BroadcastQueryStageExec => true
+      case _ => false
+    }
+    // The probe set is corpus/probeModulus rows — it GROWS with the
+    // data, so it must never be broadcast by the PLAN. With the
+    // size-based auto-broadcast disabled, any BroadcastExchange left is
+    // a plan-forced one (a hint), which is exactly the regression this
+    // guards against. At default conf AQE may still broadcast the small
+    // test-scale probe side at runtime — that is a size decision, fine.
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(conf)
+    spark.conf.set(conf, "-1")
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          operators.SimilarityQueries.asDoubles(col("embedding")).as("vec"))
+      val lsh = LshKnn.approxTopKFrom(emb, 5, 1)
+      lsh.collect() // collect() executes this Dataset's own QueryExecution (AQE-adapted)
+      val lshB = broadcasts(flatten(lsh.queryExecution.executedPlan))
+      assert(lshB.isEmpty,
+        s"LshKnn plan forces a broadcast: ${lshB.map(_.nodeName)}")
+      val (indexed, centroids) = operators.IvfKnn.buildIndexFrom(emb)
+      val ivf = operators.IvfKnn.approxTopKFrom(indexed, centroids, 5)
+      ivf.collect()
+      val ivfNodes = flatten(ivf.queryExecution.executedPlan)
+      assert(!ivfNodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "IvfKnn probe-cell equi-join must not be a forced broadcast join")
+      // exactly one broadcast remains: the nLists-row centroid table
+      // (corpus-size-independent), feeding the probe×centroid cross join
+      assert(broadcasts(ivfNodes).size <= 1,
+        s"IvfKnn has unexpected broadcasts: ${broadcasts(ivfNodes).map(_.nodeName)}")
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("ivf knn: better-or-equal recall than single-bucket lsh, deterministic") {
     import spark.implicits._
     val exact = SparkEntry.queries("q_sim_topk")(spark, sfDir)

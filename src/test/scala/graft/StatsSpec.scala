@@ -32,6 +32,17 @@ class StatsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("qCorr digit-group split is row-identical to the DECIMAL(38,0) comparator") {
+    // the docstring's claimed equivalence proof: same rows, same doubles,
+    // bit for bit — both forms assemble the identical exact integer sums
+    val fast = q("q_corr")
+    val decimal = operators.StatsQueries.qCorrDecimal(spark, sfDir)
+    assert(fast.schema == decimal.schema)
+    assert(fast.exceptAll(decimal).count() == 0 &&
+      decimal.exceptAll(fast).count() == 0,
+      "digit-group qCorr diverged from the decimal exact-sum form")
+  }
+
   test("sketch_distinct query: HLL approx within 5% of the exact per-group count") {
     val rows = q("sketch_distinct").collect()
     assert(rows.nonEmpty)
