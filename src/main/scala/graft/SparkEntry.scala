@@ -97,6 +97,14 @@ object SparkEntry {
     "q_fuzzy_match"     -> (AdvancedTextQueries.qFuzzyMatch _),
     "sketch_distinct"   -> (StatsQueries.sketchDistinct _),
     "sketch_percentiles" -> (StatsQueries.sketchPercentiles _),
+    // ANN scale paths: deterministic end-to-end (fixed hyperplane seed /
+    // k-means seed) but approximate in recall, so no SQL oracle — the
+    // driver records rows>0; recall is property-tested (ScalePathSpec)
+    // and measured against exact ground truth in SCALING.md.
+    "ann_lsh_topk"      -> ((s: SparkSession, d: String) =>
+      LshKnn.approxTopKMultiProbe(s, d, 5, nFlip = 1)),
+    "ann_ivf_topk"      -> ((s: SparkSession, d: String) =>
+      IvfKnn.approxTopK(s, d, 5)),
     "udaf_demo"         -> (CoreQueries.udafDemo _),
   )
 

@@ -36,15 +36,7 @@ object DedupLedger {
     */
   def ingest(spark: SparkSession, batch: DataFrame, textCol: String,
       idCol: String, ledgerTable: String, runDir: String): DataFrame = {
-    val withinBatch = batch
-      .withColumn("text_hash", sha2(col(textCol), 256))
-      .withColumn("__rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("text_hash").orderBy(col(idCol).asc)))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-    withinBatch
-      .join(spark.table(ledgerTable), Seq("text_hash"), "left_anti")
+    newRows(spark, batch, textCol, idCol, ledgerTable)
       .write.mode(SaveMode.Overwrite).parquet(runDir)
     val admitted = spark.read.parquet(runDir)
     // insertInto uses the ledger's own bucket spec for the append
@@ -52,4 +44,20 @@ object DedupLedger {
       .write.mode(SaveMode.Append).insertInto(ledgerTable)
     admitted
   }
+
+  /** The pre-write dedup plan ingest materializes: batch rows whose
+    * content hash is new, first-in-batch wins. Exposed so tests can
+    * audit the plan's scan set — a correct incremental run reads ONLY
+    * this batch's files plus the hash ledger, never prior corpora.
+    */
+  def newRows(spark: SparkSession, batch: DataFrame, textCol: String,
+      idCol: String, ledgerTable: String): DataFrame =
+    batch
+      .withColumn("text_hash", sha2(col(textCol), 256))
+      .withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("text_hash").orderBy(col(idCol).asc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .join(spark.table(ledgerTable), Seq("text_hash"), "left_anti")
 }

@@ -17,8 +17,11 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
     // declared exceptions: approximate sketches have no cross-engine
     // oracle by design (DuckDB's approx_count_distinct is a different
-    // sketch); their error bound is spec-checked in StatsSpec instead
-    val declaredNoOracle = Set("sketch_distinct", "sketch_percentiles")
+    // sketch); their error bound is spec-checked in StatsSpec instead.
+    // The ANN paths are approximate in recall (no SQL oracle exists);
+    // deterministic + recall-bounded in ScalePathSpec and SCALING.md.
+    val declaredNoOracle = Set("sketch_distinct", "sketch_percentiles",
+      "ann_lsh_topk", "ann_ivf_topk")
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- declaredNoOracle
     assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")

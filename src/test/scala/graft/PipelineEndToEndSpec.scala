@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{AdvancedTextQueries, DedupLedger, TextQueries}
+import graft.operators.{AdvancedTextQueries, DedupLedger, TextQueries, Upsert}
 
 /** The whole training-data pipeline, composed from the shipped
   * operators in one pass over the corpus: ledger-based exact dedup →
@@ -70,5 +70,92 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     val back = spark.read.parquet(outDir)
     assert(back.count() == split.count())
     assert(back.select("split").distinct().count() == byPart.size)
+  }
+
+  /** The daily maintenance loop a living corpus runs: each ingest run
+    * dedups against the persistent ledger, MERGEs into the published
+    * snapshot, and recomputes corpus stats — and run N's cost must be
+    * proportional to BATCH N, which the scan-node audit pins down: the
+    * incremental dedup plan may read this batch's files and the hash
+    * ledger, never prior runs' corpora.
+    */
+  test("two-run maintenance loop: ledger → merge → stats; run 2 scans only batch 2") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "n_chars")
+    val base = Files.createTempDirectory("e2e_runs_").toString
+    // batch 2 re-ships a tenth of batch 1's content under fresh ids —
+    // the re-crawl duplicates the ledger exists to drop
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$base/batch1")
+    docs.filter($"doc_id" % 2 === 1)
+      .unionAll(docs.filter($"doc_id" % 20 === 0)
+        .withColumn("doc_id", $"doc_id" + 10000000L))
+      .write.parquet(s"$base/batch2")
+    val batch1 = spark.read.parquet(s"$base/batch1")
+    val batch2 = spark.read.parquet(s"$base/batch2")
+
+    val ledger = "e2e_ledger_two_run_t"
+    DedupLedger.init(spark, ledger)
+    try {
+      // RUN 1: ingest → snapshot v1
+      val admitted1 = DedupLedger.ingest(
+        spark, batch1, "text", "doc_id", ledger, s"$base/run1")
+      val n1 = admitted1.count()
+      assert(n1 == batch1.select("text").distinct().count(),
+        "run 1 must admit exactly batch 1's distinct contents")
+      admitted1.write.parquet(s"$base/snap1")
+
+      // RUN 2 scan audit BEFORE ingesting: the incremental dedup plan
+      // reads only batch-2 files + the ledger — cost ∝ batch, not corpus
+      val plan2 = DedupLedger.newRows(spark, batch2, "text", "doc_id", ledger)
+        .queryExecution.executedPlan
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flatten(a.executedPlan)
+        case q => q +: q.children.flatMap(flatten)
+      }
+      val scanRoots = flatten(plan2)
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.toString) }
+        .flatten
+      assert(scanRoots.nonEmpty)
+      scanRoots.foreach { p =>
+        assert(p.contains("/batch2") || p.contains(ledger),
+          s"run-2 dedup scans $p — an incremental run must not re-read prior runs")
+      }
+
+      // RUN 2: ingest batch 2, MERGE into snapshot v1 → v2
+      val admitted2 = DedupLedger.ingest(
+        spark, batch2, "text", "doc_id", ledger, s"$base/run2")
+      assert(admitted2.join(admitted1, Seq("text_hash")).count() == 0,
+        "re-shipped batch-1 content must be dropped by the ledger")
+      val expected2 = batch2.select(sha2($"text", 256).as("h")).distinct()
+        .join(batch1.select(sha2($"text", 256).as("h")).distinct(),
+          Seq("h"), "left_anti").count()
+      assert(admitted2.count() == expected2)
+      val snap1 = spark.read.parquet(s"$base/snap1")
+      Upsert.merge(snap1, admitted2, "doc_id", s"$base/snap2")
+      val snap2 = spark.read.parquet(s"$base/snap2")
+      assert(snap2.count() == n1 + expected2,
+        "disjoint-key merge must be additive")
+
+      // RUN 3: a retraction batch (tombstones) flows through the same MERGE
+      val retract = snap2.orderBy($"doc_id").limit(7)
+        .withColumn("_deleted", lit(true))
+      Upsert.merge(snap2, retract, "doc_id", s"$base/snap3")
+      val snap3 = spark.read.parquet(s"$base/snap3")
+      assert(snap3.count() == snap2.count() - 7)
+      assert(snap3.join(retract.select("doc_id"), Seq("doc_id")).count() == 0)
+
+      // corpus stats over the published snapshot (the q_pipeline tail):
+      // per-lang doc counts must tie out with the snapshot row count
+      val stats = snap3
+        .select($"lang", size(TextQueries.tokens($"text")).as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens".cast("long")).as("total_tokens"))
+      assert(stats.agg(sum($"n_docs")).as[Long].head() == snap3.count())
+      assert(stats.filter($"total_tokens" <= 0).count() == 0)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $ledger")
   }
 }

@@ -33,7 +33,10 @@ class PlanAuditSpec extends AnyFunSuite {
     * broadcast exchange, which `assertBroadcastBuild` verifies so the
     * allowance cannot mask an accidental fact×fact cross join.
     */
-  private val dimensionGridBroadcasts = Set("q_resample")
+  private val dimensionGridBroadcasts = Set("q_resample",
+    // probe×centroid cross join: the centroid table is nLists rows
+    // (corpus-size-independent) — the probe side must stream
+    "ann_ivf_topk")
 
   private def flatten(plan: SparkPlan): Seq[SparkPlan] = plan match {
     case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
