@@ -71,6 +71,8 @@ object SparkEntry {
     "q_dedup_clusters"  -> (AdvancedTextQueries.qDedupClusters _),
     "q_sample_hash"     -> (TextQueries.qSampleHash _),
     "q_decontaminate"   -> (TextQueries.qDecontaminate _),
+    "q_decontaminate_bloom" -> (TextQueries.qDecontaminateBloom _),
+    "q_pack"            -> ((s: SparkSession, d: String) => TextQueries.qPack(s, d)),
     "q_chunk"           -> (TextQueries.qChunk _),
     "q_dedup_near"      -> (TextQueries.qDedupNear _),
     "q_text_stats"      -> (TextQueries.qTextStats _),
@@ -140,6 +142,35 @@ object SparkEntry {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin
+
+  /** q_decontaminate and q_decontaminate_bloom share one oracle: the
+    * Bloom path prunes with a no-false-negative sketch then confirms
+    * exactly, so its row set equals the exact form's by construction.
+    */
+  private val DecontaminateSql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                       x -> x <> '')) AS t,
+      |    generate_subscripts(
+      |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                  x -> x <> ''), 1) - 1 AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS sh
+      |    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+      |  WHERE sh IS NOT NULL),
+      |probes AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+      |contaminated AS (
+      |  SELECT DISTINCT s.doc_id FROM sh s JOIN probes p USING (sh)
+      |  WHERE s.doc_id % 97 <> 0)
+      |SELECT lang, count(*) AS clean_docs
+      |FROM documents d
+      |WHERE d.doc_id % 97 <> 0
+      |  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+      |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_salted_join" -> JoinInnerSql,
@@ -568,30 +599,28 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rn = 1
         |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin,
-    "q_decontaminate" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |                       x -> x <> '')) AS t,
-        |    generate_subscripts(
-        |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |                  x -> x <> ''), 1) - 1 AS pos
+    "q_decontaminate" -> DecontaminateSql,
+    // The Bloom variant must be row-identical to the exact form (no
+    // false negatives + exact confirm join) — same oracle by design.
+    "q_decontaminate_bloom" -> DecontaminateSql,
+    "q_pack" ->
+      """WITH d AS (
+        |  SELECT source, doc_id % 8 AS shard, doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                    x -> x <> '')) AS n_tokens
         |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, sh FROM (
-        |    SELECT doc_id,
-        |      t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS sh
-        |    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
-        |  WHERE sh IS NOT NULL),
-        |probes AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
-        |contaminated AS (
-        |  SELECT DISTINCT s.doc_id FROM sh s JOIN probes p USING (sh)
-        |  WHERE s.doc_id % 97 <> 0)
-        |SELECT lang, count(*) AS clean_docs
-        |FROM documents d
-        |WHERE d.doc_id % 97 <> 0
-        |  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
-        |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+        |c AS (
+        |  SELECT *, coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY source, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM d)
+        |SELECT source, shard,
+        |  CAST(floor(cum_before / 512) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY source, shard, pack_id
+        |ORDER BY source NULLS FIRST, shard, pack_id""".stripMargin,
     "q_sample_hash" ->
       """SELECT lang, count(*) AS n_sampled,
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id

@@ -146,6 +146,77 @@ object TextQueries {
       .orderBy(asc_nulls_first("lang"))
   }
 
+  /** Token-budget sequence packing — the "concat and cut at the budget"
+    * packing LLM pre-training pipelines run over a cleaned corpus:
+    * documents are laid end-to-end in a deterministic order and a new
+    * pack starts each time the running token total crosses the budget
+    * (documents are not split; a pack may overrun by its last doc).
+    *
+    * Distribution: packing is sequential by nature, so the corpus is
+    * sharded by (source, doc_id % nShards) and each shard packs
+    * independently — the exact shape a 1000-executor run uses, where a
+    * shard is one task's worth of corpus. The running total is a
+    * prefix-sum window per shard: one shuffle on the shard key, no
+    * driver state. Shard count scales with the corpus; the per-shard
+    * window never holds more than one task's rows.
+    */
+  def qPack(spark: SparkSession, sfDir: String,
+      budget: Int = 512, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), pmod(col("doc_id"), lit(nShards)).as("shard"),
+        col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("cum_before") / budget))
+      .groupBy("source", "shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("pack_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy(asc_nulls_first("source"), col("shard").asc, col("pack_id").asc)
+  }
+
+  /** Bloom-filter decontamination — row-identical to qDecontaminate,
+    * different scale path (the oracle IS the exact form's SQL).
+    *
+    * qDecontaminate broadcasts the probe shingle SET, which is right
+    * while the held-out benchmark is small. When the held-out suite is
+    * itself large (a multi-GB eval corpus), that broadcast becomes the
+    * scale-killer. Here the probe shingles are folded into a fixed-size
+    * Bloom filter (~1.2 MB per million shingles at 1% fpp — size set by
+    * the PROBE count, independent of the 100 TB corpus), shipped once
+    * per executor, and the corpus shingle stream is pruned
+    * executor-locally with no join at all. Only the surviving ~fpp
+    * fraction takes the exact semi-join that removes false positives —
+    * Bloom filters have no false negatives, so the final row set is
+    * exactly the exact form's. At test scale AQE broadcasts that tiny
+    * residual join (correct); at benchmark scale it degrades to a
+    * shuffled hash join of two already-small sides.
+    *
+    * The probe-side `count()` is a driver scalar used only to size the
+    * filter; the UDF is justified — Bloom probe has no built-in column
+    * function and the sketch must live executor-side as one object.
+    */
+  def qDecontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = AdvancedTextQueries.shingleRows(docs)
+    val probeSh = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
+    val bf = probeSh.stat.bloomFilter("sh", math.max(probeSh.count(), 1000L), 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bfB.value.mightContain(s))
+    val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+      .filter(mightContain(col("sh")))
+      .join(probeSh, Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("clean_docs"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
   /** Redact PII-shaped spans: email addresses, long digit runs (7+,
     * phone/account numbers) and 4-part dotted numbers (IPv4-shaped),
     * each replaced by a typed tag. Lookahead-free patterns evaluate

@@ -82,4 +82,36 @@ class TextSimSpec extends AnyFunSuite {
     val b = q("q_wordcount")
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
+
+  test("bloom decontamination is row-identical to the exact form") {
+    val exact = q("q_decontaminate")
+    val bloom = q("q_decontaminate_bloom")
+    assert(exact.exceptAll(bloom).count() == 0 &&
+      bloom.exceptAll(exact).count() == 0)
+  }
+
+  test("pack: covers every doc once; only a pack's last doc may overrun") {
+    import spark.implicits._
+    val out = q("q_pack")
+    val docs = Tables.documents(spark, sfDir)
+    assert(out.agg(sum($"n_docs")).as[Long].head() == docs.count())
+    // doc ranges within a (source, shard) never overlap: packs ordered
+    // by pack_id have non-decreasing disjoint [first_doc, last_doc]
+    val overlaps = out.as("a").join(out.as("b"),
+      $"a.source" === $"b.source" && $"a.shard" === $"b.shard" &&
+        $"a.pack_id" < $"b.pack_id" && $"a.last_doc" >= $"b.first_doc")
+    assert(overlaps.count() == 0)
+    // a multi-doc pack's tokens-before-last-doc stay under the budget
+    // (the budget crossing is what opens the next pack); with the last
+    // doc it may overrun. Proven via the pack re-derived bound:
+    // n_docs > 1 implies pack_tokens - (tokens of last doc) < 512.
+    val lastTok = docs
+      .select(pmod($"doc_id", lit(8)).as("shard"), $"source",
+        $"doc_id".as("last_doc"),
+        size(operators.TextQueries.tokens($"text")).cast("long").as("last_tokens"))
+    val bad = out.filter($"n_docs" > 1)
+      .join(lastTok, Seq("source", "shard", "last_doc"))
+      .filter($"pack_tokens" - $"last_tokens" >= 512)
+    assert(bad.count() == 0)
+  }
 }
