@@ -107,6 +107,8 @@ object SparkEntry {
       LshKnn.approxTopKMultiProbe(s, d, 5, nFlip = 1)),
     "ann_ivf_topk"      -> ((s: SparkSession, d: String) =>
       IvfKnn.approxTopK(s, d, 5)),
+    "ann_quant_topk"    -> ((s: SparkSession, d: String) =>
+      QuantizedKnn.approxTopK(s, d, 5)),
     "udaf_demo"         -> (CoreQueries.udafDemo _),
   )
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.multimodal.Multimodal
-import graft.operators.{LshKnn, MinHashLsh}
+import graft.operators.{LshKnn, MinHashLsh, QuantizedKnn, SimilarityQueries}
 
 /** The non-oracle scale-path operators: banded MinHash-LSH, LSH ANN, and
   * the multimodal binary-column plumbing.
@@ -271,5 +271,36 @@ class ScalePathSpec extends AnyFunSuite {
     assert(frames.collect().forall { f =>
       f.frame_idx % 2 == 0 && f.frame_idx * 32 < mediaLen(f.media_id)
     })
+  }
+
+  test("int8 quantization: per-element reconstruction error <= scale/2") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", SimilarityQueries.asDoubles($"embedding").as("vec"))
+    val q = QuantizedKnn.quantize(emb)
+      .withColumn("recon", QuantizedKnn.dequantize($"qvec", $"scale"))
+    val worst = q.select(aggregate(
+      zip_with($"vec", $"recon", (x, r) => abs(x - r) - $"scale" / 2 - lit(1e-9)),
+      lit(0.0), (acc, d) => greatest(acc, d)).as("excess"))
+      .agg(max($"excess")).as[Double].head()
+    assert(worst <= 0.0, s"quantization error exceeded scale/2 by $worst")
+    // codes stay in the symmetric int8 range
+    assert(q.filter(exists($"qvec", b => abs(b) > 127)).count() == 0)
+  }
+
+  test("quantized knn: high recall vs exact after exact re-rank; deterministic") {
+    import spark.implicits._
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sfDir)
+      .select("probe_id", "vec_id")
+    val nExact = exact.count()
+    val quant = QuantizedKnn.approxTopK(spark, sfDir, 5)
+      .select("probe_id", "vec_id")
+    val recall = quant.intersect(exact).count().toDouble / nExact
+    // int8 keeps ~7 bits of mantissa: with 4x overfetch + exact re-rank
+    // the quantized scan must recover nearly all true neighbors
+    assert(recall >= 0.9, s"quantized recall@5 = $recall < 0.9")
+    val again = QuantizedKnn.approxTopK(spark, sfDir, 5)
+      .select("probe_id", "vec_id")
+    assert(quant.exceptAll(again).count() == 0 && again.exceptAll(quant).count() == 0)
   }
 }
