@@ -72,6 +72,7 @@ object SparkEntry {
     "q_sample_hash"     -> (TextQueries.qSampleHash _),
     "q_decontaminate"   -> (TextQueries.qDecontaminate _),
     "q_decontaminate_bloom" -> (TextQueries.qDecontaminateBloom _),
+    "q_join_bloom"      -> (JoinQueries.qJoinBloom _),
     "q_pack"            -> ((s: SparkSession, d: String) => TextQueries.qPack(s, d)),
     "q_chunk"           -> (TextQueries.qChunk _),
     "q_dedup_near"      -> (TextQueries.qDedupNear _),
@@ -605,6 +606,15 @@ object SparkEntry {
     // The Bloom variant must be row-identical to the exact form (no
     // false negatives + exact confirm join) — same oracle by design.
     "q_decontaminate_bloom" -> DecontaminateSql,
+    // Plain-join SQL: the Bloom prune only removes rows the join would
+    // drop anyway (no false negatives), so the result is identical.
+    "q_join_bloom" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |GROUP BY p_brand ORDER BY p_brand NULLS FIRST""".stripMargin,
     "q_pack" ->
       """WITH d AS (
         |  SELECT source, doc_id % 8 AS shard, doc_id,

@@ -227,4 +227,40 @@ object JoinQueries {
         timestamp_micros(col("od_us")).cast("timestamp_ntz").as("o_orderdate"))
       .orderBy(asc_nulls_first("event_id"))
   }
+
+  /** Bloom-pruned selective join (semi-join reduction): lineitem ⋈ the
+    * ~10% of parts with p_size ≤ 5. A plain shuffle join exchanges the
+    * ENTIRE fact side even though ~90% of its rows can never match; a
+    * Bloom filter built from the filtered dim's join keys (fixed-size,
+    * ~1.2 MB/million keys at 1% fpp) prunes the fact stream
+    * executor-locally BEFORE the exchange, so the shuffle carries only
+    * might-match rows. False positives are removed by the join itself —
+    * result row-identical to the plain join, which is the oracle.
+    *
+    * This hand-built form documents the pattern; on a real cluster the
+    * same rewrite is Spark's runtime row-level filter
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`), which injects
+    * it automatically when the creation side is selective — kept off in
+    * the session so the demonstrated plan is explicit, not planner-
+    * dependent. The `count()` is a driver scalar sizing the filter.
+    */
+  def qJoinBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables.part(spark, sfDir)
+      .filter(col("p_size") <= 5)
+      .select("p_partkey", "p_brand")
+    val bf = dim.stat.bloomFilter("p_partkey", math.max(dim.count(), 1000L), 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightMatch = udf((k: java.lang.Long) =>
+      k != null && bfB.value.mightContainLong(k))
+    Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity")
+      .filter(mightMatch(col("l_partkey")))
+      .join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        (sum(round(col("l_quantity") * 100).cast("long"))
+          .cast("double") / 100.0).as("total_qty"))
+      .orderBy(asc_nulls_first("p_brand"))
+  }
 }

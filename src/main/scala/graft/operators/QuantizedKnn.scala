@@ -51,11 +51,20 @@ object QuantizedKnn {
     */
   def approxTopK(spark: SparkSession, sfDir: String, k: Int = 5,
       overfetch: Int = 4, probeModulus: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import SimilarityQueries.{asDoubles, dot, l2Norm}
+    import SimilarityQueries.asDoubles
     val exact = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
       .repartition(spark.sparkContext.defaultParallelism)
+    approxTopKFrom(exact, k, overfetch, probeModulus)
+  }
+
+  /** Core form over an (vec_id, vec array<double>) corpus frame —
+    * the shape ScaleSmoke's recall/cost harness drives directly.
+    */
+  def approxTopKFrom(exact: DataFrame, k: Int = 5,
+      overfetch: Int = 4, probeModulus: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import SimilarityQueries.{dot, l2Norm}
     // Quantized corpus as it would be read at rest: codes + scale only.
     val deq = quantize(exact)
       .select(col("vec_id"), dequantize(col("qvec"), col("scale")).as("vec"))

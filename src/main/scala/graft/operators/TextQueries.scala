@@ -161,21 +161,32 @@ object TextQueries {
     * window never holds more than one task's rows.
     */
   def qPack(spark: SparkSession, sfDir: String,
-      budget: Int = 512, nShards: Int = 8): DataFrame = {
+      budget: Int = 512, nShards: Int = 8): DataFrame =
+    packTokenBudget(Tables.documents(spark, sfDir), budget, nShards,
+      partitionCols = Seq("source"))
+      .orderBy(asc_nulls_first("source"), col("shard").asc, col("pack_id").asc)
+
+  /** Core packing form over any (doc_id, text [, partitionCols...])
+    * frame — the shape pipeline composition uses (PipelineEndToEndSpec
+    * packs the quality-gated survivors directly).
+    */
+  def packTokenBudget(docs: DataFrame, budget: Int = 512, nShards: Int = 8,
+      partitionCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+    val pcols = partitionCols.map(col) :+ col("shard")
+    val w = Window.partitionBy(pcols: _*).orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, sfDir)
-      .select(col("source"), pmod(col("doc_id"), lit(nShards)).as("shard"),
-        col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    docs
+      .select(partitionCols.map(col) ++ Seq(
+        pmod(col("doc_id"), lit(nShards)).as("shard"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")): _*)
       .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
       .withColumn("pack_id", floor(col("cum_before") / budget))
-      .groupBy("source", "shard", "pack_id")
+      .groupBy(pcols :+ col("pack_id"): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("pack_tokens"),
         min("doc_id").as("first_doc"),
         max("doc_id").as("last_doc"))
-      .orderBy(asc_nulls_first("source"), col("shard").asc, col("pack_id").asc)
   }
 
   /** Bloom-filter decontamination — row-identical to qDecontaminate,
@@ -201,20 +212,31 @@ object TextQueries {
     */
   def qDecontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val sh = AdvancedTextQueries.shingleRows(docs)
-    val probeSh = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
-    val bf = probeSh.stat.bloomFilter("sh", math.max(probeSh.count(), 1000L), 0.01)
+    val clean = bloomDecontaminate(spark,
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0))
+    clean.groupBy("lang")
+      .agg(count(lit(1)).as("clean_docs"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
+  /** Core form: corpus docs minus those sharing any token-trigram with
+    * `probeDocs` (both frames need doc_id + text). Exact result; the
+    * Bloom stage is a fixed-size executor-local prune of the corpus
+    * shingle stream before the exact confirm join.
+    */
+  def bloomDecontaminate(spark: SparkSession, corpus: DataFrame,
+      probeDocs: DataFrame, fpp: Double = 0.01): DataFrame = {
+    val probeSh = AdvancedTextQueries.shingleRows(probeDocs)
+      .select("sh").distinct()
+    val bf = probeSh.stat.bloomFilter("sh", math.max(probeSh.count(), 1000L), fpp)
     val bfB = spark.sparkContext.broadcast(bf)
     val mightContain = udf((s: String) => s != null && bfB.value.mightContain(s))
-    val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+    val contaminated = AdvancedTextQueries.shingleRows(corpus)
       .filter(mightContain(col("sh")))
       .join(probeSh, Seq("sh"), "left_semi")
       .select("doc_id").distinct()
-    docs.filter(col("doc_id") % 97 =!= 0)
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .groupBy("lang")
-      .agg(count(lit(1)).as("clean_docs"))
-      .orderBy(asc_nulls_first("lang"))
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
   /** Redact PII-shaped spans: email addresses, long digit runs (7+,

@@ -123,4 +123,19 @@ class JoinAggWindowSpec extends AnyFunSuite {
       .count()
     assert(bad == 0)
   }
+
+  test("bloom-pruned join is row-identical to the plain join") {
+    import spark.implicits._
+    val bloom = q("q_join_bloom")
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter($"p_size" <= 5),
+        $"l_partkey" === $"p_partkey")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(round($"l_quantity" * 100).cast("long"))
+          .cast("double") / 100.0).as("total_qty"))
+      .orderBy(asc_nulls_first("p_brand"))
+    assert(bloom.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(bloom).count() == 0)
+  }
 }

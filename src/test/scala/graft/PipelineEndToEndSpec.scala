@@ -7,7 +7,8 @@ import graft.operators.{AdvancedTextQueries, DedupLedger, TextQueries, Upsert}
 
 /** The whole training-data pipeline, composed from the shipped
   * operators in one pass over the corpus: ledger-based exact dedup →
-  * MinHash near-dup pruning → quality gate → fixed-size chunking →
+  * MinHash near-dup pruning → Bloom decontamination → quality gate →
+  * sequence packing + fixed-size chunking →
   * deterministic train/val/test split → partitioned corpus write.
   * Every stage is an operator tested elsewhere; this spec proves they
   * COMPOSE — schemas line up, counts stay consistent, and the final
@@ -38,9 +39,17 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     val nNear = pruned.count()
     assert(nNear <= nExact && nNear > 0)
 
-    // 3. quality gate (the q_pipeline thresholds)
+    // 3. benchmark decontamination: a held-out probe slice of the
+    // corpus itself (every 50th doc) — survivors share no trigram with it
+    val decon = TextQueries.bloomDecontaminate(spark,
+      pruned.filter($"doc_id" % 50 =!= 0),
+      pruned.filter($"doc_id" % 50 === 0))
+    val nDecon = decon.count()
+    assert(nDecon < nNear && nDecon > 0)
+
+    // 4. quality gate (the q_pipeline thresholds)
     val toks = TextQueries.tokens($"text")
-    val gated = pruned
+    val gated = decon
       .withColumn("n_tokens", size(toks))
       .withColumn("stop_ratio",
         size(filter(toks, t => t === "the" || t === "a")).cast("double") /
@@ -48,13 +57,19 @@ class PipelineEndToEndSpec extends AnyFunSuite {
       .filter($"n_tokens" >= 10 && $"stop_ratio" <= 0.5)
       .drop("n_tokens", "stop_ratio")
     val nGated = gated.count()
-    assert(nGated <= nNear && nGated > 0)
+    assert(nGated <= nDecon && nGated > 0)
 
-    // 4. fixed-size chunking of the surviving docs
+    // 5a. sequence packing of the survivors: every gated doc lands in
+    // exactly one pack
+    val packs = TextQueries.packTokenBudget(gated, budget = 512, nShards = 4)
+    assert(packs.agg(sum($"n_docs")).as[Long].head() == nGated)
+    assert(packs.filter($"pack_tokens" <= 0).count() == 0)
+
+    // 5b. fixed-size chunking of the surviving docs
     val chunks = TextQueries.chunkTokensStrided(gated, 32, 32)
     assert(chunks.select("doc_id").distinct().count() == nGated)
 
-    // 5. deterministic 80/10/10 split by content-free doc_id hash
+    // 6. deterministic 80/10/10 split by content-free doc_id hash
     val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
       .cast("long") % 100
     val split = chunks.withColumn("split",
@@ -64,7 +79,7 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     assert(byPart.values.sum == nGated)
     assert(byPart.getOrElse("train", 0L) > byPart.getOrElse("val", 0L))
 
-    // 6. partitioned corpus write — the trainer-facing artifact
+    // 7. partitioned corpus write — the trainer-facing artifact
     val outDir = Files.createTempDirectory("e2e_corpus_").toString
     split.write.partitionBy("split").mode("overwrite").parquet(outDir)
     val back = spark.read.parquet(outDir)
