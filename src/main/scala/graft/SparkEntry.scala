@@ -64,6 +64,10 @@ object SparkEntry {
     "q_stream_sliding"  -> (EventQueries.qStreamSliding _),
     "q_session_window"  -> (EventQueries.qSessionWindow _),
     "q_dedup_latest"    -> (EventQueries.qDedupLatest _),
+    "q_funnel"          -> (BehaviorQueries.qFunnel _),
+    "q_retention"       -> (BehaviorQueries.qRetention _),
+    "q_cooccur"         -> (BehaviorQueries.qCooccur _),
+    "q_shuffle_export"  -> (BehaviorQueries.qShuffleExport _),
     "q_dedup_exact"     -> (TextQueries.qDedupExact _),
     "q_dedup_exact_hash" -> (TextQueries.dedupExactByHash _),
     "q_redact_pii"      -> (TextQueries.qRedactPii _),
@@ -602,6 +606,65 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rn = 1
         |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+    // Oracle derives the funnel the opposite way from the Spark plan
+    // (chained join-aggregates vs one running-min window pass) — the two
+    // formulations are provably equivalent and check each other.
+    "q_funnel" ->
+      """WITH base AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |      GROUP BY e.user_id)
+        |SELECT b.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |       WHEN c.t_click IS NOT NULL THEN 2
+        |       WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS depth
+        |FROM base b
+        |LEFT JOIN v ON b.user_id = v.user_id
+        |LEFT JOIN c ON b.user_id = c.user_id
+        |LEFT JOIN p ON b.user_id = p.user_id
+        |ORDER BY b.user_id NULLS FIRST""".stripMargin,
+    "q_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT c.cohort_day,
+        |  date_diff('day', c.cohort_day, a.day) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_active
+        |FROM act a JOIN cohorts c ON a.user_id = c.user_id
+        |GROUP BY c.cohort_day, day_offset
+        |ORDER BY cohort_day NULLS FIRST, day_offset NULLS FIRST""".stripMargin,
+    // Oracle uses the textbook distinct self-join; the Spark plan groups
+    // per order and explodes sorted pairs (same result, half the scans).
+    "q_cooccur" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT p1, p2, count(*) AS n_orders
+        |FROM pairs GROUP BY p1, p2
+        |ORDER BY n_orders DESC, p1 NULLS FIRST, p2 NULLS FIRST
+        |LIMIT 25""".stripMargin,
+    "q_shuffle_export" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sort_key,
+        |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |         AS BIGINT) % 8 AS INTEGER) AS shard
+        |  FROM documents)
+        |SELECT shard,
+        |  row_number() OVER (PARTITION BY shard
+        |                     ORDER BY sort_key ASC, doc_id ASC) AS pos,
+        |  doc_id, sort_key
+        |FROM keyed
+        |ORDER BY shard NULLS FIRST, pos NULLS FIRST""".stripMargin,
     "q_decontaminate" -> DecontaminateSql,
     // The Bloom variant must be row-identical to the exact form (no
     // false negatives + exact confirm join) — same oracle by design.

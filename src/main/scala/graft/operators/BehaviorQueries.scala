@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics — ordered funnels, cohort retention,
+  * market-basket co-occurrence — plus the deterministic global shuffle a
+  * training-data export needs. These are the workloads the reference's
+  * wc/indexer apps gesture at (per-key aggregation over an event log,
+  * `/root/reference/mrapps/wc.go:21-42`) expressed as the real analytics
+  * a 100 TB event store runs.
+  *
+  * Scale notes shared by the queries here:
+  *  - every shuffle key is either `user_id` (cardinality = user base,
+  *    uniform by construction of the generator) or a bounded composite
+  *    ((cohort_day, day_offset) ≤ 31×31; part pairs bounded by the
+  *    per-order line cap) — no key grows with raw event volume;
+  *  - per-user state is O(1) (three timestamps for the funnel, one
+  *    first-seen day for retention) so the aggregations are map-side
+  *    partial-combinable and never hold an event list in memory.
+  */
+object BehaviorQueries {
+
+  /** Strictly-ordered 3-stage funnel (view → click → purchase) per user.
+    *
+    * Semantics: t_view is the user's earliest view; t_click the earliest
+    * click STRICTLY after t_view; t_purchase the earliest purchase
+    * strictly after t_click. `depth` counts completed stages (0–3). All
+    * users with any event appear, so conversion = depth histogram.
+    *
+    * Single-shuffle plan: one window sort on (user_id, ts, event_id)
+    * computes a running min of view timestamps; a click qualifies when a
+    * view strictly precedes it, and — because rows are ts-ordered — the
+    * running min at that click IS the user's global first view, so the
+    * per-user min over qualifying clicks equals the join-chain
+    * formulation the oracle uses (same argument stage 2 → stage 3). The
+    * final groupBy(user_id) reuses the window's hash partitioning:
+    * `.explain` shows ONE Exchange for the whole query. The oracle
+    * deliberately derives the same result the other way (three chained
+    * join-aggregates) so the two formulations check each other.
+    */
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type")
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+
+    val staged = ev
+      // running earliest view; at any non-view row this is the first view
+      // strictly before it in (ts, event_id) order
+      .withColumn("t1_run", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("click_ok",
+        col("event_type") === "click" && col("t1_run") < col("ts"))
+      .withColumn("t2_run", min(when(col("click_ok"), col("ts"))).over(w))
+      .withColumn("purchase_ok",
+        col("event_type") === "purchase" && col("t2_run") < col("ts"))
+
+    staged.groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("click_ok"), col("ts"))).as("t_click"),
+        min(when(col("purchase_ok"), col("ts"))).as("t_purchase"))
+      .withColumn("depth",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0))
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
+  /** Daily cohort retention: users are cohorted by the calendar day of
+    * their first event; for every (cohort_day, day_offset) we count the
+    * distinct users active that many days later.
+    *
+    * Two shuffles, both on bounded-or-uniform keys: (1) min(ts) per
+    * user_id (map-side combined to one row per user per task before the
+    * exchange); (2) the distinct + count on (cohort_day, day_offset,
+    * user_id). The cohort join broadcasts nothing — it's a user_id
+    * equi-join where the cohort side is exactly one row per user, i.e.
+    * the same co-partitioned shape as the event side.
+    */
+  def qRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("user_id", "ts")
+    val cohorts = ev.groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .join(cohorts, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(asc_nulls_first("cohort_day"), asc_nulls_first("day_offset"))
+  }
+
+  /** Market-basket co-occurrence: top part pairs appearing in the same
+    * order, ranked by order count (ties broken by the pair itself so the
+    * top-k is deterministic).
+    *
+    * Shape: groupBy(l_orderkey) → sorted distinct part array → explode
+    * the C(n,2) pairs with codegen'd array HOFs → count per pair. One
+    * shuffle on l_orderkey + one on the pair. Fan-out is bounded by the
+    * schema, not the data: lineitem carries ≤ 7 lines per order (TPC-H
+    * shape, FIXTURES.md), so ≤ 21 pairs per order — the explode can
+    * never amplify a hot order. This beats the textbook self-join on
+    * l_orderkey (two scan+exchanges and an O(n²)-per-key join) for the
+    * same result.
+    */
+  def qCooccur(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    li.groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      // all ordered pairs (parts(i), parts(j)) with i < j; slice is
+      // 1-based so elements after index i start at position i + 2
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)), y ->
+          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pair"))
+      .select(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(desc("n_orders"), asc_nulls_first("p1"), asc_nulls_first("p2"))
+      .limit(25)
+  }
+
+  /** Deterministic global shuffle + shard assignment for training-order
+    * export: every document gets a seed-free pseudo-random sort key
+    * (md5 of its id — the same keying qSampleHash uses, so membership
+    * and order are reproducible across runs and engines), a shard from
+    * the key's first byte, and a dense position within its shard.
+    *
+    * Scale: the ONLY shuffle is the per-shard window sort — there is no
+    * global sort, so shard count is the parallelism knob (8 here to keep
+    * the sf0.01 oracle small; a 100 TB export sets it to ~4× the
+    * executor-core count, e.g. 4096, and each shard sorts its ~25 GB
+    * independently). Position-within-shard must be sequential by
+    * definition of a training order, so a per-shard sort is the floor
+    * cost of the operation, not an artifact of the plan.
+    */
+  def qShuffleExport(spark: SparkSession, sfDir: String): DataFrame = {
+    val nShards = 8
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("sort_key"))
+      .withColumn("shard",
+        (conv(substring(col("sort_key"), 1, 2), 16, 10).cast("long") % nShards).cast("int"))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("sort_key").asc, col("doc_id").asc)))
+      .select("shard", "pos", "doc_id", "sort_key")
+      .orderBy(asc_nulls_first("shard"), asc_nulls_first("pos"))
+  }
+}

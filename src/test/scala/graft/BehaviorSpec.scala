@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the behavior-analytics queries (funnel, retention,
+  * co-occurrence, shuffle-export). The DuckDB oracle proves row
+  * equality at sf0.01; these tests pin the SEMANTIC properties the
+  * oracle comparison can't articulate (stage ordering, cohort algebra,
+  * pair canonicalization, dense positions) plus the funnel's
+  * one-Exchange plan claim.
+  */
+class BehaviorSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("funnel: stage timestamps strictly increase and depth matches nulls") {
+    import spark.implicits._
+    val f = q("q_funnel").cache()
+    val badOrder = f.filter(
+      ($"t_click".isNotNull && $"t_click" <= $"t_view") ||
+      ($"t_purchase".isNotNull && $"t_purchase" <= $"t_click")).count()
+    assert(badOrder == 0)
+    val badDepth = f.filter(
+      ($"depth" === 3) =!= $"t_purchase".isNotNull ||
+      ($"depth" >= 2) =!= $"t_click".isNotNull ||
+      ($"depth" >= 1) =!= $"t_view".isNotNull).count()
+    assert(badDepth == 0)
+    // a later stage requires the earlier one
+    val gap = f.filter($"t_purchase".isNotNull && $"t_click".isNull).count() +
+      f.filter($"t_click".isNotNull && $"t_view".isNull).count()
+    assert(gap == 0)
+    f.unpersist()
+  }
+
+  test("funnel: one user base row per distinct event user") {
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(q("q_funnel").count() == users)
+  }
+
+  test("funnel: window formulation equals the join-chain formulation") {
+    import spark.implicits._
+    // independent re-derivation, same shape as the DuckDB oracle
+    val ev = Tables.events(spark, sfDir).select("user_id", "ts", "event_type")
+    val v = ev.filter($"event_type" === "view").groupBy("user_id")
+      .agg(min($"ts").as("jv"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" > $"jv").groupBy("user_id").agg(min($"ts").as("jc"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" > $"jc").groupBy("user_id").agg(min($"ts").as("jp"))
+    val joined = q("q_funnel")
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+    val mism = joined.filter(
+      !($"t_view" <=> $"jv") || !($"t_click" <=> $"jc") ||
+      !($"t_purchase" <=> $"jp")).count()
+    assert(mism == 0)
+  }
+
+  test("funnel: plan has exactly one shuffle exchange") {
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case n => n +: n.children.flatMap(flatten)
+    }
+    val df = q("q_funnel")
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    val shuffles = flatten(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+    // window sort on user_id; the groupBy and final orderBy reuse or
+    // add at most the result-ordering exchange
+    assert(shuffles <= 2, s"expected <=2 shuffles (window + output sort), got $shuffles")
+  }
+
+  test("retention: day 0 counts the full cohort and offsets are non-negative") {
+    import spark.implicits._
+    val r = q("q_retention").cache()
+    assert(r.filter($"day_offset" < 0).count() == 0)
+    // every user is active on their cohort day by construction
+    val cohortSizes = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(to_date(min($"ts")).as("cohort_day"))
+      .groupBy("cohort_day").agg(count(lit(1)).as("n_users"))
+    val day0 = r.filter($"day_offset" === 0).select($"cohort_day", $"n_active")
+    val mism = day0.join(cohortSizes, "cohort_day")
+      .filter($"n_active" =!= $"n_users").count()
+    assert(mism == 0)
+    // retention never exceeds the cohort size at any offset
+    val over = r.join(cohortSizes, "cohort_day")
+      .filter($"n_active" > $"n_users").count()
+    assert(over == 0)
+    r.unpersist()
+  }
+
+  test("cooccur: pairs canonical (p1 < p2), counts bounded by order count") {
+    import spark.implicits._
+    val co = q("q_cooccur").cache()
+    assert(co.count() == 25)
+    assert(co.filter($"p1" >= $"p2").count() == 0)
+    val nOrders = Tables.lineitem(spark, sfDir).select("l_orderkey").distinct().count()
+    assert(co.filter($"n_orders" > nOrders).count() == 0)
+    // descending by n_orders with (p1, p2) tiebreak
+    val rows = co.collect()
+    val sorted = rows.sortBy(r => (-r.getLong(2), r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == sorted.toSeq)
+    co.unpersist()
+  }
+
+  test("cooccur: a known pair's count matches a direct filter") {
+    import spark.implicits._
+    val top = q("q_cooccur").limit(1).collect()(0)
+    val (p1, p2) = (top.getLong(0), top.getLong(1))
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey").distinct()
+    val direct = li.filter($"l_partkey" === p1).select("l_orderkey")
+      .intersect(li.filter($"l_partkey" === p2).select("l_orderkey")).count()
+    assert(direct == top.getLong(2))
+  }
+
+  test("shuffle export: positions dense per shard, total covers all docs, stable reruns") {
+    import spark.implicits._
+    val e1 = q("q_shuffle_export").cache()
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(e1.count() == docs)
+    assert(e1.select("doc_id").distinct().count() == docs)
+    // dense 1..n per shard
+    val dense = e1.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min($"pos").as("lo"), max($"pos").as("hi"),
+        countDistinct($"pos").as("np"))
+      .filter($"lo" =!= 1 || $"hi" =!= $"n" || $"np" =!= $"n").count()
+    assert(dense == 0)
+    // deterministic: a second run is row-identical (seed-free md5 keys)
+    val e2 = q("q_shuffle_export")
+    assert(e1.exceptAll(e2).count() == 0 && e2.exceptAll(e1).count() == 0)
+    e1.unpersist()
+  }
+}

@@ -21,7 +21,7 @@ class CoreQueriesSpec extends AnyFunSuite {
     // The ANN paths are approximate in recall (no SQL oracle exists);
     // deterministic + recall-bounded in ScalePathSpec and SCALING.md.
     val declaredNoOracle = Set("sketch_distinct", "sketch_percentiles",
-      "ann_lsh_topk", "ann_ivf_topk")
+      "ann_lsh_topk", "ann_ivf_topk", "ann_quant_topk")
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- declaredNoOracle
     assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")
