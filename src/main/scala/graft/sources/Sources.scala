@@ -114,6 +114,28 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Hive-style partitioned layout: one directory per value of
+    * `partCols` (e.g. `day=2024-01-05/`). THE data-layout primitive at
+    * 100 TB — a query filtering on a partition column never lists or
+    * reads the other partitions (partition pruning happens at planning,
+    * before any file I/O; PartitionedLayoutSpec asserts the pruned scan
+    * touches exactly the matching directories).
+    */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.write.partitionBy(partCols: _*).mode(SaveMode.Overwrite).parquet(path)
+
+  /** Incremental daily rerun: replace ONLY the partitions present in
+    * `df`, leaving every other partition untouched (dynamic partition
+    * overwrite). This is how a daily pipeline republishes one day out of
+    * a 3-year partitioned corpus without rewriting — or even listing —
+    * the other ~1000 partitions. Static overwrite (the default) would
+    * drop them all; the conf is set per-write here so callers can't
+    * inherit the wrong mode from the session.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.write.partitionBy(partCols: _*).mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic").parquet(path)
+
   /** The reference's output format: one `"<key> <value>"` line per
     * group (`mr/worker.go:207`), sharded into `numShards` files by key
     * hash — the analogue of its fixed nReduce=10 output partitioning.

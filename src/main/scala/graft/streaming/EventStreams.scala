@@ -127,6 +127,61 @@ object EventStreams {
       }
   }
 
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String) {
+    def tsUs: Long = ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+  }
+  case class FunnelProgress(tViewUs: Option[Long], tClickUs: Option[Long],
+      tPurchaseUs: Option[Long])
+  case class FunnelOut(user_id: Long, t_view_us: Option[Long],
+      t_click_us: Option[Long], t_purchase_us: Option[Long], depth: Int)
+
+  /** Streaming funnel: the incremental twin of the batch
+    * BehaviorQueries.qFunnel (view → click strictly after → purchase
+    * strictly after), as a typed mapGroupsWithState state machine in
+    * update mode. State is three optional timestamps per user — O(1),
+    * monotone (a stage timestamp freezes once set, so emitted rows only
+    * ever deepen), sharded by user_id with the shuffle.
+    *
+    * Exactness contract: each batch is processed in (ts, event_id)
+    * order, so when per-user arrival is event-time-ordered ACROSS
+    * triggers (a replayed log, or any source whose per-user streams are
+    * time-ordered), the first qualifying event per stage is the minimal
+    * one and the final state equals the batch query row-for-row —
+    * StreamingFunnelSpec proves it on the 8-chunk replay. Under
+    * cross-batch disorder a late earlier view cannot retroactively
+    * requalify clicks already seen; that approximation (not a buffer of
+    * the whole stream) is the standard streaming-funnel trade.
+    */
+  def funnelState(spark: SparkSession, events: DataFrame): Dataset[FunnelOut] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelProgress, FunnelOut](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          var s = state.getOption.getOrElse(FunnelProgress(None, None, None))
+          batch.toSeq.sortBy(e => (e.tsUs, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" if s.tViewUs.isEmpty =>
+                s = s.copy(tViewUs = Some(e.tsUs))
+              case "click" if s.tClickUs.isEmpty && s.tViewUs.exists(_ < e.tsUs) =>
+                s = s.copy(tClickUs = Some(e.tsUs))
+              case "purchase" if s.tPurchaseUs.isEmpty && s.tClickUs.exists(_ < e.tsUs) =>
+                s = s.copy(tPurchaseUs = Some(e.tsUs))
+              case _ =>
+            }
+          }
+          state.update(s)
+          val depth =
+            if (s.tPurchaseUs.isDefined) 3
+            else if (s.tClickUs.isDefined) 2
+            else if (s.tViewUs.isDefined) 1
+            else 0
+          FunnelOut(user, s.tViewUs, s.tClickUs, s.tPurchaseUs, depth)
+      }
+  }
+
   /** Custom stateful operator: running per-user event counts via typed
     * mapGroupsWithState (update mode). State is one long per user —
     * partitioned by the group key across executors.

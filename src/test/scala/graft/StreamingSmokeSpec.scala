@@ -205,6 +205,30 @@ class StreamingSmokeSpec extends AnyFunSuite {
       s"late row leaked into the closed window count: got ${firstWindow.head}")
   }
 
+  test("streaming funnel state machine converges to the batch funnel exactly") {
+    import spark.implicits._
+    EventStreams.runToMemory(
+      EventStreams.funnelState(spark,
+        EventStreams.fileSource(spark, inputDir)).toDF(),
+      "funnel_smoke", OutputMode.Update())
+    // update mode: stage timestamps are set-once (monotone), so the max
+    // over a user's emissions IS the final state, nulls ignored by max
+    val streamed = spark.table("funnel_smoke")
+      .groupBy("user_id")
+      .agg(max($"t_view_us").as("s_view"), max($"t_click_us").as("s_click"),
+        max($"t_purchase_us").as("s_purchase"), max($"depth").as("s_depth"))
+    val batch = SparkEntry.queries("q_funnel")(spark, sfDir)
+      .select($"user_id", unix_micros($"t_view").as("b_view"),
+        unix_micros($"t_click").as("b_click"),
+        unix_micros($"t_purchase").as("b_purchase"), $"depth".as("b_depth"))
+    assert(batch.count() > 0 && streamed.count() == batch.count())
+    val mism = streamed.join(batch, "user_id")
+      .filter(!($"s_view" <=> $"b_view") || !($"s_click" <=> $"b_click") ||
+        !($"s_purchase" <=> $"b_purchase") || $"s_depth" =!= $"b_depth")
+      .count()
+    assert(mism == 0, "streaming funnel diverged from batch funnel")
+  }
+
   test("vec_dot is callable from SQL via GraftExtensions") {
     import spark.implicits._
     val r = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
