@@ -51,14 +51,24 @@ object ScaleSmoke {
           regexp_replace(col("text"), "([a-z]+)", s"$$1x$tag").as("text"))
       }.reduce(_ unionAll _)
 
-    val events = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "event_type")
 
     def replicatedEvents(k: Int): DataFrame =
       (0 until k).map { i =>
         events.select(
           (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
           (col("user_id") + lit(i.toLong * 10000000L)).as("user_id"),
-          col("ts"))
+          col("ts"), col("event_type"))
+      }.reduce(_ unionAll _)
+
+    val lineitem = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+
+    def replicatedLineitem(k: Int): DataFrame =
+      (0 until k).map { i =>
+        lineitem.select(
+          (col("l_orderkey") + lit(i.toLong * 1000000000L)).as("l_orderkey"),
+          col("l_partkey"))
       }.reduce(_ unionAll _)
 
     def timeNoop(df: DataFrame): Double = {
@@ -81,7 +91,14 @@ object ScaleSmoke {
       "chunk_strided_32_24" -> (k => TextQueries.chunkTokensStrided(replicated(k), 32, 24)),
       "minhash_lsh_candidates" -> (k => MinHashLsh.candidatePairs(replicated(k))),
       "dedup_hamming_pairs" -> (k => AdvancedTextQueries.dedupHammingPairs(replicated(k), 16, 1, AdvancedTextQueries.HammingBucketCap)),
-      "session_windows" -> (k => EventQueries.sessionWindows(replicatedEvents(k))))
+      "session_windows" -> (k => EventQueries.sessionWindows(replicatedEvents(k))),
+      // one window shuffle on user_id; rows = users, so growth tracks
+      // the replicated user space exactly
+      "funnel" -> (k => BehaviorQueries.funnelFrom(replicatedEvents(k))),
+      // bounded C(n,2) explode per order (disjoint order spaces share
+      // partkeys, so pair counts scale with k while pair cardinality
+      // stays fixed — the worst case for the final aggregation)
+      "cooccur_pairs" -> (k => BehaviorQueries.cooccurPairCounts(replicatedLineitem(k))))
 
     val sb = new StringBuilder
     sb.append("# Operator scaling smoke (corpus replicated with disjoint token/user spaces)\n\n")

@@ -64,6 +64,10 @@ object SparkEntry {
     "q_stream_sliding"  -> (EventQueries.qStreamSliding _),
     "q_session_window"  -> (EventQueries.qSessionWindow _),
     "q_dedup_latest"    -> (EventQueries.qDedupLatest _),
+    "q_shipping_priority" -> (CompositeQueries.qShippingPriority _),
+    "q_regional_volume" -> (CompositeQueries.qRegionalVolume _),
+    "q_ab_assign"       -> (CompositeQueries.qAbAssign _),
+    "q_snapshot_diff"   -> (CompositeQueries.qSnapshotDiff _),
     "q_funnel"          -> (BehaviorQueries.qFunnel _),
     "q_retention"       -> (BehaviorQueries.qRetention _),
     "q_cooccur"         -> (BehaviorQueries.qCooccur _),
@@ -606,6 +610,69 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rn = 1
         |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+    "q_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |           CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 10000.0 AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate NULLS FIRST, l_orderkey NULLS FIRST
+        |LIMIT 10""".stripMargin,
+    "q_regional_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |           CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 10000.0 AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name NULLS FIRST""".stripMargin,
+    "q_ab_assign" ->
+      """WITH per_user AS (
+        |  SELECT CASE WHEN CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+        |                    AS BIGINT) % 2 = 0
+        |         THEN 'control' ELSE 'treatment' END AS variant,
+        |    user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS rev_cents
+        |  FROM events GROUP BY variant, user_id)
+        |SELECT variant, count(*) AS n_users,
+        |  CAST(sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchasers,
+        |  CAST(sum(purchases) AS BIGINT) AS n_purchases,
+        |  CAST(sum(rev_cents) AS DOUBLE) / 100.0 AS revenue,
+        |  round(CAST(sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS conversion
+        |FROM per_user GROUP BY variant ORDER BY variant NULLS FIRST""".stripMargin,
+    "q_snapshot_diff" ->
+      """SELECT doc_id, status FROM (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.a_hash IS NULL THEN 'added'
+        |         WHEN b.b_hash IS NULL THEN 'removed'
+        |         WHEN a.a_hash <> b.b_hash THEN 'changed' END AS status
+        |  FROM (SELECT doc_id, md5(text) AS a_hash FROM documents
+        |        WHERE doc_id % 7 <> 0) a
+        |  FULL OUTER JOIN
+        |       (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0
+        |                                THEN text || ' v2' ELSE text END) AS b_hash
+        |        FROM documents WHERE doc_id % 5 <> 0) b
+        |  ON a.doc_id = b.doc_id) t
+        |WHERE status IS NOT NULL
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
     // Oracle derives the funnel the opposite way from the Spark plan
     // (chained join-aggregates vs one running-min window pass) — the two
     // formulations are provably equivalent and check each other.

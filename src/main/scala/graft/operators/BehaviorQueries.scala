@@ -41,9 +41,14 @@ object BehaviorQueries {
     * deliberately derives the same result the other way (three chained
     * join-aggregates) so the two formulations check each other.
     */
-  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-      .select("user_id", "ts", "event_id", "event_type")
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnelFrom(Tables.events(spark, sfDir))
+
+  /** DataFrame-core funnel over any (user_id, ts, event_id, event_type)
+    * frame — graft.ScaleSmoke drives this on replicated user spaces.
+    */
+  def funnelFrom(events: DataFrame): DataFrame = {
+    val ev = events.select("user_id", "ts", "event_id", "event_type")
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
 
     val staged = ev
@@ -108,8 +113,25 @@ object BehaviorQueries {
     * l_orderkey (two scan+exchanges and an O(n²)-per-key join) for the
     * same result.
     */
-  def qCooccur(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+  def qCooccur(spark: SparkSession, sfDir: String): DataFrame =
+    cooccurFrom(Tables.lineitem(spark, sfDir))
+
+  /** DataFrame-core co-occurrence over any (l_orderkey, l_partkey)
+    * frame — graft.ScaleSmoke drives this on replicated order spaces.
+    */
+  def cooccurFrom(lineitem: DataFrame): DataFrame =
+    cooccurPairCounts(lineitem)
+      .orderBy(desc("n_orders"), asc_nulls_first("p1"), asc_nulls_first("p2"))
+      .limit(25)
+
+  /** Full (p1, p2, n_orders) pair counts — the expensive part of the
+    * query, before the top-k truncation (which Spark plans as
+    * TakeOrderedAndProject: per-partition top-25 + driver merge, never
+    * a global sort). ScaleSmoke times this form so the measurement
+    * covers the pair explosion + aggregation, not the truncation.
+    */
+  def cooccurPairCounts(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select("l_orderkey", "l_partkey")
     li.groupBy("l_orderkey")
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
       // all ordered pairs (parts(i), parts(j)) with i < j; slice is
@@ -121,8 +143,6 @@ object BehaviorQueries {
       .select(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_orders"))
-      .orderBy(desc("n_orders"), asc_nulls_first("p1"), asc_nulls_first("p2"))
-      .limit(25)
   }
 
   /** Deterministic global shuffle + shard assignment for training-order

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composite multi-join analytics — the TPC-H-shaped flagship queries a
+  * warehouse user actually runs, plus experiment (A/B) analysis and
+  * snapshot reconciliation. These exercise the PLANNER at composite
+  * scale: selective dimensions must broadcast, the fact stream must
+  * shuffle once on its join key, and aggregation must start map-side.
+  *
+  * Exact money algebra (house convention, see StatsQueries): prices and
+  * discounts are 2-dp doubles, so `round(x*100)` is an exact integer;
+  * revenue ext·(1−disc) is computed as the exact 10^-4-unit product
+  * cents(ext) × pct(1−disc) summed as BIGINT, cast to double once at
+  * the end. Exactness holds while a group's 10^-4-unit sum stays below
+  * 2^53 (~9·10^15 — ≈10^7 lineitems per group at max price); a 100 TB
+  * hot group (e.g. Q5's per-nation sums at ~10^10 rows) widens the SUM
+  * to DECIMAL(38,0), same algebra.
+  */
+object CompositeQueries {
+
+  /** Exact 10^-4-unit revenue term: cents(l_extendedprice) × pct(1−l_discount). */
+  private def revE4: Column =
+    (round(col("l_extendedprice") * 100).cast("long") *
+      round((lit(1.0) - col("l_discount")) * 100).cast("long"))
+
+  /** TPC-H Q3 shape (shipping priority): revenue of unshipped orders for
+    * one market segment — customer ⋈ orders ⋈ lineitem, top 10.
+    *
+    * Plan: the segment-filtered customer (~1/5 of a dimension table) and
+    * the date-filtered orders join broadcast-free on o_custkey only if
+    * both shuffle — but customer is tiny relative to the fact stream, so
+    * we broadcast it explicitly; lineitem then joins pre-filtered orders
+    * on the shuffle. Top-10 is TakeOrderedAndProject (per-partition
+    * heap + driver merge of 10 rows), never a global sort.
+    */
+  def qShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg((sum(revE4).cast("double") / 10000.0).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(desc("revenue"), asc_nulls_first("o_orderdate"),
+        asc_nulls_first("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local supplier volume): per-nation revenue where
+    * the supplier and the customer share a nation, one region, one year.
+    *
+    * Plan: region→nation→customer collapses to ONE broadcast (a few
+    * hundred rows after the region filter); supplier ⋈ nation is a
+    * second broadcast. The fact stream (lineitem ⋈ filtered orders)
+    * shuffles once on the order key; every dimension attaches
+    * broadcast-side, and the c_nationkey = s_nationkey equality is a
+    * post-join filter on broadcast-carried columns — no extra exchange
+    * anywhere. Output is ≤ |nation| rows.
+    */
+  def qRegionalVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val yearLo = lit("1997-01-01").cast("timestamp")
+    val yearHi = lit("1998-01-01").cast("timestamp")
+    val nationsInRegion = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, sfDir)
+      .join(nationsInRegion, col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey", "n_name")
+    val supp = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= yearLo && col("o_orderdate") < yearHi)
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg((sum(revE4).cast("double") / 10000.0).as("revenue"))
+      .orderBy(desc("revenue"), asc_nulls_first("n_name"))
+  }
+
+  /** Deterministic A/B experiment analysis: every user is assigned a
+    * variant by seed-free md5 bucket (the qSampleHash keying — stable
+    * across runs, engines, and reprocessing), then per-variant funnel
+    * economics: users, purchasers, exact purchase revenue, conversion.
+    *
+    * Scale: assignment is a projection (no shuffle, no assignment
+    * table to join — the hash IS the table); the per-variant rollup
+    * aggregates first per (variant, user) then per variant, both
+    * map-side-combinable. Rates are rounded to 6 dp, sums exact cents.
+    */
+  def qAbAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = Tables.events(spark, sfDir)
+      .withColumn("variant",
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 2 === 0, "control").otherwise("treatment"))
+    assigned
+      .groupBy(col("variant"), col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("rev_cents"))
+      .groupBy("variant")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("purchases") > 0, 1L).otherwise(0L)).as("n_purchasers"),
+        sum(col("purchases")).as("n_purchases"),
+        (sum(col("rev_cents")).cast("double") / 100.0).as("revenue"),
+        round(sum(when(col("purchases") > 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("conversion"))
+      .orderBy(asc_nulls_first("variant"))
+  }
+
+  /** Snapshot reconciliation: diff two corpus snapshots into
+    * added / removed / changed rows (unchanged rows drop out). The two
+    * snapshots are carved deterministically from the documents table
+    * (A = doc_id % 7 ≠ 0; B = doc_id % 5 ≠ 0 with every 11th doc
+    * revised) so the oracle reproduces them exactly.
+    *
+    * Scale: ONE full-outer shuffle on doc_id comparing 16-byte content
+    * hashes — never the texts; the md5 is computed before the exchange
+    * so text never shuffles. This is the audit face of Upsert: the same
+    * comparison that drives a MERGE, reported instead of applied.
+    */
+  def qSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val a = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("a_hash"))
+    val b = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("b_hash"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("a_hash").isNull, "added")
+          .when(col("b_hash").isNull, "removed")
+          .when(col("a_hash") =!= col("b_hash"), "changed"))
+      .filter(col("status").isNotNull)
+      .select("doc_id", "status")
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+}

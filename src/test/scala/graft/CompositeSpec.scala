@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the composite multi-join analytics (TPC-H Q3/Q5
+  * shapes, A/B analysis, snapshot diff): the oracle proves row
+  * equality; these pin the semantic algebra and the broadcast-dimension
+  * plan shape the 100 TB story depends on.
+  */
+class CompositeSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+    case n => n +: n.children.flatMap(flatten)
+  }
+
+  test("shipping priority: 10 rows max, revenue descending, dates respect the cutoff") {
+    import spark.implicits._
+    val df = q("q_shipping_priority").cache()
+    val rows = df.collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    assert(df.filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp")).count() == 0)
+    df.unpersist()
+  }
+
+  test("shipping priority: dimensions broadcast, fact never builds") {
+    val joins = flatten(q("q_shipping_priority").queryExecution.executedPlan)
+      .collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "expected at least one broadcast hash join")
+  }
+
+  test("regional volume: one row per nation with local-supplier sales, revenue positive") {
+    import spark.implicits._
+    val r = q("q_regional_volume").cache()
+    val asiaNations = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey").count()
+    assert(r.count() <= asiaNations)
+    assert(r.filter($"revenue" <= 0).count() == 0)
+    assert(r.select("n_name").distinct().count() == r.count())
+    r.unpersist()
+  }
+
+  test("ab assign: partition of the user base, rates in range, deterministic") {
+    import spark.implicits._
+    val r = q("q_ab_assign").cache()
+    assert(r.count() == 2)
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(r.agg(sum($"n_users")).head().getLong(0) == users)
+    assert(r.filter($"conversion" < 0 || $"conversion" > 1).count() == 0)
+    assert(r.filter($"n_purchasers" > $"n_users").count() == 0)
+    val again = q("q_ab_assign")
+    assert(r.exceptAll(again).count() == 0 && again.exceptAll(r).count() == 0)
+    r.unpersist()
+  }
+
+  test("snapshot diff: statuses match the deterministic carve") {
+    import spark.implicits._
+    val d = q("q_snapshot_diff").cache()
+    val bad = d.filter(!$"status".isin("added", "removed", "changed")).count()
+    assert(bad == 0)
+    // added = in B only: doc_id % 7 == 0 && % 5 != 0
+    val added = d.filter($"status" === "added")
+    assert(added.filter($"doc_id" % 7 =!= 0 || $"doc_id" % 5 === 0).count() == 0)
+    // removed = in A only: % 5 == 0 && % 7 != 0
+    val removed = d.filter($"status" === "removed")
+    assert(removed.filter($"doc_id" % 5 =!= 0 || $"doc_id" % 7 === 0).count() == 0)
+    // changed = in both with the 11th-doc revision
+    val changed = d.filter($"status" === "changed")
+    assert(changed.filter($"doc_id" % 11 =!= 0).count() == 0)
+    assert(changed.filter($"doc_id" % 7 === 0 || $"doc_id" % 5 === 0).count() == 0)
+    // and every 11th doc present in both snapshots IS reported changed
+    val expectChanged = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 11 === 0 && $"doc_id" % 7 =!= 0 && $"doc_id" % 5 =!= 0)
+      .count()
+    assert(changed.count() == expectChanged)
+    d.unpersist()
+  }
+}
