@@ -108,6 +108,14 @@ object SparkEntry {
     "q_fuzzy_match"     -> (AdvancedTextQueries.qFuzzyMatch _),
     "sketch_distinct"   -> (StatsQueries.sketchDistinct _),
     "sketch_percentiles" -> (StatsQueries.sketchPercentiles _),
+    "q_anomaly"         -> (AnalyticsQueries.qAnomaly _),
+    "q_rfm"             -> (AnalyticsQueries.qRfm _),
+    "q_gapfill"         -> (AnalyticsQueries.qGapfill _),
+    "q_returned_items"  -> (AnalyticsQueries.qReturnedItems _),
+    "q_priority_exists" -> (AnalyticsQueries.qPriorityExists _),
+    "q_boilerplate"     -> (AnalyticsQueries.qBoilerplate _),
+    "q_weighted_sample" -> (AnalyticsQueries.qWeightedSample _),
+    "q_heavy_hitters"   -> (AnalyticsQueries.qHeavyHitters _),
     // ANN scale paths: deterministic end-to-end (fixed hyperplane seed /
     // k-means seed) but approximate in recall, so no SQL oracle — the
     // driver records rows>0; recall is property-tested (ScalePathSpec)
@@ -769,6 +777,145 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 10
         |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+    // z from exact integer moment sums, one fixed IEEE double formula
+    // in both engines; the filter compares the ROUNDED z so no
+    // boundary can flip on a last-ulp difference.
+    "q_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, value,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events),
+        |stats AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(c) AS DOUBLE) AS sx,
+        |    CAST(sum(c * c) AS DOUBLE) AS sxx
+        |  FROM ev GROUP BY event_type)
+        |SELECT event_type, event_id, value,
+        |  round((CAST(c AS DOUBLE) - sx / n)
+        |        / sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS z_score
+        |FROM ev JOIN stats USING (event_type)
+        |WHERE abs(round((CAST(c AS DOUBLE) - sx / n)
+        |          / sqrt(sxx / n - (sx / n) * (sx / n)), 6)) > 3.0
+        |ORDER BY event_type NULLS FIRST, event_id NULLS FIRST""".stripMargin,
+    "q_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |              DATE '2001-09-01') AS recency_days,
+        |    count(*) AS frequency,
+        |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS m_cents
+        |  FROM orders GROUP BY o_custkey),
+        |s AS (
+        |  SELECT *,
+        |    CASE WHEN recency_days <= 150 THEN 3
+        |         WHEN recency_days <= 330 THEN 2 ELSE 1 END AS r_score,
+        |    CASE WHEN frequency >= 12 THEN 3
+        |         WHEN frequency >= 9 THEN 2 ELSE 1 END AS f_score,
+        |    CASE WHEN m_cents >= 280000000 THEN 3
+        |         WHEN m_cents >= 210000000 THEN 2 ELSE 1 END AS m_score
+        |  FROM base)
+        |SELECT o_custkey, recency_days, frequency,
+        |  CAST(m_cents AS DOUBLE) / 100.0 AS monetary,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score + f_score + m_score >= 8 THEN 'champion'
+        |       WHEN r_score + f_score + m_score >= 6 THEN 'loyal'
+        |       WHEN r_score + f_score + m_score >= 4 THEN 'regular'
+        |       ELSE 'at_risk' END AS segment
+        |FROM s ORDER BY o_custkey NULLS FIRST""".stripMargin,
+    "q_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n_events,
+        |    sum(CAST(round(value * 100, 0) AS BIGINT)) AS c_sum
+        |  FROM events GROUP BY user_id, d),
+        |grid AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM (SELECT user_id, min(d) AS d0, max(d) AS d1
+        |        FROM daily GROUP BY user_id) s)
+        |SELECT g.user_id, g.d AS day,
+        |  coalesce(dd.n_events, 0) AS n_events,
+        |  CAST(coalesce(dd.c_sum, 0) AS DOUBLE) / 100.0 AS value_sum
+        |FROM grid g
+        |LEFT JOIN daily dd ON g.user_id = dd.user_id AND g.d = dd.d
+        |ORDER BY g.user_id NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |           CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey NULLS FIRST
+        |LIMIT 20""".stripMargin,
+    "q_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
+    // Shingle CTE shared shape with q_decontaminate; the verdict
+    // compares 2·n_common >= n_shingles in exact integers.
+    "q_boilerplate" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '')) AS t,
+        |    generate_subscripts(
+        |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                  x -> x <> ''), 1) - 1 AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS sh
+        |    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+        |  WHERE sh IS NOT NULL),
+        |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+        |per_doc AS (
+        |  SELECT s.doc_id, count(*) AS n_shingles,
+        |    sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS n_common
+        |  FROM sh s JOIN df d USING (sh) GROUP BY s.doc_id)
+        |SELECT doc_id, n_shingles, n_common,
+        |  round(CAST(n_common AS DOUBLE) / n_shingles, 6) AS boiler_ratio,
+        |  CASE WHEN n_common * 2 >= n_shingles THEN 'boilerplate'
+        |       ELSE 'keep' END AS verdict
+        |FROM per_doc ORDER BY doc_id NULLS FIRST""".stripMargin,
+    // Efraimidis-Spirakis key ln(u)/w; ORDER BY is on the unrounded
+    // key in both engines, the displayed key is 6-dp.
+    "q_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |             AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE) AS k
+        |  FROM documents)
+        |SELECT doc_id, n_chars, round(k, 6) AS sel_key
+        |FROM keyed
+        |ORDER BY k DESC, doc_id
+        |LIMIT 50""".stripMargin,
+    // The MG sketch prune has no false negatives above the threshold
+    // and the confirm pass is exact, so the sketched plan answers the
+    // plain SQL below row-identically.
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                            x -> x <> '')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n_total FROM tok),
+        |c AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token)
+        |SELECT token, n_occurrences,
+        |  round(CAST(n_occurrences AS DOUBLE) / n_total, 6) AS share
+        |FROM c, tot
+        |WHERE n_occurrences * 100 >= n_total
+        |ORDER BY n_occurrences DESC, token NULLS FIRST""".stripMargin,
     "q_chunk" ->
       """WITH tok AS (
         |  SELECT doc_id,

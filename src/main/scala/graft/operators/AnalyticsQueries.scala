@@ -1,0 +1,292 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.MisraGries
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical / business analytics over the star schema: outlier
+  * detection, RFM segmentation, time-series gap filling, two more
+  * TPC-H composite shapes (Q10 returned items, Q4 EXISTS), weighted
+  * corpus sampling, cross-document boilerplate detection, and
+  * sketch-pruned exact heavy hitters. All deterministic under the
+  * repo's oracle rules: exact integer-cents accumulation wherever
+  * money or moments are summed, 6-dp rounding on derived doubles,
+  * full ORDER BY.
+  */
+object AnalyticsQueries {
+
+  /** value in exact cents — the same monetary algebra every composite
+    * query here uses (sums of 2-dp doubles are inexact; sums of their
+    * cent-rounded longs are exact).
+    */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Z-score outliers per event type: events whose value deviates more
+    * than 3 population standard deviations from their type's mean.
+    *
+    * Determinism: mean/stddev are derived from EXACT per-type integer
+    * sums (n, Σcents, Σcents² — the qCorr move), then one fixed IEEE
+    * double formula both engines evaluate identically; the filter
+    * compares the 6-dp-ROUNDED z so no boundary can flip on a last-ulp
+    * difference. Σcents² stays exact in a long for |value| < ~3·10⁷
+    * per event (fixture values are ≤ 10³) and in the DECIMAL(38,0)
+    * accumulator for any realistic row count.
+    *
+    * Scale: pass 1 is a map-side-combinable aggregate to |event_type|
+    * rows (5); pass 2 re-scans events and equi-joins the 5-row stats
+    * table — Spark broadcasts it automatically, so the second pass is
+    * a codegen'd projection+filter with no shuffle at all. Two scans
+    * of the fact table is the floor for any exact two-moment outlier
+    * pass; a single-scan variant would need a global window (one
+    * reducer per type).
+    */
+  def qAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        cents(col("value")).as("c"))
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("c").cast("decimal(38,0)")).cast("double").as("sx"),
+      sum((col("c") * col("c")).cast("decimal(38,0)")).cast("double").as("sxx"))
+    val mean = col("sx") / col("n")
+    val z = (col("c").cast("double") - mean) /
+      sqrt(col("sxx") / col("n") - mean * mean)
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z_score", round(z, 6) + lit(0.0))
+      .filter(abs(col("z_score")) > 3.0)
+      .select("event_type", "event_id", "value", "z_score")
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("event_id"))
+  }
+
+  /** RFM (recency / frequency / monetary) customer segmentation from
+    * the orders table with FIXED business bands — not quantile tiles:
+    * a global ntile() would be one single-partition window sort (the
+    * classic 100 TB anti-pattern), while fixed bands are a codegen'd
+    * CASE after one map-side-combinable aggregate, and they are what
+    * practitioners actually deploy (bands survive re-runs; quantile
+    * tiles re-label every customer whenever the population shifts).
+    * Band edges sit near the sf0.01 quartiles (recency ≈ 100/199/363
+    * days, frequency ≈ 8/10/12, monetary ≈ 1.9M/2.5M/3.1M cents).
+    *
+    * One shuffle total (the per-customer aggregate). Monetary is exact
+    * cents; the reported `monetary` double is cents/100 — identical
+    * IEEE division in both engines.
+    */
+  def qRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val refDate = to_date(lit("2001-09-01"))
+    val base = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(
+        datediff(refDate, to_date(max(col("o_orderdate")))).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(cents(col("o_totalprice"))).as("m_cents"))
+    val rScore = when(col("recency_days") <= 150, 3)
+      .when(col("recency_days") <= 330, 2).otherwise(1)
+    val fScore = when(col("frequency") >= 12, 3)
+      .when(col("frequency") >= 9, 2).otherwise(1)
+    val mScore = when(col("m_cents") >= 280000000L, 3)
+      .when(col("m_cents") >= 210000000L, 2).otherwise(1)
+    base
+      .withColumn("r_score", rScore)
+      .withColumn("f_score", fScore)
+      .withColumn("m_score", mScore)
+      .withColumn("segment",
+        when(col("r_score") + col("f_score") + col("m_score") >= 8, "champion")
+          .when(col("r_score") + col("f_score") + col("m_score") >= 6, "loyal")
+          .when(col("r_score") + col("f_score") + col("m_score") >= 4, "regular")
+          .otherwise("at_risk"))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        (col("m_cents").cast("double") / 100.0).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      .orderBy(asc_nulls_first("o_custkey"))
+  }
+
+  /** Time-series gap filling: per-user daily event counts with missing
+    * days zero-filled between that user's first and last active day —
+    * the densification step before any rolling-window feature or
+    * forecasting job (a rolling mean over a sparse series is wrong;
+    * over a gap-filled one it is a window frame).
+    *
+    * Scale: the calendar grid is generated per user by
+    * `sequence(first_day, last_day)` — fan-out bounded by the date
+    * span (31 days in the fixture; a year is 365), never by event
+    * volume. Both join sides are keyed (user_id, day) and derive from
+    * the same daily aggregate, so the grid join reuses its exchange
+    * rather than re-shuffling raw events.
+    */
+  def qGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        cents(col("value")).as("c"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"), sum(col("c")).as("c_sum"))
+    val grid = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        (coalesce(col("c_sum"), lit(0L)).cast("double") / 100.0).as("value_sum"))
+      .orderBy(asc_nulls_first("user_id"), asc_nulls_first("day"))
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): revenue lost to
+    * 'R'-flagged lineitems per customer over one order quarter, top 20
+    * customers. Exact 10⁻⁴-unit revenue algebra as in
+    * `CompositeQueries.qShippingPriority`.
+    *
+    * Plan: lineitem is filtered on returnflag BEFORE its shuffle;
+    * orders is date-pruned at the scan (both predicates reach
+    * PushedFilters); the orders⋈lineitem and customer⋈agg joins
+    * shuffle on their keys (customer is fact-sized at 100 TB — never
+    * broadcast); nation IS broadcast. The top-20 is
+    * TakeOrderedAndProject, not a global sort.
+    */
+  def qReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val revenue = (sum(cents(col("l_extendedprice")) *
+      cents(lit(1) - col("l_discount"))).cast("double") / 10000.0).as("revenue")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-07-01")))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_nationkey")
+    val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(revenue)
+      .orderBy(desc("revenue"), asc_nulls_first("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q4 shape (order-priority checking): orders per priority
+    * that have at least one lineitem shipped after the order date —
+    * the EXISTS/semi-join composite. The semi join shuffles on
+    * orderkey and short-circuits per probe row (no fan-out, no
+    * duplicate counting); the count groups five priority values.
+    */
+  def qPriorityExists(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(asc_nulls_first("o_orderpriority"))
+  }
+
+  /** Cross-document boilerplate detection: for each document, the
+    * fraction of its distinct token-trigrams that are corpus-common
+    * (appearing in ≥ `dfMin` documents). Documents dominated by shared
+    * shingles are headers/footers/templates — the corpus-level
+    * complement of `q_repetition`'s within-document check, and the
+    * filter RefinedWeb-style pipelines run after exact dedup.
+    *
+    * The verdict flag compares 2·n_common ≥ n_shingles in EXACT
+    * integer arithmetic (no float boundary); the reported ratio is
+    * 6-dp display only. Plan shape = the tfidf/decontaminate family:
+    * one shingle exchange for the df count, one equi-join back on the
+    * shingle, one per-doc aggregate. A hot shingle costs one counter
+    * row here (count, not collect), so no df cap is needed.
+    */
+  def qBoilerplate(spark: SparkSession, sfDir: String): DataFrame =
+    boilerplateFrom(Tables.documents(spark, sfDir), dfMin = 3)
+
+  /** DataFrame-core form — ScaleSmoke drives this on replicated
+    * corpora.
+    */
+  def boilerplateFrom(docs: DataFrame, dfMin: Int): DataFrame = {
+    val sh = AdvancedTextQueries.shingleRows(docs)
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= dfMin, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("boiler_ratio",
+        round(col("n_common").cast("double") / col("n_shingles"), 6) + lit(0.0))
+      .withColumn("verdict",
+        when(col("n_common") * 2 >= col("n_shingles"), "boilerplate")
+          .otherwise("keep"))
+      .select("doc_id", "n_shingles", "n_common", "boiler_ratio", "verdict")
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+    * A-Res): top-50 documents by key ln(u)/w where u is a seed-free
+    * md5-uniform in (0,1) and w = n_chars — the quality-weighted
+    * subcorpus draw of a data-mixing pipeline, reproducible across
+    * runs, partitionings, and engines because the randomness is a hash
+    * of the row, not a RNG stream (the same argument as
+    * `q_sample_hash`).
+    *
+    * Plan: pure projection + TakeOrderedAndProject (per-partition
+    * top-50, driver merge) — no shuffle. Cross-engine note: ln() may
+    * differ by 1 ulp between libm and the JVM; that can only matter if
+    * two documents' keys collide to within ~10⁻¹⁶ relative — keys are
+    * continuous md5-derived reals, so ties at the cut line are
+    * measure-zero, and the displayed key is rounded to 6 dp.
+    */
+  def qWeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") + 0.5) / 4294967296.0
+    Tables.documents(spark, sfDir)
+      .withColumn("sel_key", log(u) / col("n_chars").cast("double"))
+      .orderBy(desc("sel_key"), asc_nulls_first("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("n_chars"),
+        (round(col("sel_key"), 6) + lit(0.0)).as("sel_key"))
+  }
+
+  /** Misra-Gries candidate set size. 128 counters ⇒ every token with
+    * frequency > n/129 of the corpus survives the sketch, so a
+    * ≥ n/100 threshold has NO false negatives to recover.
+    */
+  val MgK = 128
+
+  /** Exact heavy hitters through a sketch prune: tokens making up
+    * ≥ 1% of all token occurrences, found WITHOUT ever shuffling the
+    * full token stream. Pass 1 runs the mergeable Misra-Gries summary
+    * (`graft.functions.MisraGries`, k=128) — O(k) state per task, one
+    * 128-entry row to the driver — whose guarantee is no false
+    * negatives above n/129 < 1%. Pass 2 counts ONLY candidate tokens
+    * exactly (a broadcast isin prune before the shuffle, so the
+    * exchange carries candidate occurrences, not the corpus) and keeps
+    * those with 100·count ≥ n — exact integer threshold, so the result
+    * is precisely "tokens with ≥1% share" no matter how MG's
+    * order-dependent internals merged: the same prune-then-confirm
+    * design as `q_decontaminate_bloom`, which is why this query IS
+    * oracle-checkable while the raw sketch would not be.
+    *
+    * The reference's wc (`/root/reference/mrapps/wc.go:29-33`) ships
+    * one KV per occurrence; at 100 TB this query answers the top-line
+    * question at a ~vocabulary-independent fraction of that cost.
+    */
+  def qHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(TextQueries.tokens(col("text"))).as("token"))
+    val candidates: Seq[String] =
+      toks.as[String].select(new MisraGries(MgK).toColumn).head()
+    val totals = toks.agg(count(lit(1)).as("n_total"))
+    toks.filter(col("token").isin(candidates: _*))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(totals))
+      .filter(col("n_occurrences") * 100 >= col("n_total"))
+      .select(col("token"), col("n_occurrences"),
+        (round(col("n_occurrences").cast("double") / col("n_total"), 6) + lit(0.0))
+          .as("share"))
+      .orderBy(desc("n_occurrences"), asc_nulls_first("token"))
+  }
+}

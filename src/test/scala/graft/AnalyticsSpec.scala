@@ -1,0 +1,183 @@
+package graft
+
+import graft.functions.MisraGries
+import graft.operators.AnalyticsQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics + sketch-guarantee invariants for the analytics pack
+  * (anomaly, RFM, gapfill, Q10/Q4 composites, boilerplate, weighted
+  * sample, heavy hitters). The oracle proves row equality at sf0.01;
+  * these pin the algebra and the Misra-Gries no-false-negative
+  * property the sketched plan depends on.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  // --- Misra-Gries sketch guarantees (synthetic, vocab >> k) ---
+
+  test("misra-gries: every item above n/(k+1) survives; summary stays ≤ k") {
+    import spark.implicits._
+    val k = 16
+    // 40 distinct heavy-ish items over a 5000-item tail vocabulary:
+    // items h0..h4 get 400 copies each (freq 400/4000 = 10% > 1/17),
+    // the tail is 2000 singletons — adversarial for a 16-counter sketch.
+    val heavy = (0 until 5).flatMap(i => Seq.fill(400)(s"h$i"))
+    val tail = (0 until 2000).map(i => s"t$i")
+    val data = spark.sparkContext.parallelize(
+      scala.util.Random.shuffle(heavy ++ tail), 8).toDS()
+    val candidates = data.select(new MisraGries(k).toColumn).head()
+    assert(candidates.size <= k, s"summary exceeded k: ${candidates.size}")
+    (0 until 5).foreach { i =>
+      assert(candidates.contains(s"h$i"),
+        s"heavy item h$i (10% > 1/(k+1)) missing from the sketch")
+    }
+  }
+
+  test("misra-gries: merge is order-insensitive for the guarantee (different partition counts)") {
+    import spark.implicits._
+    val heavy = (0 until 3).flatMap(i => Seq.fill(300)(s"h$i"))
+    val tail = (0 until 900).map(i => s"t$i")
+    val items = heavy ++ tail
+    Seq(1, 4, 16).foreach { parts =>
+      val cand = spark.sparkContext.parallelize(items, parts)
+        .toDS().select(new MisraGries(8).toColumn).head()
+      (0 until 3).foreach(i => assert(cand.contains(s"h$i"),
+        s"h$i lost at $parts partitions"))
+    }
+  }
+
+  test("heavy hitters: equals the brute-force ≥1% wordcount") {
+    import spark.implicits._
+    val got = q("q_heavy_hitters").select("token", "n_occurrences").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(operators.TextQueries.tokens($"text")).as("t"))
+    val n = toks.count()
+    val want = toks.groupBy("t").count()
+      .filter($"count" * 100 >= n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  // --- anomaly ---
+
+  test("anomaly: every flagged row is the same row brute-force stddev flags (sign + magnitude)") {
+    import spark.implicits._
+    val flagged = q("q_anomaly").select("event_id", "z_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // brute-force comparator computed a different way: population
+    // stddev over raw cents via Spark's built-ins
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", round($"value" * 100).cast("long").as("c"))
+    val stats = ev.groupBy("event_type")
+      .agg(avg($"c").as("m"), stddev_pop($"c").as("sd"))
+    val brute = ev.join(stats, "event_type")
+      .withColumn("z", ($"c" - $"m") / $"sd")
+      .filter(abs(round($"z", 6)) > 3.0)
+      .select("event_id", "z").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(flagged.keySet == brute.keySet)
+    flagged.foreach { case (id, z) =>
+      assert(math.abs(z - brute(id)) < 1e-6, s"event $id: $z vs ${brute(id)}")
+    }
+  }
+
+  // --- rfm ---
+
+  test("rfm: scores match recomputation from the output's own raw columns") {
+    val rows = q("q_rfm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rd, f, m) = (r.getInt(1), r.getLong(2), r.getDouble(3))
+      val (rs, fs, ms) = (r.getInt(4), r.getInt(5), r.getInt(6))
+      assert(rs == (if (rd <= 150) 3 else if (rd <= 330) 2 else 1))
+      assert(fs == (if (f >= 12) 3 else if (f >= 9) 2 else 1))
+      val cents = math.round(m * 100)
+      assert(ms == (if (cents >= 280000000L) 3 else if (cents >= 210000000L) 2 else 1))
+      val total = rs + fs + ms
+      val seg = r.getString(7)
+      assert(seg == (if (total >= 8) "champion" else if (total >= 6) "loyal"
+        else if (total >= 4) "regular" else "at_risk"))
+    }
+  }
+
+  // --- gapfill ---
+
+  test("gapfill: per user the series is contiguous daily, endpoints active, gap rows zero") {
+    import spark.implicits._
+    val out = q("q_gapfill")
+      .select($"user_id", $"day", $"n_events", $"value_sum").collect()
+      .groupBy(_.getLong(0))
+    out.foreach { case (user, rows) =>
+      val days = rows.map(_.getDate(1).toLocalDate)
+      // contiguous: row count equals span length
+      val span = java.time.temporal.ChronoUnit.DAYS.between(days.min, days.max) + 1
+      assert(rows.length.toLong == span, s"user $user series has holes")
+      assert(days.distinct.length == days.length)
+      // endpoints are real activity, zero rows really are gaps
+      val byDay = rows.map(r => r.getDate(1).toLocalDate -> r.getLong(2)).toMap
+      assert(byDay(days.min) > 0 && byDay(days.max) > 0)
+      rows.filter(_.getLong(2) == 0L).foreach(r =>
+        assert(r.getDouble(3) == 0.0))
+    }
+    // total events preserved
+    val totalOut = q("q_gapfill").agg(sum($"n_events")).head().getLong(0)
+    assert(totalOut == Tables.events(spark, sfDir).count())
+  }
+
+  // --- composites ---
+
+  test("returned items: only R-flag revenue counted, descending, ≤20 rows") {
+    import spark.implicits._
+    val rows = q("q_returned_items").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getDouble(3))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    assert(revs.forall(_ > 0))
+  }
+
+  test("priority exists: per-priority counts never exceed total orders; semi join not inflating") {
+    import spark.implicits._
+    val byPrio = q("q_priority_exists").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.orders(spark, sfDir).groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byPrio.foreach { case (p, n) => assert(n <= totals(p), s"$p inflated: $n > ${totals(p)}") }
+    assert(byPrio.values.sum > 0)
+  }
+
+  // --- boilerplate ---
+
+  test("boilerplate: planted template docs flagged, unique docs kept") {
+    import spark.implicits._
+    val template = "copyright notice all rights reserved template footer text here"
+    val docs = ((1L to 6L).map(i => (i, s"$template extra$i")) ++
+      Seq((7L, "completely unique content alpha beta gamma delta epsilon zeta eta theta"),
+        (8L, "another unrelated document with its own words entirely different stuff")))
+      .toDF("doc_id", "text")
+    val out = AnalyticsQueries.boilerplateFrom(docs, dfMin = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    (1L to 6L).foreach(i => assert(out(i) == "boilerplate", s"doc $i should be flagged"))
+    Seq(7L, 8L).foreach(i => assert(out(i) == "keep", s"doc $i should be kept"))
+  }
+
+  // --- weighted sample ---
+
+  test("weighted sample: exactly the brute-force top-50 by ln(u)/w, stable across runs") {
+    import spark.implicits._
+    val got = q("q_weighted_sample").select("doc_id").collect().map(_.getLong(0)).toSeq
+    // brute-force comparator via collect + scala sort
+    val all = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars",
+        ((conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+          .cast("long").cast("double") + 0.5) / 4294967296.0).as("u"))
+      .collect()
+      .map(r => (r.getLong(0), math.log(r.getDouble(2)) / r.getLong(1)))
+    val want = all.sortBy { case (id, k) => (-k, id) }.take(50).map(_._1).toSeq
+    assert(got == want)
+    assert(q("q_weighted_sample").select("doc_id").collect().map(_.getLong(0)).toSeq == got)
+  }
+}

@@ -25,7 +25,10 @@ class PlanAuditSpec extends AnyFunSuite {
     * like corpus size N entering the plan) — constant work per row at
     * any scale, nothing pairwise about it.
     */
-  private val scalarBroadcasts = Set("q_tfidf")
+  private val scalarBroadcasts = Set("q_tfidf",
+    // corpus token total N entering the ≥1% threshold as a 1-row
+    // broadcast — same shape as tfidf's N
+    "q_heavy_hitters")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —
