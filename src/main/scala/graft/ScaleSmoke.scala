@@ -71,7 +71,10 @@ object ScaleSmoke {
           col("l_partkey"))
       }.reduce(_ unionAll _)
 
-    def timeNoop(df: DataFrame): Double = {
+    // by-name: operators like heavyHittersFrom run a bounded driver
+    // action (the MG sketch pass) while BUILDING the plan — the timer
+    // must start before plan construction to charge it honestly
+    def timeNoop(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
@@ -98,7 +101,20 @@ object ScaleSmoke {
       // bounded C(n,2) explode per order (disjoint order spaces share
       // partkeys, so pair counts scale with k while pair cardinality
       // stays fixed — the worst case for the final aggregation)
-      "cooccur_pairs" -> (k => BehaviorQueries.cooccurPairCounts(replicatedLineitem(k))))
+      "cooccur_pairs" -> (k => BehaviorQueries.cooccurPairCounts(replicatedLineitem(k))),
+      // shingle-df pipeline: one shingle exchange + join-back; a hot
+      // shingle is one counter row, so growth must track shingle volume
+      "boilerplate_df3" -> (k => AnalyticsQueries.boilerplateFrom(replicated(k), 3)),
+      // the baseline the MG sketch replaces: full token shuffle
+      "wordcount_full" -> (k => replicated(k)
+        .select(explode(TextQueries.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))),
+      // MG sketch pass + candidate-only confirm. The replicas make the
+      // vocabulary GROW 31·k (disjoint token spaces) while k=128 state
+      // stays fixed — the vocabulary-independence claim measured. Past
+      // 4x no token clears 1% (each replica dilutes shares), so rows
+      // drop to 0 while the timed work — sketch scan + confirm — remains.
+      "heavy_hitters_mg" -> (k => AnalyticsQueries.heavyHittersFrom(spark, replicated(k))))
 
     val sb = new StringBuilder
     sb.append("# Operator scaling smoke (corpus replicated with disjoint token/user spaces)\n\n")

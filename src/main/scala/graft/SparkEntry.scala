@@ -116,6 +116,8 @@ object SparkEntry {
     "q_boilerplate"     -> (AnalyticsQueries.qBoilerplate _),
     "q_weighted_sample" -> (AnalyticsQueries.qWeightedSample _),
     "q_heavy_hitters"   -> (AnalyticsQueries.qHeavyHitters _),
+    "q_ffill"           -> (AnalyticsQueries.qFfill _),
+    "q_pagerank"        -> (AnalyticsQueries.qPagerank _),
     // ANN scale paths: deterministic end-to-end (fixed hyperplane seed /
     // k-means seed) but approximate in recall, so no SQL oracle — the
     // driver records rows>0; recall is property-tested (ScalePathSpec)
@@ -191,7 +193,67 @@ object SparkEntry {
       |  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
       |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** 10 UNROLLED fixed-point PageRank iterations (DuckDB's recursive
+    * CTEs reject the aggregate-join recursive term, so the chain is
+    * generated) — integer `//` arithmetic matching
+    * `GraphOps.pageRank` exactly: rank0 = S//n, each round
+    * teleport (S·15)//(100·n) plus (85·Σ(rank//outdeg))//100.
+    */
+  private val PagerankSql: String = {
+    val head =
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |edges AS (SELECT DISTINCT src, dst FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |pr0 AS (SELECT node, 1000000000000 // n AS rank
+        |        FROM nodes CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to 10).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node,
+         |    (1000000000000 * 15) // (100 * nn.n) +
+         |    (85 * coalesce(c.contrib, 0)) // 100 AS rank
+         |  FROM nodes n
+         |  CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.rank // d.outdeg) AS contrib
+         |    FROM pr${i - 1} p
+         |    JOIN edges e ON p.node = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + rounds +
+      "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM pr10" +
+      "\nORDER BY rank DESC, node NULLS FIRST"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> PagerankSql,
+    "q_ffill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    sum(CAST(round(value * 100, 0) AS BIGINT)) AS c_sum
+        |  FROM events GROUP BY user_id, d),
+        |grid AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM (SELECT user_id, min(d) AS d0, max(d) AS d1
+        |        FROM daily GROUP BY user_id) s),
+        |joined AS (
+        |  SELECT g.user_id, g.d, dd.c_sum FROM grid g
+        |  LEFT JOIN daily dd ON g.user_id = dd.user_id AND g.d = dd.d)
+        |SELECT user_id, d AS day,
+        |  CASE WHEN c_sum IS NOT NULL THEN 'obs' ELSE 'fill' END AS status,
+        |  CAST(last_value(c_sum IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 100.0 AS value_filled
+        |FROM joined
+        |ORDER BY user_id NULLS FIRST, day NULLS FIRST""".stripMargin,
     "q_salted_join" -> JoinInnerSql,
     "q_dedup_simhash" -> (SimhashSigCte + "\n" +
       """SELECT simhash, min(doc_id) AS canonical_doc_id, count(*) AS group_size

@@ -248,6 +248,52 @@ object AnalyticsQueries {
         (round(col("sel_key"), 6) + lit(0.0)).as("sel_key"))
   }
 
+  /** Forward fill (last observation carried forward) over the
+    * gap-filled daily grid: gap days inherit the most recent observed
+    * day's value — the imputation step after densification
+    * (`qGapfill`), before rolling features. The fill is
+    * `last(_, ignoreNulls)` over the per-user day window — one pass on
+    * the partition the grid join already established; the first grid
+    * day is always observed (spans start at first activity), so the
+    * filled value is never null.
+    */
+  def qFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        cents(col("value")).as("c"))
+      .groupBy("user_id", "day")
+      .agg(sum(col("c")).as("c_sum"))
+    val grid = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_c", last(col("c_sum"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day"),
+        when(col("c_sum").isNotNull, "obs").otherwise("fill").as("status"),
+        (col("filled_c").cast("double") / 100.0).as("value_filled"))
+      .orderBy(asc_nulls_first("user_id"), asc_nulls_first("day"))
+  }
+
+  /** PageRank over the co-purchase part graph (parts are linked when
+    * they appear in the same order — the symmetrized `q_cooccur` pair
+    * set), 10 fixed-point iterations via `GraphOps.pageRank`. Output
+    * ranks are in 1e-12 units; the full ranking is emitted (rank desc,
+    * node tie-break) so the oracle checks every node's exact integer
+    * rank, not just a head.
+    */
+  def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = BehaviorQueries.cooccurPairCounts(
+      Tables.lineitem(spark, sfDir)).select("p1", "p2")
+    val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+    GraphOps.pageRank(edges, iters = 10)
+      .orderBy(desc("rank"), asc_nulls_first("node"))
+  }
+
   /** Misra-Gries candidate set size. 128 counters ⇒ every token with
     * frequency > n/129 of the corpus survives the sketch, so a
     * ≥ n/100 threshold has NO false negatives to recover.
@@ -272,10 +318,16 @@ object AnalyticsQueries {
     * one KV per occurrence; at 100 TB this query answers the top-line
     * question at a ~vocabulary-independent fraction of that cost.
     */
-  def qHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+  def qHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    heavyHittersFrom(spark, Tables.documents(spark, sfDir))
+
+  /** DataFrame-core form over any (text) corpus — ScaleSmoke drives
+    * this on replicated token spaces to time the sketch pass against
+    * the full wordcount shuffle it replaces.
+    */
+  def heavyHittersFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, sfDir)
-      .select(explode(TextQueries.tokens(col("text"))).as("token"))
+    val toks = docs.select(explode(TextQueries.tokens(col("text"))).as("token"))
     val candidates: Seq[String] =
       toks.as[String].select(new MisraGries(MgK).toColumn).head()
     val totals = toks.agg(count(lit(1)).as("n_total"))

@@ -109,4 +109,54 @@ object GraphOps {
     }
     (labels, iter)
   }
+
+  /** Fixed-point PageRank — the MapReduce paper's own iterative
+    * example (Dean & Ghemawat, OSDI'04 §2.3 cites it as a canonical
+    * MR application), expressed as `iters` join+aggregate rounds.
+    *
+    * All arithmetic is INTEGER: ranks are fixed-point values scaled by
+    * `scale` (1e-12 units), each per-edge contribution is a truncating
+    * `div`, the damping factor is 85/100 in integer ops. Floating-point
+    * PageRank is partition-order-dependent (double sums re-associate),
+    * so ten compounding iterations could flip a 6-dp rounding boundary
+    * between engines or even between runs; integer algebra makes every
+    * iteration bit-exact everywhere — the same determinism move as the
+    * cents algebra in the revenue queries. Truncation loses < 1 unit
+    * per (edge + node) per round at 1e-12 granularity, which is noise
+    * for ranking while exactness buys an oracle-checkable result.
+    *
+    * `edges` must be directed, deduplicated, and free of dangling
+    * nodes (callers pass a symmetrized graph, where every node has an
+    * out-edge, so no teleport-mass correction is needed). The node
+    * count enters as one driver scalar (the IvfKnn train-sample
+    * precedent); per iteration the plan is contribution join →
+    * dst aggregation → left join onto the node set, each shuffling on
+    * a node-id key — rounds are O(E) with no growing state, and the
+    * lazy checkpoint per round keeps the lineage flat.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 10,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val n = nodes.count()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val teleport = (scale * 15) / (100 * n)
+    var pr = nodes.withColumn("rank", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = pr
+        .join(e, pr("node") === e("src"))
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("contrib"))
+      pr = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank"))
+        .localCheckpoint(false)
+    }
+    pr
+  }
 }

@@ -164,6 +164,64 @@ class AnalyticsSpec extends AnyFunSuite {
     Seq(7L, 8L).foreach(i => assert(out(i) == "keep", s"doc $i should be kept"))
   }
 
+  // --- ffill ---
+
+  test("ffill: fill rows carry the latest earlier observation; obs rows are their own value") {
+    val rows = q("q_ffill").collect().groupBy(_.getLong(0))
+    rows.foreach { case (_, series) =>
+      var lastObs: Option[Double] = None
+      series.foreach { r =>
+        val (status, v) = (r.getString(2), r.getDouble(3))
+        if (status == "obs") lastObs = Some(v)
+        else {
+          assert(lastObs.isDefined, "fill before any observation")
+          assert(v == lastObs.get, s"fill $v != last obs ${lastObs.get}")
+        }
+      }
+      assert(series.head.getString(2) == "obs", "series must start observed")
+    }
+  }
+
+  // --- pagerank ---
+
+  test("pagerank: matches a local integer reference on a hand graph") {
+    import spark.implicits._
+    // path + triangle: 1-2, 2-3, 3-4, 4-5, 5-3 (undirected)
+    val undirected = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 3L))
+    val edges = (undirected ++ undirected.map(_.swap)).toDF("src", "dst")
+    val scale = 1000000000000L
+    val got = operators.GraphOps.pageRank(edges, iters = 10, scale = scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local reference with the identical integer ops
+    val adj = (undirected ++ undirected.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val n = adj.size
+    var rank = adj.keys.map(_ -> scale / n).toMap
+    for (_ <- 1 to 10) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, outs) <- adj; v <- outs) contrib(v) += rank(u) / outs.size
+      rank = adj.keys.map(v => v -> ((scale * 15) / (100 * n) + 85 * contrib(v) / 100)).toMap
+    }
+    assert(got == rank)
+    // the degree-3 hub outranks the chain end
+    assert(got(3L) > got(1L))
+  }
+
+  test("pagerank: rank mass conserved up to truncation loss, all ranks positive") {
+    val rows = q("q_pagerank").collect()
+    val total = rows.map(_.getLong(1)).sum
+    val scale = 1000000000000L
+    assert(total <= scale)
+    // each round truncates < 1 unit per node (teleport) + 1 per edge
+    // contribution + 1 per damping div; 10 rounds over this graph stay
+    // well inside 1% of the mass
+    assert(total > scale * 99 / 100, s"mass $total lost too much of $scale")
+    assert(rows.forall(_.getLong(1) > 0))
+    // output is rank-descending
+    val ranks = rows.map(_.getLong(1))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+  }
+
   // --- weighted sample ---
 
   test("weighted sample: exactly the brute-force top-50 by ln(u)/w, stable across runs") {
