@@ -114,7 +114,12 @@ object ScaleSmoke {
       // stays fixed — the vocabulary-independence claim measured. Past
       // 4x no token clears 1% (each replica dilutes shares), so rows
       // drop to 0 while the timed work — sketch scan + confirm — remains.
-      "heavy_hitters_mg" -> (k => AnalyticsQueries.heavyHittersFrom(spark, replicated(k))))
+      "heavy_hitters_mg" -> (k => AnalyticsQueries.heavyHittersFrom(spark, replicated(k))),
+      // 10 fixed iterations; disjoint order replicas share partkeys so
+      // co-occurrence counts grow with k and the thresholded edge set
+      // densifies toward the pair-space ceiling — rounds stay 10, so
+      // time must track edge volume, not explode with it
+      "pagerank_10" -> (k => AnalyticsQueries.pagerankFrom(replicatedLineitem(k))))
 
     val sb = new StringBuilder
     sb.append("# Operator scaling smoke (corpus replicated with disjoint token/user spaces)\n\n")

@@ -118,6 +118,7 @@ object SparkEntry {
     "q_heavy_hitters"   -> (AnalyticsQueries.qHeavyHitters _),
     "q_ffill"           -> (AnalyticsQueries.qFfill _),
     "q_pagerank"        -> (AnalyticsQueries.qPagerank _),
+    "q_lm_score"        -> (AdvancedTextQueries.qLmScore _),
     // ANN scale paths: deterministic end-to-end (fixed hyperplane seed /
     // k-means seed) but approximate in recall, so no SQL oracle — the
     // driver records rows>0; recall is property-tested (ScalePathSpec)
@@ -206,7 +207,8 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
         |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-        |edges AS (SELECT DISTINCT src, dst FROM pairs),
+        |edges AS (SELECT src, dst FROM pairs
+        |          GROUP BY src, dst HAVING count(*) >= 2),
         |nodes AS (SELECT DISTINCT src AS node FROM edges),
         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
         |nn AS (SELECT count(*) AS n FROM nodes),
@@ -233,6 +235,27 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> PagerankSql,
+    // per-token surprisal rounded to integer micro-nats BEFORE the
+    // per-doc sum, so the sum is exact-integer in both engines.
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '')) AS t
+        |  FROM documents),
+        |lang_totals AS (SELECT lang, count(*) AS n_lang FROM toks GROUP BY lang),
+        |model AS (
+        |  SELECT m.lang, m.t,
+        |    CAST(round(-ln(CAST(m.n_t AS DOUBLE) / lt.n_lang) * 1000000.0, 0)
+        |         AS BIGINT) AS su_micronats
+        |  FROM (SELECT lang, t, count(*) AS n_t FROM toks GROUP BY lang, t) m
+        |  JOIN lang_totals lt ON m.lang = lt.lang)
+        |SELECT k.doc_id, k.lang, count(*) AS n_tokens,
+        |  round(CAST(sum(mo.su_micronats) AS DOUBLE) / count(*) / 1000000.0, 6)
+        |    AS avg_surprisal
+        |FROM toks k JOIN model mo ON k.lang = mo.lang AND k.t = mo.t
+        |GROUP BY k.doc_id, k.lang
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q_ffill" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d,

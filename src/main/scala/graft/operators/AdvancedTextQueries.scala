@@ -297,6 +297,50 @@ object AdvancedTextQueries {
       .orderBy(asc_nulls_first("doc_id"))
   }
 
+  /** Unigram language-model surprisal per document — the
+    * perplexity-style quality signal of a pretraining pipeline (docs
+    * whose tokens are improbable under their own language's unigram
+    * model are noise candidates), without an external model: the
+    * corpus itself is the model.
+    *
+    * Determinism across engines: a double SUM of log-probs is
+    * partition-order-dependent, so each token's surprisal
+    * -ln(count_in_lang / lang_total) is first ROUNDED to integer
+    * micro-nats (one IEEE div+log+mul from exact integer counts —
+    * identical in both engines; a flip needs ln() to land within an
+    * ulp of a 0.5 micro-nat boundary, ~1e-10 per distinct token) and
+    * the per-doc total is then an EXACT integer sum. The reported
+    * average divides two exact integers once.
+    *
+    * Scale: the model is a (lang × vocab) aggregate — bounded by
+    * vocabulary, not corpus; scoring joins the model back to the token
+    * stream on (lang, token) — the tfidf family shape: one token
+    * exchange, map-side-combinable aggregates, no driver state.
+    */
+  def qLmScore(spark: SparkSession, sfDir: String): DataFrame =
+    lmScoreFrom(Tables.documents(spark, sfDir))
+
+  /** DataFrame-core form over any (doc_id, lang, text) frame. */
+  def lmScoreFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
+    val langTotals = toks.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val model = toks.groupBy("lang", "t")
+      .agg(count(lit(1)).as("n_t"))
+      .join(langTotals, "lang")
+      .withColumn("su_micronats",
+        round(-log(col("n_t").cast("double") / col("n_lang")) * 1000000.0, 0)
+          .cast("long"))
+    toks.join(model, Seq("lang", "t"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("su_micronats")).as("total_su"))
+      .withColumn("avg_surprisal",
+        round(col("total_su").cast("double") / col("n_tokens") / 1000000.0, 6)
+          + lit(0.0))
+      .select("doc_id", "lang", "n_tokens", "avg_surprisal")
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
   /** Token counting two ways per document: whitespace tokens and a
     * BPE-style sub-word regex (letter runs | digit runs | single other
     * non-space). The pattern avoids lookahead so Java (Spark) and RE2

@@ -127,6 +127,38 @@ object EventStreams {
       }
   }
 
+  case class Moments(n: Long, sx: Long, sxx: Long)
+  case class MomentsOut(event_type: String, n: Long, sx: Long, sxx: Long)
+
+  /** Streaming per-type moment accumulation — the incremental twin of
+    * the batch q_anomaly's stats pass. State per event type is three
+    * longs (n, Σcents, Σcents²): O(1), exactly the integer algebra the
+    * batch query aggregates, so after the stream drains the final
+    * state EQUALS the batch moments row-for-row (StreamingSmokeSpec
+    * proves it on the replay) and the z-score threshold derived from
+    * it flags the identical events. At 100 TB-rate this is the shape
+    * anomaly monitoring actually runs: the expensive global stats are
+    * maintained incrementally per micro-batch instead of recomputed
+    * by a daily scan, and the flagging pass stays a stateless
+    * broadcast-join filter against the latest emitted moments.
+    */
+  def anomalyMoments(spark: SparkSession, events: DataFrame): Dataset[MomentsOut] = {
+    import spark.implicits._
+    events.select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Moments, MomentsOut](GroupStateTimeout.NoTimeout) {
+        (tpe: String, batch: Iterator[(String, Long)], state: GroupState[Moments]) =>
+          var s = state.getOption.getOrElse(Moments(0L, 0L, 0L))
+          batch.foreach { case (_, c) =>
+            s = Moments(s.n + 1L, s.sx + c, s.sxx + c * c)
+          }
+          state.update(s)
+          MomentsOut(tpe, s.n, s.sx, s.sxx)
+      }
+  }
+
   case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
       event_id: Long, event_type: String) {
     def tsUs: Long = ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L

@@ -275,4 +275,24 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(out.filter($"vec_id_1" >= $"vec_id_2").count() == 0)
     assert(out.filter($"cosine" < 0.4 || $"cosine" > 1.0).count() == 0)
   }
+
+  test("lm score: rare-token docs score higher surprisal; uniform corpus matches closed form") {
+    import spark.implicits._
+    // 9 docs of common tokens + 1 doc with singletons: the outlier must
+    // carry the max surprisal
+    val docs = ((1L to 9L).map(i => (i, "en", "aa bb cc aa bb cc")) :+
+      (10L, "en", "zz qq ww")).toDF("doc_id", "lang", "text")
+    val out = operators.AdvancedTextQueries.lmScoreFrom(docs).collect()
+    val byDoc = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byDoc(10L) == byDoc.values.max)
+    assert(byDoc(1L) == byDoc(9L))
+    // uniform corpus: every token appears n times out of N total →
+    // every doc's avg surprisal is exactly round(ln(N/n)·1e6)/1e6
+    val uni = Seq((1L, "en", "x y"), (2L, "en", "y x")).toDF("doc_id", "lang", "text")
+    val got = operators.AdvancedTextQueries.lmScoreFrom(uni).collect()
+    val expect = math.round(-math.log(2.0 / 4.0) * 1000000.0) / 1000000.0
+    got.foreach(r => assert(math.abs(r.getDouble(3) - expect) < 1e-9))
+    // token accounting: n_tokens equals the tokenizer's count
+    assert(got.forall(_.getLong(2) == 2L))
+  }
 }

@@ -229,6 +229,29 @@ class StreamingSmokeSpec extends AnyFunSuite {
     assert(mism == 0, "streaming funnel diverged from batch funnel")
   }
 
+  test("streaming anomaly moments converge to the batch moment sums exactly") {
+    import spark.implicits._
+    EventStreams.runToMemory(
+      EventStreams.anomalyMoments(spark,
+        EventStreams.fileSource(spark, inputDir)).toDF(),
+      "moments_smoke", OutputMode.Update())
+    // update mode: moments grow monotonically, so the max over a type's
+    // emissions IS the drained-stream state
+    val streamed = spark.table("moments_smoke")
+      .groupBy("event_type")
+      .agg(max($"n").as("s_n"), max($"sx").as("s_sx"), max($"sxx").as("s_sxx"))
+    val batch = Tables.events(spark, sfDir)
+      .select($"event_type", round($"value" * 100, 0).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("b_n"), sum($"c").as("b_sx"),
+        sum($"c" * $"c").as("b_sxx"))
+    assert(batch.count() > 0 && streamed.count() == batch.count())
+    val mism = streamed.join(batch, "event_type")
+      .filter($"s_n" =!= $"b_n" || $"s_sx" =!= $"b_sx" || $"s_sxx" =!= $"b_sxx")
+      .count()
+    assert(mism == 0, "streaming moments diverged from batch moment sums")
+  }
+
   test("vec_dot is callable from SQL via GraftExtensions") {
     import spark.implicits._
     val r = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
