@@ -109,6 +109,7 @@ object SparkEntry {
     "sketch_distinct"   -> (StatsQueries.sketchDistinct _),
     "sketch_percentiles" -> (StatsQueries.sketchPercentiles _),
     "q_anomaly"         -> (AnalyticsQueries.qAnomaly _),
+    "q_anomaly_mad"     -> (AnalyticsQueries.qAnomalyMad _),
     "q_rfm"             -> (AnalyticsQueries.qRfm _),
     "q_gapfill"         -> (AnalyticsQueries.qGapfill _),
     "q_returned_items"  -> (AnalyticsQueries.qReturnedItems _),
@@ -882,6 +883,39 @@ object SparkEntry {
         |WHERE abs(round((CAST(c AS DOUBLE) - sx / n)
         |          / sqrt(sxx / n - (sx / n) * (sx / n)), 6)) > 3.0
         |ORDER BY event_type NULLS FIRST, event_id NULLS FIRST""".stripMargin,
+    // lower median of integer cents twice (value, then deviation) —
+    // every comparison is exact integer, no float boundary anywhere.
+    "q_anomaly_mad" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, value,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, c AS med FROM (
+        |    SELECT event_type, c,
+        |      row_number() OVER (PARTITION BY event_type
+        |                         ORDER BY c, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM ev) t
+        |  WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT e.event_type, e.event_id, e.value,
+        |    abs(e.c - m.med) AS d
+        |  FROM ev e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, d AS mad FROM (
+        |    SELECT event_type, d,
+        |      row_number() OVER (PARTITION BY event_type
+        |                         ORDER BY d, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM dev) t
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT v.event_type, v.event_id, v.value,
+        |  CAST(v.d AS DOUBLE) / 100.0 AS deviation,
+        |  CAST(m.mad AS DOUBLE) / 100.0 AS mad_value
+        |FROM dev v JOIN mad m USING (event_type)
+        |WHERE v.d > 5 * m.mad
+        |ORDER BY v.event_type NULLS FIRST, v.event_id NULLS FIRST""".stripMargin,
     "q_rfm" ->
       """WITH base AS (
         |  SELECT o_custkey,

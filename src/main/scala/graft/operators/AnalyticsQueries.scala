@@ -59,6 +59,49 @@ object AnalyticsQueries {
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("event_id"))
   }
 
+  /** Robust (median/MAD) outliers per event type — the robust twin of
+    * [[qAnomaly]]: events whose deviation from their type's median
+    * exceeds 5× the median absolute deviation. Mean/stddev outlier
+    * detection is itself skewed by the outliers it hunts; median/MAD
+    * is not, and because median and MAD of integer cents ARE integer
+    * cents, every comparison here is exact integer arithmetic — no
+    * float boundary exists at all (one step stronger than qAnomaly's
+    * rounded-z compare).
+    *
+    * Scale: the exact per-type order statistics are two sequential
+    * row_number windows partitioned by event_type (5 partitions) —
+    * the honest exact form at oracle scale; at 100 TB the median/MAD
+    * pair comes from the mergeable GK quantile sketch
+    * (`StatsQueries.sketchPercentiles`) and this plan's two window
+    * sorts collapse to one sketch aggregate, with the flagging pass
+    * unchanged (a broadcast of 5 (med, mad) rows over the fact scan).
+    */
+  def qAnomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        cents(col("value")).as("c"))
+    def lowerMedianOf(df: DataFrame, valueCol: String, outName: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+        .orderBy(col(valueCol).asc, col("event_id").asc)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") === expr("(n + 1) DIV 2"))
+        .select(col("event_type"), col(valueCol).as(outName))
+    }
+    val med = lowerMedianOf(ev, "c", "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("d", abs(col("c") - col("med")))
+    val mad = lowerMedianOf(dev, "d", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("d") > lit(5) * col("mad"))
+      .select(col("event_type"), col("event_id"), col("value"),
+        (col("d").cast("double") / 100.0).as("deviation"),
+        (col("mad").cast("double") / 100.0).as("mad_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("event_id"))
+  }
+
   /** RFM (recency / frequency / monetary) customer segmentation from
     * the orders table with FIXED business bands — not quantile tiles:
     * a global ntile() would be one single-partition window sort (the

@@ -85,6 +85,24 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("anomaly mad: flagged deviations exceed 5x the type's MAD; MAD recomputed locally agrees") {
+    import spark.implicits._
+    val out = q("q_anomaly_mad").collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(3) > 5 * r.getDouble(4)))
+    // local brute-force MAD for one type
+    val cs = Tables.events(spark, sfDir).filter($"event_type" === "click")
+      .select(round($"value" * 100).cast("long")).as[Long].collect().sorted
+    val med = cs((cs.length + 1) / 2 - 1)
+    val devs = cs.map(c => math.abs(c - med)).sorted
+    val mad = devs((devs.length + 1) / 2 - 1)
+    val clickRows = out.filter(_.getString(0) == "click")
+    if (clickRows.nonEmpty)
+      assert(clickRows.head.getDouble(4) == mad.toDouble / 100.0)
+    val expectFlagged = devs.count(_ > 5 * mad)
+    assert(clickRows.length == expectFlagged)
+  }
+
   // --- rfm ---
 
   test("rfm: scores match recomputation from the output's own raw columns") {
