@@ -391,7 +391,12 @@ object AnalyticsQueries {
     val candidates: Seq[String] =
       toks.as[String].select(new MisraGries(MgK).toColumn).head()
     val totals = toks.agg(count(lit(1)).as("n_total"))
-    toks.filter(col("token").isin(candidates: _*))
+    // empty corpus → empty candidate set → `isin()` with no arguments
+    // is degenerate; short-circuit to the (empty) result shape instead
+    val pruned =
+      if (candidates.isEmpty) toks.filter(lit(false))
+      else toks.filter(col("token").isin(candidates: _*))
+    pruned
       .groupBy("token")
       .agg(count(lit(1)).as("n_occurrences"))
       .crossJoin(broadcast(totals))

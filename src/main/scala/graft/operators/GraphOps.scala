@@ -153,6 +153,7 @@ object GraphOps {
     val nodes = edgesDeg.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
+    if (n == 0) return nodes.withColumn("rank", lit(0L))
     val teleport = (scale * 15) / (100 * n)
     var pr = nodes.withColumn("rank", lit(scale / n))
     for (_ <- 1 to iters) {

@@ -68,4 +68,27 @@ class NullEdgeSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("k", "v")
     assert(operators.ScaleOps.saltedCount(empty, "k").count() == 0)
   }
+
+  test("pagerank on an empty edge set returns zero rows, no division crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(operators.GraphOps.pageRank(empty, iters = 3).count() == 0)
+  }
+
+  test("heavy hitters on an empty corpus returns zero rows, no degenerate isin") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(operators.AnalyticsQueries.heavyHittersFrom(spark, empty).count() == 0)
+  }
+
+  test("boilerplate on docs too short to shingle returns zero rows") {
+    val tiny = Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    assert(operators.AnalyticsQueries.boilerplateFrom(tiny, dfMin = 3).count() == 0)
+  }
+
+  test("lm score: null text docs drop out, scored docs unaffected") {
+    val docs = Seq((1L, "en", null: String), (2L, "en", "aa aa bb"))
+      .toDF("doc_id", "lang", "text")
+    val out = operators.AdvancedTextQueries.lmScoreFrom(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(out.head.getLong(2) == 3L)
+  }
 }
