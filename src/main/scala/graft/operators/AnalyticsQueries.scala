@@ -249,9 +249,13 @@ object AnalyticsQueries {
     * corpora.
     */
   def boilerplateFrom(docs: DataFrame, dfMin: Int): DataFrame = {
-    val sh = AdvancedTextQueries.shingleRows(docs)
-    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    sh.join(df, "sh")
+    // df via count-over-window on the sh-partitioned stream instead of
+    // an aggregate joined back: the join form re-ran the whole shingle
+    // pipeline for each consumer (exchange reuse does not cover it —
+    // see ngramJaccardPairs), the window form scans the corpus once
+    val sh = AdvancedTextQueries.shingleRows(docs).repartition(col("sh"))
+    sh.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_shingles"),
