@@ -339,10 +339,14 @@ object AdvancedTextQueries {
   def lmScoreFrom(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
-    val langTotals = toks.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-    val model = toks.groupBy("lang", "t")
-      .agg(count(lit(1)).as("n_t"))
-      .join(langTotals, "lang")
+    // lang totals fold from the (lang × vocab) aggregate via a window
+    // (Σ n_t per lang ≡ token count) — a sum over vocabulary-bounded
+    // rows, NOT another scan of the token stream; a second aggregate
+    // joined back would re-run the tokenize pipeline (exchange reuse
+    // does not cover multi-consumer shapes — see ngramJaccardPairs)
+    val model = toks.groupBy("lang", "t").agg(count(lit(1)).as("n_t"))
+      .withColumn("n_lang", sum(col("n_t")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
       .withColumn("su_micronats",
         round(-log(col("n_t").cast("double") / col("n_lang")) * 1000000.0, 0)
           .cast("long"))

@@ -106,15 +106,21 @@ object CoreQueries {
     * (ReuseExchange).
     */
   def invertedIndexCapped(docs: DataFrame, dfCap: Int): DataFrame = {
-    val pairs = docs
+    // df via count-over-window on the word-partitioned stream, not a
+    // pre-aggregate joined back: the join form's two consumers re-ran
+    // the explode+distinct pipeline twice (two full corpus scans —
+    // exchange reuse does not cover it), the window form scans once.
+    // The cap filter still runs BEFORE collect_set accumulates, so a
+    // hot word's postings spill in the window sorter (bounded memory),
+    // get counted, and are dropped without ever building a list.
+    docs
       .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
       .filter(col("word") =!= "")
       .distinct()
       .repartition(col("word"))
-    val keep = pairs.groupBy("word").agg(count(lit(1)).as("df"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("word")))
       .filter(col("df") <= dfCap)
-      .select("word")
-    pairs.join(keep, "word")
       .groupBy("word")
       .agg(
         count(col("doc_id")).as("n_docs"),
