@@ -110,6 +110,7 @@ object SparkEntry {
     "sketch_percentiles" -> (StatsQueries.sketchPercentiles _),
     "q_anomaly"         -> (AnalyticsQueries.qAnomaly _),
     "q_anomaly_mad"     -> (AnalyticsQueries.qAnomalyMad _),
+    "q_concurrency"     -> (AnalyticsQueries.qConcurrency _),
     "q_rfm"             -> (AnalyticsQueries.qRfm _),
     "q_gapfill"         -> (AnalyticsQueries.qGapfill _),
     "q_returned_items"  -> (AnalyticsQueries.qReturnedItems _),
@@ -883,6 +884,52 @@ object SparkEntry {
         |WHERE abs(round((CAST(c AS DOUBLE) - sx / n)
         |          / sqrt(sxx / n - (sx / n) * (sx / n)), 6)) > 3.0
         |ORDER BY event_type NULLS FIRST, event_id NULLS FIRST""".stripMargin,
+    // sweep-line: -1 points sort before +1 at the same microsecond
+    // (delta ASC), equal-delta ties cannot change a prefix max.
+    "q_concurrency" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sess_ev AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us,
+        |    CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        |  FROM sess_ev GROUP BY user_id, session_id),
+        |clipped AS (
+        |  SELECT user_id, session_id, s_us, e_us,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM sess),
+        |pts AS (
+        |  SELECT day,
+        |    greatest(s_us, epoch_us(CAST(day AS TIMESTAMP))) AS t,
+        |    1 AS delta, user_id, session_id
+        |  FROM clipped
+        |  UNION ALL
+        |  SELECT day,
+        |    least(e_us, epoch_us(CAST(day AS TIMESTAMP)) + 86399999999) + 1 AS t,
+        |    -1 AS delta, user_id, session_id
+        |  FROM clipped),
+        |curve AS (
+        |  SELECT day, delta,
+        |    sum(delta) OVER (PARTITION BY day
+        |      ORDER BY t ASC, delta ASC, user_id ASC, session_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM pts)
+        |SELECT day,
+        |  sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_sessions,
+        |  CAST(max(conc) AS BIGINT) AS peak_concurrency
+        |FROM curve GROUP BY day
+        |ORDER BY day NULLS FIRST""".stripMargin,
     // lower median of integer cents twice (value, then deviation) —
     // every comparison is exact integer, no float boundary anywhere.
     "q_anomaly_mad" ->

@@ -325,6 +325,56 @@ object AnalyticsQueries {
       .orderBy(asc_nulls_first("user_id"), asc_nulls_first("day"))
   }
 
+  /** Peak concurrent sessions per calendar day — the capacity-planning
+    * number an event platform reports — via the classic SWEEP-LINE:
+    * every session contributes a +1 point at its (day-clipped) start
+    * and a −1 just after its end; the running sum over the ordered
+    * points is the concurrency curve and its per-day max is the peak.
+    * Sessions are the same 30-min-gap islands as `q_session_window`;
+    * a session spanning midnight is clipped into each day it touches
+    * (fan-out bounded by the date span, never by event volume).
+    *
+    * Determinism: all integers; ties at the same microsecond process
+    * −1 before +1 (a session whose last event was at t−1 is closed at
+    * t), and equal-delta ties can permute freely without changing any
+    * prefix maximum. Scale: the sweep window partitions by DAY — the
+    * curve is never a single global sort; per-day point counts are
+    * bounded by sessions/day, and the upstream sessionization shuffles
+    * once on user_id.
+    */
+  def qConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val sess = EventQueries.sessionWindows(Tables.events(spark, sfDir))
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"),
+        col("session_start"), col("session_end"))
+    val clipped = sess
+      .withColumn("day", explode(sequence(
+        to_date(col("session_start")), to_date(col("session_end")),
+        expr("interval 1 day"))))
+      .withColumn("day_us", unix_micros(col("day").cast("timestamp")))
+      .withColumn("t0", greatest(col("s_us"), col("day_us")))
+      .withColumn("t1", least(col("e_us"), col("day_us") + (dayUs - 1)))
+    val points = clipped
+      .select(col("day"), col("t0").as("t"), lit(1).as("delta"),
+        col("user_id"), col("session_id"))
+      .unionAll(clipped.select(col("day"), (col("t1") + 1).as("t"),
+        lit(-1).as("delta"), col("user_id"), col("session_id")))
+    val sweep = org.apache.spark.sql.expressions.Window
+      .partitionBy("day")
+      .orderBy(col("t").asc, col("delta").asc, col("user_id").asc,
+        col("session_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    points
+      .withColumn("conc", sum(col("delta")).over(sweep))
+      .groupBy("day")
+      .agg(
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_sessions"),
+        max(col("conc")).as("peak_concurrency"))
+      .orderBy(asc_nulls_first("day"))
+  }
+
   /** Minimum co-purchase count for a part pair to become a PageRank
     * edge. Random-basket collisions produce one shared order; ≥ 2
     * keeps only repeated associations — the standard noise cut in

@@ -200,6 +200,35 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // --- concurrency ---
+
+  test("concurrency: peak bounded by sessions/day, hand graph sweeps correctly") {
+    import spark.implicits._
+    val out = q("q_concurrency").collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1)))
+    // hand check the sweep on inline sessions via the event surface:
+    // u1 09:00-09:20 (events within the 30-min gap), u2 09:10 (inside
+    // u1's session), u3 11:00 (disjoint) → peak 2, sessions 3
+    val ev = Seq(
+      (1L, "2024-03-01 09:00:00", 10L), (1L, "2024-03-01 09:20:00", 11L),
+      (2L, "2024-03-01 09:10:00", 20L),
+      (3L, "2024-03-01 11:00:00", 30L))
+      .toDF("user_id", "ts_s", "event_id")
+      .select($"user_id", $"ts_s".cast("timestamp").as("ts"), $"event_id")
+    // drive the same operator chain on the inline frame
+    val sess = operators.EventQueries.sessionWindows(ev)
+    assert(sess.count() == 3)
+    // u1's session overlaps u2's single-event session; u3 disjoint —
+    // recompute the peak locally from session intervals
+    val ivals = sess.select(unix_micros($"session_start"), unix_micros($"session_end"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val points = ivals.flatMap { case (s, e) => Seq((s, 1), (e + 1, -1)) }
+      .sortBy { case (t, d) => (t, d) }
+    val peaks = points.scanLeft(0) { case (acc, (_, d)) => acc + d }.max
+    assert(peaks == 2)
+  }
+
   // --- pagerank ---
 
   test("pagerank: matches a local integer reference on a hand graph") {

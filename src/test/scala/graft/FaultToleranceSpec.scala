@@ -73,6 +73,35 @@ class FaultToleranceSpec extends AnyFunSuite {
       assert(n.get() >= 2, s"partition $pid was never re-executed"))
   }
 
+  test("pagerank: iterative loop with lazy checkpoints survives task crashes, equals clean run") {
+    import spark.implicits._
+    CrashOnce.reset()
+
+    // a ring plus chords — every node has in/out edges (the operator's
+    // symmetrized-input contract)
+    val n = 64L
+    val ring = spark.range(0, n, 1, 4)
+      .select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+    val chords = spark.range(0, n, 1, 4)
+      .select(col("id").as("src"), ((col("id") + 7) % n).as("dst"))
+    val undirected = ring.unionAll(chords)
+    val edges = undirected.unionAll(
+      undirected.select(col("dst").as("src"), col("src").as("dst")))
+
+    val clean = operators.GraphOps.pageRank(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // inject the crash into the edge input: the flaky stage feeds the
+    // eager edgesDeg checkpoint AND each iteration's join re-reads the
+    // checkpointed blocks — retries must not double-count contributions
+    val flakyEdges = edges.as[(Long, Long)]
+      .mapPartitions(CrashOnce.flakyIdentity[(Long, Long)] _)
+      .toDF("src", "dst")
+    val flaky = operators.GraphOps.pageRank(flakyEdges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flaky == clean, "retried pagerank diverged from the clean run")
+    assert(!CrashOnce.executions.isEmpty, "flaky stage never ran")
+  }
+
   test("jobcount: re-executed tasks produce exactly-once output effects") {
     import spark.implicits._
     CrashOnce.reset()
