@@ -120,6 +120,7 @@ object SparkEntry {
     "q_heavy_hitters"   -> (AnalyticsQueries.qHeavyHitters _),
     "q_ffill"           -> (AnalyticsQueries.qFfill _),
     "q_pagerank"        -> (AnalyticsQueries.qPagerank _),
+    "q_triangles"       -> (AnalyticsQueries.qTriangles _),
     "q_lm_score"        -> (AdvancedTextQueries.qLmScore _),
     // ANN scale paths: deterministic end-to-end (fixed hyperplane seed /
     // k-means seed) but approximate in recall, so no SQL oracle — the
@@ -237,6 +238,25 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> PagerankSql,
+    // Textbook three-way self-join enumeration (a<b<c by id); the Spark
+    // plan orients edges by (degree, id) first so the wedge join is
+    // O(m^1.5)-bounded — same triangles, same per-node counts.
+    "q_triangles" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |und AS (SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM und e1
+        |  JOIN und e2 ON e2.u = e1.v
+        |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |n AS (SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+        |      UNION ALL SELECT c AS node FROM tri)
+        |SELECT node, count(*) AS n_triangles FROM n
+        |GROUP BY node ORDER BY n_triangles DESC, node NULLS FIRST""".stripMargin,
     // per-token surprisal rounded to integer micro-nats BEFORE the
     // per-doc sum, so the sum is exact-integer in both engines.
     "q_lm_score" ->

@@ -408,6 +408,29 @@ object AnalyticsQueries {
       .orderBy(desc("rank"), asc_nulls_first("node"))
   }
 
+  /** Per-node triangle counts over the same thresholded co-purchase
+    * graph q_pagerank ranks (parts linked when they co-occur in ≥
+    * [[PagerankMinCooccur]] orders): how embedded each part is in
+    * cliquish buying patterns — the classic cohesion signal on top of
+    * the pair counts q_cooccur already reports. The heavy lifting —
+    * degree-ordered orientation bounding the wedge join to O(m^1.5) —
+    * is [[GraphOps.triangleCounts]]; the oracle enumerates the same
+    * triangles with the textbook three-way self-join, so the exact
+    * per-node counts (not just the total) are hash-checked.
+    */
+  def qTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    trianglesFrom(Tables.lineitem(spark, sfDir))
+
+  /** DataFrame-core form — ScaleSmoke drives this on replicated order
+    * spaces.
+    */
+  def trianglesFrom(lineitem: DataFrame): DataFrame = {
+    val und = BehaviorQueries.cooccurPairCounts(lineitem)
+      .filter(col("n_orders") >= PagerankMinCooccur)
+      .select(col("p1").as("u"), col("p2").as("v"))
+    GraphOps.triangleCounts(und)
+  }
+
   /** Misra-Gries candidate set size. 128 counters ⇒ every token with
     * frequency > n/129 of the corpus survives the sketch, so a
     * ≥ n/100 threshold has NO false negatives to recover.

@@ -168,4 +168,54 @@ object GraphOps {
     }
     pr
   }
+
+  /** Per-node triangle counts by DEGREE-ORDERED ORIENTATION — the
+    * standard bound that makes distributed triangle enumeration viable
+    * on skewed graphs. `und` is one row per undirected edge with
+    * `u < v`, deduplicated.
+    *
+    * Orient every edge from its (degree, id)-smaller endpoint to the
+    * larger; each triangle then has exactly ONE vertex with two
+    * out-edges inside it (the order-minimum — the orientation relation
+    * is a total order, so a 3-cycle of oriented edges is impossible),
+    * so enumerating wedges at out-edges and closing them against the
+    * undirected edge set counts each triangle exactly once, no
+    * dedup pass. The payoff is the fan-out bound: after orientation,
+    * every out-degree is O(√m) REGARDLESS of the original degree
+    * distribution (a vertex keeps an out-edge only toward same-or-
+    * higher-degree neighbors, and there can be at most 2√m vertices of
+    * degree ≥ √m), so the wedge join produces O(m^1.5) rows worst-case
+    * instead of the Σdeg² of a naive neighbor self-join — the
+    * difference between a bounded shuffle and a hot-vertex quadratic
+    * at 100 TB. All three steps are plain equi-joins (shuffle on
+    * `src`, then on the closing pair); nothing is broadcast, nothing
+    * is iterative.
+    */
+  def triangleCounts(und: DataFrame): DataFrame = {
+    val e = und.select(col("u"), col("v"))
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+    // wedges at the orientation-minimum vertex; the out-neighbor pair
+    // {b, c} is normalized b < c by ID so the closing lookup hits the
+    // undirected edge list's native (u < v) form directly
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    val tri = wedges.join(
+      e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(desc("n_triangles"), asc_nulls_first("node"))
+  }
 }

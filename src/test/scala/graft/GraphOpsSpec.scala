@@ -58,4 +58,37 @@ class GraphOpsSpec extends AnyFunSuite {
       pairs.toDF("src", "dst")).as[(Long, Long)].collect().toMap
     assert(distributed == local)
   }
+
+  test("triangles: planted K4 + pendant + hot star counted exactly once each") {
+    // K4 on {1,2,3,4}: 4 triangles, every vertex in 3 of them. The
+    // pendant edge 4-5 and the degree-20 star at 100 (no two leaves
+    // adjacent) add zero triangles — the star specifically exercises
+    // the orientation: a naive wedge join at the hub would emit C(20,2)
+    // candidates; oriented, the hub has ~no out-edges and emits none.
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val star = (1L to 20L).map(i => (100L, 200L + i))
+    val edges = (k4 ++ Seq((4L, 5L)) ++ star)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("u", "v")
+    val got = GraphOps.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3))
+  }
+
+  test("triangles: co-purchase query equals a local brute force") {
+    val und = SparkEntry.queries("q_cooccur")(spark, sfDir) // small top-25 set
+    val edges = und.select($"p1", $"p2").as[(Long, Long)].collect().toSet
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val adj = edges ++ edges.map { case (a, b) => (b, a) }
+    val local = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      k <- (j + 1) until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if adj((a, b)) && adj((b, c)) && adj((a, c))
+      v <- Seq(a, b, c)
+    } local(v) = local.getOrElse(v, 0L) + 1
+    val got = GraphOps.triangleCounts(und.select($"p1".as("u"), $"p2".as("v")))
+      .as[(Long, Long)].collect().toMap
+    assert(got == local.toMap)
+  }
 }
