@@ -121,6 +121,7 @@ object SparkEntry {
     "q_ffill"           -> (AnalyticsQueries.qFfill _),
     "q_pagerank"        -> (AnalyticsQueries.qPagerank _),
     "q_triangles"       -> (AnalyticsQueries.qTriangles _),
+    "q_bm25"            -> (TextQueries.qBm25 _),
     "q_lm_score"        -> (AdvancedTextQueries.qLmScore _),
     // ANN scale paths: deterministic end-to-end (fixed hyperplane seed /
     // k-means seed) but approximate in recall, so no SQL oracle — the
@@ -197,6 +198,49 @@ object SparkEntry {
       |  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
       |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** BM25 oracle, generated from [[TextQueries.Bm25Terms]] so the term
+    * list can never drift from the Spark plan. Every arithmetic site is
+    * CAST-pinned to DOUBLE (DuckDB otherwise picks DECIMAL for
+    * int±fractional-literal) so both engines run the identical IEEE
+    * expression tree; the presence filter and n_hits are integer.
+    */
+  private val Bm25Sql: String = {
+    val terms = TextQueries.Bm25Terms
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"    len(list_filter(toks, x -> x = '$t')) AS tf$i"
+    }.mkString(",\n")
+    val dfCols = terms.indices.map(i =>
+      s"        count(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(",\n")
+    val scoreSum = terms.indices.map { i =>
+      s"""ln(1.0 + (CAST(n_docs - df$i AS DOUBLE) + 0.5) /
+         |          (CAST(df$i AS DOUBLE) + 0.5)) *
+         |      ((CAST(tf$i AS DOUBLE) * 2.2) /
+         |       (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         |        (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))"""
+        .stripMargin
+    }.mkString(" +\n      ")
+    val nHits = terms.indices.map(i => s"CAST(tf$i > 0 AS INT)").mkString(" + ")
+    val tfSum = terms.indices.map(i => s"tf$i").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |$tfCols
+       |  FROM d),
+       |s AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+       |$dfCols
+       |      FROM t)
+       |SELECT doc_id, $nHits AS n_hits,
+       |  round(
+       |      $scoreSum, 6) + 0.0 AS score
+       |FROM t CROSS JOIN s
+       |WHERE $tfSum > 0
+       |ORDER BY score DESC, doc_id ASC
+       |LIMIT 20""".stripMargin
+  }
+
   /** 10 UNROLLED fixed-point PageRank iterations (DuckDB's recursive
     * CTEs reject the aggregate-join recursive term, so the chain is
     * generated) — integer `//` arithmetic matching
@@ -238,6 +282,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> PagerankSql,
+    "q_bm25" -> Bm25Sql,
     // Textbook three-way self-join enumeration (a<b<c by id); the Spark
     // plan orients edges by (degree, id) first so the wedge join is
     // O(m^1.5)-bounded — same triangles, same per-node counts.

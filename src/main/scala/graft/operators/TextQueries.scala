@@ -380,4 +380,69 @@ object TextQueries {
       .orderBy(col("df").desc, col("word").asc)
       .limit(50)
   }
+
+  /** The fixed retrieval query q_bm25 scores the corpus against. */
+  val Bm25Terms: Seq[String] = Seq("query", "join", "stream")
+
+  /** Okapi BM25 (k1 = 1.2, b = 0.75) top-20 documents for the fixed
+    * [[Bm25Terms]] query — the standard retrieval score a
+    * quality-filtering or RAG-indexing pipeline ranks candidate
+    * documents with.
+    *
+    * Scale: for a FIXED small term set there is no need to explode and
+    * shuffle the token stream — per-document term frequencies are
+    * `size(filter(tokens, = term))`, pure column algebra inside one
+    * codegen'd projection over the scan. Corpus statistics (N, Σdl and
+    * the three document frequencies) reduce to ONE map-side-combinable
+    * aggregate row that re-enters via a broadcast cross join, so the
+    * whole plan is: scan → 1-row agg broadcast → projection →
+    * TakeOrderedAndProject. The only exchange at any corpus size is
+    * the stats aggregate's single-partition collapse (one partial row
+    * per task); document rows never shuffle.
+    *
+    * Determinism: both engines evaluate the identical IEEE-double
+    * expression tree (explicit casts pin every site where DuckDB would
+    * otherwise pick DECIMAL arithmetic); the score rounds to 6 dp
+    * before ranking, doc_id breaks ties, and the presence filter is
+    * the INTEGER tf sum, never a float compare.
+    */
+  def qBm25(spark: SparkSession, sfDir: String): DataFrame =
+    bm25From(Tables.documents(spark, sfDir), Bm25Terms)
+
+  /** DataFrame-core form over any (doc_id, text) corpus. */
+  def bm25From(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id") +: size(col("toks")).as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("toks"), x => x === lit(t))).as(s"tf$i")
+          }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("long")).as("sum_dl") +:
+        terms.indices.map(i =>
+          count(when(col(s"tf$i") > 0, 1)).as(s"df$i")): _*)
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i")
+      val idf = log(lit(1.0) +
+        ((col("n_docs") - df).cast("double") + lit(0.5)) /
+          (df.cast("double") + lit(0.5)))
+      idf * ((tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") / col("avgdl")))))
+    }
+    base.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .filter(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+      .select(
+        col("doc_id"),
+        terms.indices.map(i => (col(s"tf$i") > 0).cast("int")).reduce(_ + _)
+          .as("n_hits"),
+        (round(terms.indices.map(termScore).reduce(_ + _), 6) + lit(0.0))
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

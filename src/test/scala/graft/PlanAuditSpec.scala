@@ -28,7 +28,10 @@ class PlanAuditSpec extends AnyFunSuite {
   private val scalarBroadcasts = Set("q_tfidf",
     // corpus token total N entering the ≥1% threshold as a 1-row
     // broadcast — same shape as tfidf's N
-    "q_heavy_hitters")
+    "q_heavy_hitters",
+    // corpus stats row (N, Σdl, per-term df) re-entering the scoring
+    // projection — 1 row at any scale
+    "q_bm25")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —

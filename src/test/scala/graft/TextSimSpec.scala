@@ -114,4 +114,57 @@ class TextSimSpec extends AnyFunSuite {
       .filter($"pack_tokens" - $"last_tokens" >= 512)
     assert(bad.count() == 0)
   }
+
+  test("bm25: equals a local recompute; plan has zero data shuffles") {
+    import spark.implicits._
+    val terms = operators.TextQueries.Bm25Terms
+    val df = SparkEntry.queries("q_bm25")(spark, sfDir)
+    // local recompute with the same double algebra over the same
+    // tokenization, on ALL docs (the query truncates to top-20 after
+    // ordering, so local top-20 must match row-for-row)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> t.split("[^a-z]+").filter(_.nonEmpty)
+    }
+    val n = toks.length
+    val avgdl = toks.map(_._2.length.toLong).sum.toDouble / n
+    val dfs = terms.map(t => toks.count(_._2.contains(t)))
+    val expected = toks.flatMap { case (id, ts) =>
+      val tfs = terms.map(t => ts.count(_ == t))
+      if (tfs.sum == 0) None
+      else {
+        val score = terms.indices.map { i =>
+          val tf = tfs(i).toDouble
+          val idf = math.log(1.0 + ((n - dfs(i)).toDouble + 0.5) /
+            (dfs(i).toDouble + 0.5))
+          idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *
+            (ts.length.toDouble / avgdl))))
+        }.sum
+        Some((id, tfs.count(_ > 0),
+          BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+      }
+    }.sortBy { case (id, _, rounded) => (-rounded, id) }.take(20).toSeq
+    val got = df.as[(Long, Int, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == expected.map(r => (r._1, r._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) <= 1e-6, s"doc ${g._1}: ${g._3} vs ${e._3}")
+    }
+    // the scale claim: no ShuffleExchange anywhere — stats flow back in
+    // through a broadcast, scoring is column algebra over the scan
+    def flat(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flat(a.executedPlan)
+      case q => q +: q.children.flatMap(flat)
+    }
+    val nodes = flat(df.queryExecution.executedPlan)
+    val shuffles = nodes.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.forall(_.outputPartitioning.numPartitions == 1),
+      "q_bm25's only exchange should be the 1-row-per-partition stats " +
+        s"collapse; got ${shuffles.map(_.outputPartitioning)}")
+  }
 }
