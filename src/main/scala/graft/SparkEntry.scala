@@ -122,6 +122,7 @@ object SparkEntry {
     "q_pagerank"        -> (AnalyticsQueries.qPagerank _),
     "q_triangles"       -> (AnalyticsQueries.qTriangles _),
     "q_bm25"            -> (TextQueries.qBm25 _),
+    "q_zorder"          -> (ScaleOps.qZorder _),
     "q_lm_score"        -> (AdvancedTextQueries.qLmScore _),
     // ANN scale paths: deterministic end-to-end (fixed hyperplane seed /
     // k-means seed) but approximate in recall, so no SQL oracle — the
@@ -241,6 +242,26 @@ object SparkEntry {
        |LIMIT 20""".stripMargin
   }
 
+  /** Morton interleave recomputed bit-by-bit in SQL — generated for
+    * the same 9-bit width as `Sources.morton2`'s default so the oracle
+    * checks the exact bit algebra the z-order layout writer uses.
+    */
+  private val ZorderSql: String = {
+    val zExpr = (0 until 9).flatMap(i => Seq(
+      s"(((user_id >> $i) & 1) << ${2 * i})",
+      s"(((vbucket >> $i) & 1) << ${2 * i + 1})")).mkString(" |\n    ")
+    s"""WITH cells AS (
+       |  SELECT user_id, CAST(floor(value / 8) AS BIGINT) AS vbucket,
+       |    count(*) AS n_events
+       |  FROM events GROUP BY 1, 2)
+       |SELECT
+       |    $zExpr AS zcell,
+       |  user_id, vbucket, n_events
+       |FROM cells
+       |ORDER BY zcell NULLS FIRST
+       |LIMIT 100""".stripMargin
+  }
+
   /** 10 UNROLLED fixed-point PageRank iterations (DuckDB's recursive
     * CTEs reject the aggregate-join recursive term, so the chain is
     * generated) — integer `//` arithmetic matching
@@ -283,6 +304,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> PagerankSql,
     "q_bm25" -> Bm25Sql,
+    "q_zorder" -> ZorderSql,
     // Textbook three-way self-join enumeration (a<b<c by id); the Spark
     // plan orients edges by (degree, id) first so the wedge join is
     // O(m^1.5)-bounded — same triangles, same per-node counts.

@@ -97,4 +97,26 @@ object ScaleOps {
           saltedBig("__salt") === replicatedSmall("__salt"))
       .drop("__salt")
   }
+
+  /** Z-order cell map of the events table: events bucketed on the
+    * (user_id, ⌊value/8⌋) grid with each cell's Morton interleave key
+    * (`Sources.morton2` — the clustering key `writeZOrdered` lays
+    * files out by). The oracle recomputes the interleave bit-by-bit in
+    * SQL, checking the exact bit algebra both the query and the layout
+    * writer rely on; ZOrderLayoutSpec separately proves the layout
+    * prunes. First 100 cells in z-curve order — the walk a clustered
+    * scan would make.
+    */
+  def qZorder(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        floor(col("value") / 8).cast("long").as("vbucket"))
+      .groupBy("user_id", "vbucket")
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        graft.sources.Sources.morton2(col("user_id"), col("vbucket"))
+          .as("zcell"),
+        col("user_id"), col("vbucket"), col("n_events"))
+      .orderBy(asc_nulls_first("zcell"))
+      .limit(100)
 }

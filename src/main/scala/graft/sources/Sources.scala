@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's I/O surface, Spark-native:
@@ -94,6 +94,45 @@ object Sources {
     df.repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Morton (Z-order) interleave of the low `bits` bits of two
+    * non-negative integer columns: bit i of `a` lands at position 2i,
+    * bit i of `b` at 2i+1. Pure shift/mask algebra over built-in
+    * functions, so it codegens into the projection — no UDF. 2·bits
+    * shift-and-or terms; at the default 9 bits the code is an 18-term
+    * OR chain, well inside codegen limits.
+    */
+  def morton2(a: Column, b: Column, bits: Int = 9): Column = {
+    def spread(x: Column, off: Int): Column =
+      (0 until bits).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + off)
+      }.reduce(_ bitwiseOR _)
+    spread(a.cast("long"), 0) bitwiseOR spread(b.cast("long"), 1)
+  }
+
+  /** Z-order clustered layout: cluster rows so files are tight in TWO
+    * dimensions at once. A single-column sort gives perfect min/max
+    * pruning on that column and none on any other; interleaving the
+    * two key columns' bits makes each output file cover a small square
+    * of the (a, b) grid instead of a full-width stripe, so parquet
+    * row-group min/max stats prune files for predicates on EITHER
+    * column (or both). This is the layout move for a 100 TB fact table
+    * queried by more than one dimension — the same reason Delta/Iceberg
+    * expose OPTIMIZE ZORDER BY.
+    *
+    * Cost is identical to [[writeGlobalSorted]]: one range exchange on
+    * the morton key (boundaries from a driver-side sample, no global
+    * sort) + local sorts. ZOrderLayoutSpec measures the payoff on the
+    * events table: a value-band predicate overlaps every user-sorted
+    * file's stats but only a corner of the z-ordered ones.
+    */
+  def writeZOrdered(df: DataFrame, a: Column, b: Column, path: String,
+      numFiles: Int, bits: Int = 9): Unit = {
+    val z = morton2(a, b, bits)
+    df.repartitionByRange(numFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** Binary ingestion for multimodal payloads (images/audio/video as
     * opaque bytes): one row per file with (path, modificationTime,
