@@ -62,20 +62,25 @@ object Bench {
     // Stop Spark BEFORE the summary line so no shutdown logging can land
     // after it — the JSON must be the final bytes of the captured tail.
     spark.stop()
-    // Summary schema is EXACTLY the driver's contract:
-    //   {"metric":…,"value":N,"unit":"sec","queries":{name:sec,…},"sf":N}
-    // — "queries" as an inline map and "sf" numeric (parsed from the sf
-    // dir name). At 78 queries the line is ~2 KB, inside the recorder's
-    // ~3 KB tail window, so the whole map survives even though only a
-    // tail is captured; the per-query lines above remain the redundant
-    // human-readable record.
+    // Two summary lines. The recorder keeps a 2000-char tail (measured:
+    // BENCH_r05.json's "tail" is exactly 2000 chars), and at 110 queries
+    // the full inline map is ~2.5 KB — it can never survive the window.
+    // So: (1) the spec-schema line WITH the full "queries" map, for any
+    // parser that reads the whole log; (2) LAST, a short line that
+    // always fits the tail window intact (plus sbt's ~75-char trailing
+    // "[success]" line), so a tail-scanning parser finds valid JSON.
+    // build.sbt's StdoutOutput strategy keeps both lines free of the
+    // "[info] " prefix that would break a strict json.loads.
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
     val qmap = results
       .map { case (name, min, _) => f""""$name":$min%.3f""" }
       .mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-      f""""median_total":$totalMed%.3f,"queries":$qmap,"sf":$sfNum}""")
+      f""""queries":$qmap,"sf":$sfNum}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      f""""median_total":$totalMed%.3f,"queries_count":${results.size},""" +
+      f""""sf":$sfNum}""")
     Console.out.flush()
   }
 }

@@ -52,8 +52,12 @@ object SparkEntry {
     "q_window_dist"     -> (WindowQueries.qWindowDist _),
     "q_agg_argmax"      -> (AggQueries.qAggArgmax _),
     "q_sample_stratified" -> (TextQueries.qSampleStratified _),
+    "q_split_train"     -> (TextQueries.qSplitTrain _),
+    "q_dq_report"       -> (ValidationQueries.qDqReport _),
     "q_repetition"      -> (AdvancedTextQueries.qRepetition _),
     "q_resample"        -> (EventQueries.qResample _),
+    "q_ewma"            -> (EventQueries.qEwma _),
+    "q_embed_centroid"  -> (SimilarityQueries.qEmbedCentroid _),
     "q_scalar_string"   -> (ScalarQueries.qScalarString _),
     "q_scalar_date"     -> (ScalarQueries.qScalarDate _),
     "q_scalar_math"     -> (ScalarQueries.qScalarMath _),
@@ -77,6 +81,7 @@ object SparkEntry {
     "q_redact_pii"      -> (TextQueries.qRedactPii _),
     "q_chunk_strided"   -> (TextQueries.qChunkStrided _),
     "q_dedup_clusters"  -> (AdvancedTextQueries.qDedupClusters _),
+    "q_dedup_keep_best" -> (AdvancedTextQueries.qDedupKeepBest _),
     "q_sample_hash"     -> (TextQueries.qSampleHash _),
     "q_decontaminate"   -> (TextQueries.qDecontaminate _),
     "q_decontaminate_bloom" -> (TextQueries.qDecontaminateBloom _),
@@ -242,6 +247,28 @@ object SparkEntry {
        |LIMIT 20""".stripMargin
   }
 
+  /** Bounded-lag EWMA oracle, generated from
+    * [[EventQueries.EwmaWeights]]: each weight is embedded via
+    * Double.toString (shortest round-trip repr, so DuckDB parses back
+    * the bit-identical double) and CAST-pinned to DOUBLE so DuckDB
+    * cannot type the literal DECIMAL and re-associate the sum.
+    */
+  private val EwmaSql: String = {
+    val ws = EventQueries.EwmaWeights.map(_.toString)
+    val num = ws.zipWithIndex.map { case (w, j) =>
+      s"COALESCE(lag(value, $j) OVER w * CAST($w AS DOUBLE), CAST(0.0 AS DOUBLE))"
+    }.mkString(" +\n    ")
+    val den = ws.zipWithIndex.map { case (w, j) =>
+      s"""CASE WHEN lag(value, $j) OVER w IS NOT NULL
+         |      THEN CAST($w AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+    }.mkString(" +\n    ")
+    s"""SELECT user_id, event_id, value,
+       |  round(($num) / ($den), 6) + 0.0 AS ewma
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+       |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST""".stripMargin
+  }
+
   /** Morton interleave recomputed bit-by-bit in SQL — generated for
     * the same 9-bit width as `Sources.morton2`'s default so the oracle
     * checks the exact bit algebra the z-order layout writer uses.
@@ -304,6 +331,19 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> PagerankSql,
     "q_bm25" -> Bm25Sql,
+    "q_ewma" -> EwmaSql,
+    "q_embed_centroid" ->
+      """WITH pos AS (SELECT unnest(range(1, 65)) AS dim),
+        |e AS (
+        |  SELECT label, CAST(dim AS INT) AS dim,
+        |    CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000, 0) AS BIGINT)
+        |      AS q
+        |  FROM embeddings CROSS JOIN pos)
+        |SELECT label, dim, count(*) AS n_vecs,
+        |  round(CAST(sum(q) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE), 6)
+        |    + 0.0 AS centroid
+        |FROM e GROUP BY 1, 2
+        |ORDER BY label NULLS FIRST, dim NULLS FIRST""".stripMargin,
     "q_zorder" -> ZorderSql,
     // Textbook three-way self-join enumeration (a<b<c by id); the Spark
     // plan orients edges by (degree, id) first so the wedge join is
@@ -645,6 +685,39 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         |  min(CASE WHEN sampled THEN doc_id END) AS min_sampled_doc
         |FROM s GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+    "q_split_train" ->
+      """SELECT lang,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+        |    AS split,
+        |  count(*) AS n_docs,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM (
+        |  SELECT lang, doc_id,
+        |    CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |      AS BIGINT) % 100 AS b
+        |  FROM documents)
+        |GROUP BY 1, 2 ORDER BY lang NULLS FIRST, split NULLS FIRST""".stripMargin,
+    "q_dq_report" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    count(DISTINCT o_orderkey) AS uk,
+        |    count(o_custkey) AS cc,
+        |    sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS pp,
+        |    sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS sd,
+        |    sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+        |        THEN 1 ELSE 0 END) AS pf
+        |  FROM orders),
+        |l AS (
+        |  SELECT 'orderkey_unique' AS check_name, uk AS satisfied, n AS total FROM a
+        |  UNION ALL SELECT 'custkey_complete', cc, n FROM a
+        |  UNION ALL SELECT 'totalprice_positive', pp, n FROM a
+        |  UNION ALL SELECT 'status_domain', sd, n FROM a
+        |  UNION ALL SELECT 'priority_format', pf, n FROM a)
+        |SELECT check_name, CAST(satisfied AS BIGINT) AS satisfied,
+        |  CAST(total AS BIGINT) AS total,
+        |  round(satisfied * 1.0 / total, 6) + 0.0 AS ratio,
+        |  satisfied = total AS passed
+        |FROM l ORDER BY check_name NULLS FIRST""".stripMargin,
     "q_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id, lang,
@@ -1257,6 +1330,61 @@ object SparkEntry {
         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id, min(comp) AS component FROM reach GROUP BY id
         |ORDER BY id NULLS FIRST""".stripMargin,
+    // same recursive-CTE component labels as q_dedup_clusters, then the
+    // q_text_quality score ranks members within each cluster
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [] END AS s
+        |  FROM docs
+        |), ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT d1, d2
+        |  FROM cand JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |  WHERE round(shared * 1.0 / (x.n + y.n - shared), 6) + 0.0 >= 0.5),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM jp
+        |  UNION
+        |  SELECT d2 AS src, d1 AS dst FROM jp),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(0.4 * (len(list_distinct(toks)) * 1.0 / len(toks)) +
+        |          0.4 * (1.0 - len(list_filter(toks, t -> t = 'the' OR t = 'a'))
+        |                 * 1.0 / len(toks)) +
+        |          0.2 * least(CAST(list_sum(list_transform(toks, t -> length(t)))
+        |                 AS DOUBLE) / len(toks) / 10.0, 1.0), 6) + 0.0
+        |      AS keep_quality
+        |  FROM docs),
+        |lab AS (
+        |  SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component,
+        |         q.keep_quality
+        |  FROM q LEFT JOIN comp c ON c.id = q.doc_id),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY component
+        |                       ORDER BY keep_quality DESC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY component) AS cluster_size
+        |  FROM lab)
+        |SELECT component, doc_id AS keep_doc_id, keep_quality,
+        |  cluster_size, cluster_size - 1 AS dropped
+        |FROM r WHERE rn = 1 ORDER BY component NULLS FIRST""".stripMargin,
     "q_dedup_near" ->
       """SELECT min(doc_id) AS canonical_doc_id, count(*) AS group_size
         |FROM (

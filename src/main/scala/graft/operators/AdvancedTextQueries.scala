@@ -258,6 +258,62 @@ object AdvancedTextQueries {
       .orderBy(asc_nulls_first("id"))
   }
 
+  /** Rounded composite quality score of a text column — shared by
+    * qTextQuality (reporting) and qDedupKeepBest (ranking) so the two
+    * can never diverge. Ratios of exact integer counts, one fixed IEEE
+    * double formula, rounded to 6dp (with the +0.0 −0.0 normalization)
+    * so both engines compare identical values.
+    */
+  private[graft] def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio =
+      size(filter(toks, t => t === "the" || t === "a")).cast("double") / nTok
+    val avgLen = length(array_join(toks, "")).cast("double") / nTok
+    round(lit(0.4) * ttr + lit(0.4) * (lit(1.0) - stopRatio) +
+      lit(0.2) * least(avgLen / lit(10.0), lit(1.0)), 6) + lit(0.0)
+  }
+
+  /** The production dedup OUTPUT: which document to keep from each
+    * near-dup cluster. Clusters come from the trigram-Jaccard pair
+    * graph via connected components (exactly q_dedup_clusters);
+    * singleton documents form their own cluster. The kept member is
+    * the one with the highest quality score (ties → smallest doc_id) —
+    * what a real corpus pipeline does, rather than blindly keeping the
+    * minimum id. One row per cluster: representative, its quality, and
+    * how many near-dups were dropped.
+    *
+    * Scale shape: quality is pure column algebra on the same scan the
+    * pair generator reads; the only additions over q_dedup_clusters
+    * are one equi-join of (doc_id → component) against the scored docs
+    * and one window over `component` — a single extra exchange, and
+    * cluster partitions are near-dup groups (bounded), never hot.
+    */
+  def qDedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = ngramJaccardPairs(docs, ShingleDfCap)
+      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+    val comp = GraphOps.connectedComponents(pairs)
+    val labeled = docs
+      .select(col("doc_id"), qualityScore(col("text")).as("keep_quality"))
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        col("keep_quality"))
+    val byBest = Window.partitionBy("component")
+      .orderBy(col("keep_quality").desc, col("doc_id").asc)
+    val bySize = Window.partitionBy("component")
+    labeled
+      .withColumn("rn", row_number().over(byBest))
+      .withColumn("cluster_size", count(lit(1)).over(bySize))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("keep_doc_id"),
+        col("keep_quality"), col("cluster_size"),
+        (col("cluster_size") - 1).as("dropped"))
+      .orderBy(asc_nulls_first("component"))
+  }
+
   /** Fuzzy (edit-distance) matching — the near-dup family member for
     * SHORT strings where token shingles are useless: part-name pairs at
     * Levenshtein ≤ 2 (exact dups and near-typos) within a
@@ -406,9 +462,7 @@ object AdvancedTextQueries {
         (round(ttr, 6) + lit(0.0)).as("type_token_ratio"),
         (round(stopRatio, 6) + lit(0.0)).as("stopword_ratio"),
         (round(avgLen, 6) + lit(0.0)).as("avg_token_len"),
-        (round(lit(0.4) * ttr + lit(0.4) * (lit(1.0) - stopRatio) +
-          lit(0.2) * least(avgLen / lit(10.0), lit(1.0)), 6) + lit(0.0))
-          .as("quality_score"))
+        qualityScore(col("text")).as("quality_score"))
       .orderBy(asc_nulls_first("doc_id"))
   }
 

@@ -116,4 +116,46 @@ object EventQueries {
         (coalesce(col("cents"), lit(0L)).cast("double") / 100.0).as("total_value"))
       .orderBy(asc_nulls_first("day"), asc_nulls_first("event_type"))
   }
+
+  /** Bounded-lag EWMA weights α·decay^j for j = 0..EwmaLags−1,
+    * materialized by repeated MULTIPLICATION (never pow(): libm pow
+    * may differ between engines; a chain of IEEE * cannot) so the
+    * generated oracle embeds bit-identical double literals.
+    */
+  val EwmaAlpha = 0.3
+  val EwmaDecay = 0.7
+  val EwmaLags = 8
+  val EwmaWeights: IndexedSeq[Double] =
+    (1 until EwmaLags).scanLeft(EwmaAlpha)((w, _) => w * EwmaDecay).toIndexedSeq
+
+  /** Exponentially-weighted moving average of `value` per user — the
+    * time-series smoothing a metrics/monitoring pipeline runs. True
+    * EWMA is a recurrence (unexpressible without recursion in either
+    * engine); this is the standard bounded-lag form: weights α·decay^j
+    * over the last 8 observations, renormalized over the lags that
+    * exist so the series start isn't biased toward zero. Weight decay
+    * 0.7^8 ≈ 6% makes the truncation error < the 6dp rounding for this
+    * α. The plan is ONE window (8 lag() reads resolve in a single
+    * per-user sort, no self-joins); shuffle key is user_id, so 100 TB
+    * of events smooth with bounded per-user state and no global sort.
+    */
+  def qEwma(spark: SparkSession, sfDir: String): DataFrame =
+    ewmaFrom(Tables.events(spark, sfDir))
+
+  /** DataFrame-core form over (user_id, event_id, ts, value). */
+  def ewmaFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val num = EwmaWeights.zipWithIndex.map { case (wj, j) =>
+      coalesce(lag(col("value"), j).over(w) * lit(wj), lit(0.0))
+    }.reduce(_ + _)
+    val den = EwmaWeights.zipWithIndex.map { case (wj, j) =>
+      when(lag(col("value"), j).over(w).isNotNull, lit(wj)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("ewma", round(num / den, 6) + lit(0.0))
+      .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
+      .orderBy(asc_nulls_first("user_id"), asc_nulls_first("event_id"))
+  }
 }

@@ -210,4 +210,25 @@ object SimilarityQueries {
       .filter(col("cosine") >= threshold)
       .orderBy(asc_nulls_first("vec_id_1"), asc_nulls_first("vec_id_2"))
   }
+
+  /** Per-label embedding centroid (elementwise mean), long format —
+    * the class-prototype / IVF-seed aggregation of an embedding
+    * pipeline. Floats quantize to exact 1e-6 integer grid BEFORE
+    * summing (long sums are order-independent; a double sum's value
+    * depends on partitioning), so the mean is bit-identical across
+    * engines and re-runs. The posexplode is a narrow ×64 fan-out; the
+    * one shuffle groups (label, dim) — 64·|labels| cells, partial
+    * aggregation collapses each partition's slice map-side first.
+    */
+  def qEmbedCentroid(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("v").cast("double") * 1000000, 0).cast("long")).as("s"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        (round(col("s").cast("double") /
+          (col("n_vecs") * lit(1000000L)).cast("double"), 6) + lit(0.0))
+          .as("centroid"))
+      .orderBy(asc_nulls_first("label"), asc_nulls_first("dim"))
 }

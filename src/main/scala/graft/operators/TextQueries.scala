@@ -102,6 +102,30 @@ object TextQueries {
       .orderBy(asc_nulls_first("lang"))
   }
 
+  /** Deterministic stratified train/val/test split: every document
+    * lands in exactly one of three splits by its seed-free md5 bucket
+    * (80/10/10), so the assignment is stable across engines, retries
+    * and repartitioning AND disjoint by construction — the property a
+    * training pipeline actually needs (a rand()-based split can leak a
+    * document into two splits across retried tasks). A salt distinct
+    * from the sampling queries' key decorrelates split membership from
+    * sample membership. Reports the per-(lang, split) contingency
+    * table; one narrow pass + one hash agg, no shuffle of documents.
+    */
+  def qSplitTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket =
+      conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4),
+        16, 10).cast("long") % 100
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    Tables.documents(spark, sfDir)
+      .withColumn("split", split)
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("split"))
+  }
+
   /** Fixed-size document chunking: split each document into
     * consecutive 32-token chunks (the shape LLM pre-tokenization
     * pipelines feed to packing). Chunk text reassembles in token order

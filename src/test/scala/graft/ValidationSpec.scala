@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{AdvancedTextQueries, TextQueries, ValidationQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic properties of the corpus-governance operators: the dedup
+  * representative really is the best member of its cluster, the split
+  * really partitions the corpus, and the DQ report really notices an
+  * injected violation.
+  */
+class ValidationSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  test("q_dedup_keep_best: clusters partition the corpus and keep the max-quality member") {
+    val rep = AdvancedTextQueries.qDedupKeepBest(spark, sfDir).cache()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    // every document is in exactly one cluster
+    assert(rep.agg(sum("cluster_size")).head().getLong(0) == nDocs)
+    assert(rep.select("component").distinct().count() == rep.count())
+    // dropped is always cluster_size - 1 and the corpus shrank
+    assert(rep.filter(col("dropped") =!= col("cluster_size") - 1).count() == 0)
+    assert(rep.count() < nDocs, "expected at least one non-trivial cluster")
+    // the kept member's quality is the cluster max: re-derive each
+    // doc's component from the cluster table and compare per-component
+    // maxima
+    val comp = AdvancedTextQueries.qDedupClusters(spark, sfDir)
+    val quality = Tables.documents(spark, sfDir).select(col("doc_id"),
+      AdvancedTextQueries.qualityScore(col("text")).as("q"))
+    val best = quality.join(comp, col("doc_id") === col("id"), "left")
+      .select(coalesce(col("component"), col("doc_id")).as("component"), col("q"))
+      .groupBy("component").agg(max("q").as("max_q"))
+    val bad = rep.join(best, Seq("component"))
+      .filter(col("keep_quality") =!= col("max_q")).count()
+    assert(bad == 0, s"$bad clusters keep a non-maximal member")
+    rep.unpersist()
+  }
+
+  test("q_split_train: deterministic, disjoint, ~80/10/10") {
+    val s1 = TextQueries.qSplitTrain(spark, sfDir).collect()
+    val s2 = TextQueries.qSplitTrain(spark, sfDir).collect()
+    assert(s1.sameElements(s2), "split assignment must be retry-stable")
+    val total = s1.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sfDir).count(),
+      "splits must cover every document exactly once")
+    val byi = s1.groupBy(_.getAs[String]("split"))
+      .map { case (k, rows) => k -> rows.map(_.getAs[Long]("n_docs")).sum }
+    val trainFrac = byi("train").toDouble / total
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac off 0.8")
+    assert(byi.keySet == Set("train", "val", "test"))
+  }
+
+  test("ewma: constant series reproduces the constant; weights renormalize at series start") {
+    import spark.implicits._
+    val const = (1 to 20)
+      .map(i => (1L, i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00"), 7.5))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = operators.EventQueries.ewmaFrom(const).collect()
+    assert(out.length == 20)
+    // renormalized weights make EVERY row's smoothing of a constant the
+    // constant itself — including the first rows with missing lags
+    assert(out.forall(_.getAs[Double]("ewma") == 7.5))
+    // a step series: ewma lags behind the step but stays within range
+    val step = (1 to 20)
+      .map(i => (1L, i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00"),
+        if (i <= 10) 0.0 else 10.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val s = operators.EventQueries.ewmaFrom(step).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
+    assert(s(10) == 0.0 && s(11) > 2.9 && s(11) < 10.0 && s(20) > s(11))
+  }
+
+  test("embed centroid: long-format mean matches a brute-force recompute") {
+    val cents = operators.SimilarityQueries.qEmbedCentroid(spark, sfDir)
+      .filter(col("dim") === 1).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Double]("centroid")).toMap
+    val brute = Tables.embeddings(spark, sfDir)
+      .select(col("label"), element_at(col("embedding"), 1).cast("double").as("v"))
+      .collect().groupBy(_.getAs[Int]("label"))
+      .map { case (l, rows) =>
+        val qs = rows.map(r => math.round(r.getAs[Double]("v") * 1000000))
+        l -> (math.round(qs.sum.toDouble / (qs.length * 1000000.0) * 1e6) / 1e6)
+      }
+    assert(cents.keySet == brute.keySet)
+    for ((l, c) <- brute)
+      assert(math.abs(cents(l) - c) < 1e-9, s"label $l: ${cents(l)} vs $c")
+  }
+
+  test("q_dq_report: all green on the clean table, flips on injected violations") {
+    val orders = Tables.orders(spark, sfDir)
+    val clean = ValidationQueries.reportFrom(orders)
+    assert(clean.filter(!col("passed")).count() == 0, "clean table must pass all checks")
+    assert(clean.count() == 5)
+    // duplicate an order AND null out its custkey: exactly the
+    // uniqueness and completeness checks must flip, the rest stay green
+    val dup = orders.limit(1)
+      .withColumn("o_custkey", lit(null).cast("long"))
+    val dirty = ValidationQueries.reportFrom(orders.unionByName(dup))
+    val failed = dirty.filter(!col("passed"))
+      .select("check_name").collect().map(_.getString(0)).toSet
+    assert(failed == Set("orderkey_unique", "custkey_complete"),
+      s"unexpected verdicts: $failed")
+  }
+}
