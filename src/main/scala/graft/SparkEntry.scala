@@ -122,6 +122,8 @@ object SparkEntry {
     "q_priority_exists" -> (AnalyticsQueries.qPriorityExists _),
     "q_boilerplate"     -> (AnalyticsQueries.qBoilerplate _),
     "q_weighted_sample" -> (AnalyticsQueries.qWeightedSample _),
+    "q_skyline"         -> (AnalyticsQueries.qSkyline _),
+    "q_sample_reservoir" -> (AnalyticsQueries.qSampleReservoir _),
     "q_heavy_hitters"   -> (AnalyticsQueries.qHeavyHitters _),
     "q_ffill"           -> (AnalyticsQueries.qFfill _),
     "q_pagerank"        -> (AnalyticsQueries.qPagerank _),
@@ -1227,6 +1229,28 @@ object SparkEntry {
         |FROM keyed
         |ORDER BY k DESC, doc_id
         |LIMIT 50""".stripMargin,
+    // the quadratic NOT-EXISTS dominance form — the Spark side runs the
+    // sort-scan rewrite, so a green hash proves the scan equivalence
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT p_brand, p_size, p_retailprice FROM part)
+        |SELECT p_brand, p_size, p_retailprice
+        |FROM pts a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.p_brand = a.p_brand
+        |    AND b.p_size >= a.p_size AND b.p_retailprice <= a.p_retailprice
+        |    AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))
+        |ORDER BY p_brand NULLS FIRST, p_size DESC, p_retailprice ASC""".stripMargin,
+    "q_sample_reservoir" ->
+      """SELECT lang, CAST(rank AS INT) AS rank, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+        |      AS rank
+        |  FROM documents)
+        |WHERE rank <= 10
+        |ORDER BY lang NULLS FIRST, rank ASC""".stripMargin,
     // The MG sketch prune has no false negatives above the threshold
     // and the confirm pass is exact, so the sketched plan answers the
     // plain SQL below row-identically.

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.MisraGries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Statistical / business analytics over the star schema: outlier
@@ -482,5 +483,54 @@ object AnalyticsQueries {
         (round(col("n_occurrences").cast("double") / col("n_total"), 6) + lit(0.0))
           .as("share"))
       .orderBy(desc("n_occurrences"), asc_nulls_first("token"))
+  }
+
+  /** Per-brand Pareto frontier (skyline) of parts: maximize p_size,
+    * minimize p_retailprice — the points no other part of the brand
+    * strictly dominates. The classic formulation is a quadratic
+    * NOT-EXISTS self-join; this is the SORT-SCAN form: distinct
+    * (size, price) points sorted (size DESC, price ASC) within each
+    * brand are on the frontier iff every PRECEDING point (larger size,
+    * or same size and cheaper) is strictly more expensive — one running
+    * min over a window, no self-join. Equivalent because after DISTINCT
+    * the preceding set is exactly the candidate dominators. Partitioned
+    * by brand: at any scale the sort is per-group, never global; the
+    * DuckDB oracle runs the quadratic NOT EXISTS, proving the
+    * scan-equivalence on real data.
+    */
+  def qSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = Tables.part(spark, sfDir)
+      .select(col("p_brand"), col("p_size"), col("p_retailprice"))
+      .distinct()
+    val prev = Window.partitionBy("p_brand")
+      .orderBy(col("p_size").desc, col("p_retailprice").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts
+      .withColumn("prev_min", min(col("p_retailprice")).over(prev))
+      .filter(col("prev_min").isNull || col("p_retailprice") < col("prev_min"))
+      .select("p_brand", "p_size", "p_retailprice")
+      .orderBy(asc_nulls_first("p_brand"), desc("p_size"), asc("p_retailprice"))
+  }
+
+  /** Fixed-size deterministic sample per stratum: the k smallest
+    * md5(doc_id) ranks within each language — reservoir-sampling's
+    * output contract (exactly min(k, n) rows per group) without its
+    * sequential state: the hash IS the priority, so membership is
+    * stable under retry, partitioning and engine, and a later run over
+    * a grown corpus keeps a document iff its hash still ranks. One
+    * shuffle on lang; per-group top-k never materializes the full sort
+    * at the reducer (rank ≤ k prunes in the window's sort spill).
+    */
+  def qSampleReservoir(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 10
+    val w = Window.partitionBy("lang")
+      .orderBy(col("h").asc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("rsv:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("lang", "rank", "doc_id")
+      .orderBy(asc_nulls_first("lang"), asc("rank"))
   }
 }

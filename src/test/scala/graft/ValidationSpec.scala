@@ -86,6 +86,35 @@ class ValidationSpec extends AnyFunSuite {
       assert(math.abs(cents(l) - c) < 1e-9, s"label $l: ${cents(l)} vs $c")
   }
 
+  test("skyline sort-scan equals the quadratic dominance anti-join") {
+    val scan = operators.AnalyticsQueries.qSkyline(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    val pts = Tables.part(spark, sfDir)
+      .select(col("p_brand"), col("p_size"), col("p_retailprice")).distinct()
+    val dominated = pts.as("a").join(pts.as("b"),
+      col("b.p_brand") === col("a.p_brand") &&
+        col("b.p_size") >= col("a.p_size") &&
+        col("b.p_retailprice") <= col("a.p_retailprice") &&
+        (col("b.p_size") > col("a.p_size") ||
+          col("b.p_retailprice") < col("a.p_retailprice")),
+      "left_semi")
+    val brute = pts.exceptAll(dominated).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(scan == brute)
+    assert(scan.nonEmpty && scan.size < pts.count(),
+      "degenerate skyline: nothing dominated")
+  }
+
+  test("reservoir sample: exactly min(k, n) rows per stratum, retry-stable") {
+    val s1 = operators.AnalyticsQueries.qSampleReservoir(spark, sfDir).collect()
+    val s2 = operators.AnalyticsQueries.qSampleReservoir(spark, sfDir).collect()
+    assert(s1.sameElements(s2))
+    val perLang = s1.groupBy(_.getString(0)).map { case (l, r) => l -> r.length }
+    val counts = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang == counts.map { case (l, n) => l -> math.min(10L, n).toInt })
+  }
+
   test("q_dq_report: all green on the clean table, flips on injected violations") {
     val orders = Tables.orders(spark, sfDir)
     val clean = ValidationQueries.reportFrom(orders)
