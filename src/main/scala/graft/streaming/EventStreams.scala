@@ -159,6 +159,49 @@ object EventStreams {
       }
   }
 
+  case class EwmaEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, value: Double) {
+    def tsUs: Long = ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+  }
+  case class EwmaCarry(ewma: Double)
+  case class EwmaOut(user_id: Long, event_id: Long, value: Double, ewma: Double)
+
+  /** Streaming EWMA: the TRUE recursion `ewma ← α·x + (1−α)·ewma` per
+    * user, which batch SQL cannot express without recursion — the batch
+    * q_ewma is its bounded-lag approximation (weights α·(1−α)^j
+    * truncated at 8 lags, ≈6% tail mass renormalized away). O(1) state
+    * per user (one double), sharded with the shuffle; each micro-batch
+    * processes its rows in (ts, event_id) order, so on a time-ordered
+    * replay the emitted sequence equals the sequential recursion
+    * exactly — StreamingSmokeSpec proves it against an in-memory fold.
+    * The first observation seeds the recursion (ewma₀ = x₀), matching
+    * the renormalized batch form at n=1.
+    */
+  def ewmaState(spark: SparkSession, events: DataFrame): Dataset[EwmaOut] = {
+    import spark.implicits._
+    val alpha = graft.operators.EventQueries.EwmaAlpha
+    events.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[EwmaEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaCarry, EwmaOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[EwmaEvent], state: GroupState[EwmaCarry]) =>
+          val ordered = batch.toSeq.sortBy(e => (e.tsUs, e.event_id))
+          var carry = state.getOption
+          val out = ordered.map { e =>
+            val next = carry match {
+              case Some(EwmaCarry(prev)) => alpha * e.value + (1.0 - alpha) * prev
+              case None => e.value
+            }
+            carry = Some(EwmaCarry(next))
+            EwmaOut(uid, e.event_id, e.value,
+              math.rint(next * 1e6) / 1e6)
+          }
+          carry.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
       event_id: Long, event_type: String) {
     def tsUs: Long = ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L

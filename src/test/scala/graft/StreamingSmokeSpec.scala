@@ -229,6 +229,35 @@ class StreamingSmokeSpec extends AnyFunSuite {
     assert(mism == 0, "streaming funnel diverged from batch funnel")
   }
 
+  test("streaming ewma equals the sequential recursion on the ordered replay") {
+    import spark.implicits._
+    EventStreams.runToMemory(
+      EventStreams.ewmaState(spark,
+        EventStreams.fileSource(spark, inputDir)).toDF(),
+      "ewma_smoke", OutputMode.Update())
+    val streamed = spark.table("ewma_smoke")
+      .select($"event_id", $"ewma").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // expected: fold the true recursion over each user's time-ordered
+    // events (exactly what the state machine claims to compute)
+    val alpha = operators.EventQueries.EwmaAlpha
+    val rows = Tables.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      var prev = Option.empty[Double]
+      es.sortBy(e => (e._2, e._3)).toSeq.map { case (_, _, id, v) =>
+        val e = prev.fold(v)(p => alpha * v + (1.0 - alpha) * p)
+        prev = Some(e)
+        id -> math.rint(e * 1e6) / 1e6
+      }
+    }
+    assert(streamed.size == rows.length, "one emission per event expected")
+    val mism = expected.count { case (id, e) => streamed(id) != e }
+    assert(mism == 0, s"$mism events diverge from the sequential recursion")
+  }
+
   test("streaming anomaly moments converge to the batch moment sums exactly") {
     import spark.implicits._
     EventStreams.runToMemory(
