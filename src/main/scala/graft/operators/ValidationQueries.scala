@@ -1,23 +1,43 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality validation — the "check the batch before
   * you publish it" step of an ingestion pipeline (the Deequ pattern):
-  * a fixed set of constraints (uniqueness, completeness, range, domain,
+  * a set of named constraints (uniqueness, completeness, range, domain,
   * format) all evaluated in ONE aggregation pass over the table, then
   * pivoted to a long-format report row per constraint.
   *
   * Scale shape: every constraint is an algebraic aggregate, so the
   * whole report is map-side-combinable partials collapsing to a single
-  * row — no shuffle of the data at any corpus size (the one exact
-  * count-distinct is itself a two-phase hash aggregate on the key).
-  * The stack() pivot runs on that one row. Adding a constraint adds a
-  * column to the aggregate, not a pass over the table.
+  * row — no shuffle of the data at any corpus size (an exact
+  * count-distinct check is itself a two-phase hash aggregate on its
+  * key). The stack() pivot runs on that one row. Adding a constraint
+  * adds a column to the aggregate, not a pass over the table.
   */
 object ValidationQueries {
+
+  /** Generic constraint report: each check is (name, aggregate column
+    * counting the rows that SATISFY it). Returns one row per check:
+    * (check_name, satisfied, total, ratio, passed), ordered by name.
+    * PipelineEndToEndSpec uses this as the pre-publication gate.
+    */
+  def report(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "at least one check required")
+    val aggs = checks.zipWithIndex.map { case ((_, c), i) => c.cast("long").as(s"c$i") }
+    val a = df.agg(count(lit(1)).as("n"), aggs: _*)
+    val stackArgs = checks.zipWithIndex
+      .map { case ((name, _), i) => s"'$name', c$i" }.mkString(", ")
+    a.select(
+        expr(s"stack(${checks.size}, $stackArgs) as (check_name, satisfied)"),
+        col("n").as("total"))
+      .withColumn("ratio",
+        round(col("satisfied").cast("double") / col("total"), 6) + lit(0.0))
+      .withColumn("passed", col("satisfied") === col("total"))
+      .orderBy(asc_nulls_first("check_name"))
+  }
 
   /** Constraint report over `orders`: one row per check with the
     * satisfied/total counts, the satisfaction ratio, and the verdict.
@@ -25,26 +45,14 @@ object ValidationQueries {
   def qDqReport(spark: SparkSession, sfDir: String): DataFrame =
     reportFrom(Tables.orders(spark, sfDir))
 
-  /** DataFrame-core form (specs inject violations through this). */
-  def reportFrom(orders: DataFrame): DataFrame = {
-    val a = orders.agg(
-      count(lit(1)).as("n"),
-      count_distinct(col("o_orderkey")).as("uk"),
-      count(col("o_custkey")).as("cc"),
-      sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).as("pp"),
-      sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("sd"),
-      sum(when(col("o_orderpriority").rlike("^[1-5]-"), 1L).otherwise(0L)).as("pf"))
-    a.select(
-        expr("""stack(5,
-          'orderkey_unique', uk,
-          'custkey_complete', cc,
-          'totalprice_positive', pp,
-          'status_domain', sd,
-          'priority_format', pf) as (check_name, satisfied)"""),
-        col("n").as("total"))
-      .withColumn("ratio",
-        round(col("satisfied").cast("double") / col("total"), 6) + lit(0.0))
-      .withColumn("passed", col("satisfied") === col("total"))
-      .orderBy(asc_nulls_first("check_name"))
-  }
+  /** The orders-table check set (specs inject violations through this). */
+  def reportFrom(orders: DataFrame): DataFrame =
+    report(orders, Seq(
+      "orderkey_unique" -> count_distinct(col("o_orderkey")),
+      "custkey_complete" -> count(col("o_custkey")),
+      "totalprice_positive" -> sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)),
+      "status_domain" ->
+        sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)),
+      "priority_format" ->
+        sum(when(col("o_orderpriority").rlike("^[1-5]-"), 1L).otherwise(0L))))
 }

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{AdvancedTextQueries, DedupLedger, TextQueries, Upsert}
+import graft.operators.{AdvancedTextQueries, DedupLedger, TextQueries, Upsert, ValidationQueries}
 
 /** The whole training-data pipeline, composed from the shipped
   * operators in one pass over the corpus: ledger-based exact dedup →
@@ -85,6 +85,49 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     val back = spark.read.parquet(outDir)
     assert(back.count() == split.count())
     assert(back.select("split").distinct().count() == byPart.size)
+  }
+
+  /** The governance loop around a corpus refresh: the batch must pass
+    * its declarative DQ gate before any compute is spent on it; dedup
+    * keeps the highest-quality member of each near-dup cluster (not an
+    * arbitrary id); the kept set splits deterministically; and the
+    * per-split counts tie out with the kept count exactly.
+    */
+  test("governance loop: DQ gate → keep-best dedup → stratified split ties out") {
+    val docs = Tables.documents(spark, sfDir)
+
+    // 1. admission gate: one aggregation pass, fail-fast semantics
+    val gate = ValidationQueries.report(docs, Seq(
+      "doc_id_unique" -> count_distinct($"doc_id"),
+      "text_complete" -> count($"text"),
+      "lang_domain" -> sum(when($"lang".rlike("^[a-z]{2}$"), 1L).otherwise(0L)),
+      "n_chars_consistent" ->
+        sum(when(length($"text") === $"n_chars", 1L).otherwise(0L))))
+    assert(gate.count() == 4)
+    assert(gate.filter(!$"passed").count() == 0,
+      s"batch failed its DQ gate: ${gate.filter(!$"passed").collect().mkString}")
+
+    // 2. keep-best dedup: representatives partition the corpus
+    val kept = AdvancedTextQueries.qDedupKeepBest(spark, sfDir)
+    val nKept = kept.count()
+    assert(kept.agg(sum($"cluster_size")).as[Long].head() == docs.count())
+
+    // 3. the kept set splits 80/10/10 by the same salted-hash convention
+    // as q_split_train — disjoint and exhaustive by construction
+    val bucket = conv(substring(
+      md5(concat(lit("split:"), $"keep_doc_id".cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 100
+    val split = kept.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val byPart = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byPart.values.sum == nKept)
+    assert(byPart("train") > byPart.getOrElse("val", 0L))
+
+    // 4. trainer-facing artifact: write partitioned, read back, tie out
+    val outDir = Files.createTempDirectory("e2e_gov_").toString
+    split.write.partitionBy("split").mode("overwrite").parquet(outDir)
+    assert(spark.read.parquet(outDir).count() == nKept)
   }
 
   /** The daily maintenance loop a living corpus runs: each ingest run
