@@ -124,6 +124,8 @@ object SparkEntry {
     "q_weighted_sample" -> (AnalyticsQueries.qWeightedSample _),
     "q_skyline"         -> (AnalyticsQueries.qSkyline _),
     "q_sample_reservoir" -> (AnalyticsQueries.qSampleReservoir _),
+    "q_attribution"     -> (BehaviorQueries.qAttribution _),
+    "q_vocab_coverage"  -> (TextQueries.qVocabCoverage _),
     "q_heavy_hitters"   -> (AnalyticsQueries.qHeavyHitters _),
     "q_ffill"           -> (AnalyticsQueries.qFfill _),
     "q_pagerank"        -> (AnalyticsQueries.qPagerank _),
@@ -1251,6 +1253,35 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rank <= 10
         |ORDER BY lang NULLS FIRST, rank ASC""".stripMargin,
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT user_id, event_id AS purchase_id, us AS purchase_us, click_us,
+        |  us - click_us AS gap_us
+        |FROM (
+        |  SELECT *, max(CASE WHEN event_type = 'click' THEN us END)
+        |    OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_us
+        |  FROM ev) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                            x -> x <> '')) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT sum(cnt) AS n_total FROM counts),
+        |top AS (SELECT token, cnt FROM counts
+        |        ORDER BY cnt DESC, token ASC LIMIT 500)
+        |SELECT
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank,
+        |  token, cnt,
+        |  round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |        / n_total, 6) + 0.0 AS cum_share
+        |FROM top CROSS JOIN tot
+        |ORDER BY rank ASC""".stripMargin,
     // The MG sketch prune has no false negatives above the threshold
     // and the confirm pass is exact, so the sketched plan answers the
     // plain SQL below row-identically.

@@ -171,4 +171,29 @@ object BehaviorQueries {
       .select("shard", "pos", "doc_id", "sort_key")
       .orderBy(asc_nulls_first("shard"), asc_nulls_first("pos"))
   }
+
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent click at-or-before it (by the total (ts, event_id)
+    * order). A running window max over the conditional click time — no
+    * self-join, no fan-out: the attribution of an arbitrarily long
+    * click history is one monotone value carried through the per-user
+    * sort, the same one exchange every per-user window op here pays.
+    * Purchases with no preceding click attribute to nothing (null) and
+    * report a null gap.
+    */
+  def qAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("click_us",
+        max(when(col("event_type") === "click", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("us").as("purchase_us"), col("click_us"),
+        (col("us") - col("click_us")).as("gap_us"))
+      .orderBy(asc_nulls_first("user_id"), asc_nulls_first("purchase_id"))
+  }
 }

@@ -469,4 +469,34 @@ object TextQueries {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Vocabulary construction with coverage accounting: the top-500
+    * corpus tokens by frequency, each with its rank and the CUMULATIVE
+    * share of all token occurrences a vocabulary truncated at that rank
+    * would cover — the table that answers "how big must the vocab be
+    * for 95% coverage". The token counting is a distributed hash agg;
+    * only the 500-row vocab itself passes through the ordered cumsum
+    * window (a single tiny partition by construction — the top-k limit
+    * runs BEFORE the window, via TakeOrdered), and the corpus total
+    * re-enters as a scalar broadcast. Integer count sums; one division
+    * per row, rounded 6 dp.
+    */
+  def qVocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocabSize = 500
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token").asc)).cast("int"))
+      .withColumn("cum_share",
+        round(sum(col("cnt")).over(w).cast("double") / col("n_total"), 6) + lit(0.0))
+      .select("rank", "token", "cnt", "cum_share")
+      .orderBy(asc("rank"))
+  }
 }

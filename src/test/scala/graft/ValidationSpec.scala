@@ -115,6 +115,28 @@ class ValidationSpec extends AnyFunSuite {
     assert(perLang == counts.map { case (l, n) => l -> math.min(10L, n).toInt })
   }
 
+  test("attribution: clicks precede their purchases; gaps match; unattributed stay null") {
+    val rows = operators.BehaviorQueries.qAttribution(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val attributed = rows.filter(!_.isNullAt(3))
+    assert(attributed.nonEmpty, "degenerate: no purchase has a preceding click")
+    assert(attributed.forall(r => r.getLong(3) <= r.getLong(2)),
+      "an attributed click must not postdate its purchase")
+    assert(attributed.forall(r => r.getLong(4) == r.getLong(2) - r.getLong(3)))
+    assert(rows.filter(_.isNullAt(3)).forall(_.isNullAt(4)),
+      "no click → no gap")
+  }
+
+  test("vocab coverage: ranks dense, shares monotone, full vocab covers 100%") {
+    val v = operators.TextQueries.qVocabCoverage(spark, sfDir).collect()
+    assert(v.map(_.getInt(0)).toSeq == (1 to v.length))
+    val shares = v.map(_.getDouble(3))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    // the synthetic corpus vocabulary is smaller than the 500 cap, so
+    // the last row must cover everything
+    assert(v.length < 500 && shares.last == 1.0)
+  }
+
   test("q_dq_report: all green on the clean table, flips on injected violations") {
     val orders = Tables.orders(spark, sfDir)
     val clean = ValidationQueries.reportFrom(orders)
