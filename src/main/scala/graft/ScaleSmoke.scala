@@ -119,7 +119,15 @@ object ScaleSmoke {
       // co-occurrence counts grow with k and the thresholded edge set
       // densifies toward the pair-space ceiling — rounds stay 10, so
       // time must track edge volume, not explode with it
-      "pagerank_10" -> (k => AnalyticsQueries.pagerankFrom(replicatedLineitem(k))))
+      "pagerank_10" -> (k => AnalyticsQueries.pagerankFrom(replicatedLineitem(k))),
+      // pair gen + CC + one join + one component window; replicas are
+      // disjoint clusters so rounds stay flat and time tracks pair volume
+      "dedup_keep_best" -> (k => AdvancedTextQueries.keepBestFrom(replicated(k))),
+      // one per-user window; rows = purchases, state one value per row
+      "attribution" -> (k => BehaviorQueries.attributionFrom(replicatedEvents(k))),
+      // distributed count agg; the single-partition cumsum only ever
+      // sees the post-limit vocab rows no matter how the corpus grows
+      "vocab_coverage" -> (k => TextQueries.vocabCoverageFrom(replicated(k))))
 
     val sb = new StringBuilder
     sb.append("# Operator scaling smoke (corpus replicated with disjoint token/user spaces)\n\n")

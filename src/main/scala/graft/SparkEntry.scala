@@ -126,6 +126,8 @@ object SparkEntry {
     "q_sample_reservoir" -> (AnalyticsQueries.qSampleReservoir _),
     "q_attribution"     -> (BehaviorQueries.qAttribution _),
     "q_vocab_coverage"  -> (TextQueries.qVocabCoverage _),
+    "q_sessionpath"     -> (BehaviorQueries.qSessionpath _),
+    "q_containment"     -> (AdvancedTextQueries.qContainment _),
     "q_heavy_hitters"   -> (AnalyticsQueries.qHeavyHitters _),
     "q_ffill"           -> (AnalyticsQueries.qFfill _),
     "q_pagerank"        -> (AnalyticsQueries.qPagerank _),
@@ -1641,6 +1643,47 @@ object SparkEntry {
         |FROM pairs JOIN sz x ON doc_id_1 = x.doc_id JOIN sz y ON doc_id_2 = y.doc_id
         |WHERE round(shared * 1.0 / (x.n + y.n - shared), 6) + 0.0 >= 0.5
         |ORDER BY doc_id_1 NULLS FIRST, doc_id_2 NULLS FIRST""".stripMargin,
+    "q_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [] END AS s
+        |  FROM docs
+        |), ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_id_1, doc_id_2,
+        |  round(shared * 1.0 / least(x.n, y.n), 6) + 0.0 AS containment
+        |FROM pairs JOIN sz x ON doc_id_1 = x.doc_id JOIN sz y ON doc_id_2 = y.doc_id
+        |WHERE round(shared * 1.0 / least(x.n, y.n), 6) + 0.0 >= 0.8
+        |ORDER BY doc_id_1 NULLS FIRST, doc_id_2 NULLS FIRST""".stripMargin,
+    "q_sessionpath" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 1800000000
+        |            THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s2 AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, sess,
+        |    string_agg(event_type, '>' ORDER BY us, event_id) AS path
+        |  FROM s2 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path NULLS FIRST
+        |LIMIT 100""".stripMargin,
     "q_fingerprint" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS pos

@@ -190,7 +190,41 @@ object AdvancedTextQueries {
   def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(spark, sfDir), ShingleDfCap)
 
-  def ngramJaccardPairs(docs: DataFrame, dfCap: Int): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, dfCap: Int): DataFrame =
+    sharedShingleCounts(docs, dfCap)
+      .withColumn("jaccard",
+        round(col("shared").cast("double") /
+          (col("n1") + col("n2") - col("shared")), 6) + lit(0.0))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_id_1", "doc_id_2", "jaccard")
+      .orderBy(asc_nulls_first("doc_id_1"), asc_nulls_first("doc_id_2"))
+
+  /** Asymmetric near-CONTAINMENT pairs: shared / min(|A|,|B|) ≥ 0.8 —
+    * catches the smaller document being mostly INCLUDED in the larger
+    * one (quotes, excerpts, doc-in-doc concatenations), which symmetric
+    * Jaccard misses whenever the size ratio is large (a 10-shingle doc
+    * fully contained in a 1000-shingle doc has Jaccard ≈ 0.01 but
+    * containment 1.0). Same single-scan shingle-join machinery and
+    * df cap as the Jaccard pairs — only the denominator differs.
+    */
+  def qContainment(spark: SparkSession, sfDir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, sfDir), ShingleDfCap)
+
+  def containmentPairs(docs: DataFrame, dfCap: Int,
+      threshold: Double = 0.8): DataFrame =
+    sharedShingleCounts(docs, dfCap)
+      .withColumn("containment",
+        round(col("shared").cast("double") /
+          least(col("n1"), col("n2")), 6) + lit(0.0))
+      .filter(col("containment") >= threshold)
+      .select("doc_id_1", "doc_id_2", "containment")
+      .orderBy(asc_nulls_first("doc_id_1"), asc_nulls_first("doc_id_2"))
+
+  /** (doc_id_1 < doc_id_2, shared, n1, n2) for every doc pair sharing
+    * at least one ≤dfCap-frequency trigram shingle — the common core of
+    * the Jaccard and containment pair generators.
+    */
+  private def sharedShingleCounts(docs: DataFrame, dfCap: Int): DataFrame = {
     // SINGLE-SCAN plan. The earlier formulation derived per-doc
     // shingle counts as a separate aggregate joined onto the pairs
     // twice — exchange reuse does NOT cover a three-consumer shape, so
@@ -236,12 +270,6 @@ object AdvancedTextQueries {
       // n is constant per doc, so max() just reads it through the agg
       .agg(count(lit(1)).as("shared"),
         max(col("a.n")).as("n1"), max(col("b.n")).as("n2"))
-      .withColumn("jaccard",
-        round(col("shared").cast("double") /
-          (col("n1") + col("n2") - col("shared")), 6) + lit(0.0))
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_id_1", "doc_id_2", "jaccard")
-      .orderBy(asc_nulls_first("doc_id_1"), asc_nulls_first("doc_id_2"))
   }
 
   /** Near-dup pairs → clusters: connected components over the
@@ -290,8 +318,11 @@ object AdvancedTextQueries {
     * and one window over `component` — a single extra exchange, and
     * cluster partitions are near-dup groups (bounded), never hot.
     */
-  def qDedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  def qDedupKeepBest(spark: SparkSession, sfDir: String): DataFrame =
+    keepBestFrom(Tables.documents(spark, sfDir))
+
+  /** DataFrame-core form over (doc_id, text) — ScaleSmoke drives this. */
+  def keepBestFrom(docs: DataFrame): DataFrame = {
     val pairs = ngramJaccardPairs(docs, ShingleDfCap)
       .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
     val comp = GraphOps.connectedComponents(pairs)

@@ -172,6 +172,41 @@ object BehaviorQueries {
       .orderBy(asc_nulls_first("shard"), asc_nulls_first("pos"))
   }
 
+  /** Clickstream path analysis: the top-100 most common per-session
+    * event-type sequences (view>click>purchase …). Sessions are the
+    * same strict->30-min-gap islands as q_session_window; each
+    * session's path reassembles deterministically from a sorted struct
+    * collect (order (us, event_id) — partitioning-independent). Per
+    * session state is bounded by session length (gap-bounded activity),
+    * the shuffles are user_id then path — both key-partitioned; the
+    * final top-100 is a TakeOrdered, never a global sort.
+    */
+  def qSessionpath(spark: SparkSession, sfDir: String): DataFrame =
+    sessionPathsFrom(Tables.events(spark, sfDir))
+
+  def sessionPathsFrom(events: DataFrame, gapUs: Long = 1800000000L,
+      topK: Int = 100): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("brk",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("sess", sum(col("brk")).over(cum))
+      .groupBy("user_id", "sess")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, asc_nulls_first("path"))
+      .limit(topK)
+  }
+
   /** Last-touch attribution: each purchase is credited to the user's
     * most recent click at-or-before it (by the total (ts, event_id)
     * order). A running window max over the conditional click time — no
@@ -181,11 +216,15 @@ object BehaviorQueries {
     * Purchases with no preceding click attribute to nothing (null) and
     * report a null gap.
     */
-  def qAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+  def qAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    attributionFrom(Tables.events(spark, sfDir))
+
+  /** DataFrame-core form over (user_id, event_id, event_type, ts). */
+  def attributionFrom(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("us").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(spark, sfDir)
+    events
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
       .withColumn("click_us",

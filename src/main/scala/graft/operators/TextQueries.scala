@@ -481,10 +481,13 @@ object TextQueries {
     * re-enters as a scalar broadcast. Integer count sums; one division
     * per row, rounded 6 dp.
     */
-  def qVocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+  def qVocabCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    vocabCoverageFrom(Tables.documents(spark, sfDir))
+
+  /** DataFrame-core form over (text) — ScaleSmoke drives this. */
+  def vocabCoverageFrom(docs: DataFrame, vocabSize: Int = 500): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vocabSize = 500
-    val counts = Tables.documents(spark, sfDir)
+    val counts = docs
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("n_total"))

@@ -137,6 +137,20 @@ class ValidationSpec extends AnyFunSuite {
     assert(v.length < 500 && shares.last == 1.0)
   }
 
+  test("containment flags a doc-in-doc inclusion that Jaccard misses") {
+    import spark.implicits._
+    val small = (1 to 12).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val big = small + " " + (1 to 300).map(i => s"filler$i pad$i word$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val cont = operators.AdvancedTextQueries.containmentPairs(docs, 1000)
+      .collect()
+    assert(cont.length == 1 && cont.head.getDouble(2) >= 0.9,
+      s"inclusion not detected: ${cont.mkString}")
+    val jac = operators.AdvancedTextQueries.ngramJaccardPairs(docs, 1000)
+      .collect()
+    assert(jac.isEmpty, "Jaccard should miss the size-skewed inclusion")
+  }
+
   test("q_dq_report: all green on the clean table, flips on injected violations") {
     val orders = Tables.orders(spark, sfDir)
     val clean = ValidationQueries.reportFrom(orders)
