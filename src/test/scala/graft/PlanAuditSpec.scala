@@ -31,7 +31,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_heavy_hitters",
     // corpus stats row (N, Σdl, per-term df) re-entering the scoring
     // projection — 1 row at any scale
-    "q_bm25")
+    "q_bm25",
+    // corpus token total N entering the coverage division — 1 row,
+    // joined against the post-limit 500-row vocab
+    "q_vocab_coverage")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —
