@@ -72,6 +72,30 @@ object IvfKnn {
     (indexed, centroids)
   }
 
+  /** Persist a built index as two parquet tables. The corpus side is
+    * REPARTITIONED BY CELL before writing so each cell's vectors are
+    * contiguous files and a query's nProbe cell equi-join prunes at
+    * the file level (partition-column pushdown) — at 100 TB the index
+    * build is one shuffle paid ONCE, and every subsequent query reads
+    * only its probed cells. Centroids are nLists rows.
+    */
+  def saveIndex(indexed: DataFrame, centroids: DataFrame, path: String): Unit = {
+    indexed.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reload a persisted index. Column types round-trip exactly (vec is
+    * array<double>), so queries over a loaded index are bit-identical
+    * to queries over the freshly built one — IvfPersistSpec proves it.
+    */
+  def loadIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val indexed = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("vec"), col("cell").cast("int").as("cell"))
+    val centroids = spark.read.parquet(s"$path/centroids")
+    (indexed, centroids)
+  }
+
   /** Approximate top-k cosine neighbors per probe (vec_id % 100 = 0),
     * scanning only each probe's nProbe nearest cells.
     */
