@@ -106,6 +106,7 @@ object SparkEntry {
     "q_dedup_simhash"   -> (AdvancedTextQueries.qDedupSimhash _),
     "q_dedup_hamming"   -> (AdvancedTextQueries.qDedupHamming _),
     "q_ngram_jaccard"   -> (AdvancedTextQueries.qNgramJaccard _),
+    "q_dedup_substring" -> (AdvancedTextQueries.qDedupSubstring _),
     "q_fingerprint"     -> (AdvancedTextQueries.qFingerprint _),
     "q_text_quality"    -> (AdvancedTextQueries.qTextQuality _),
     "q_token_count"     -> (AdvancedTextQueries.qTokenCount _),
@@ -122,6 +123,7 @@ object SparkEntry {
     "q_priority_exists" -> (AnalyticsQueries.qPriorityExists _),
     "q_boilerplate"     -> (AnalyticsQueries.qBoilerplate _),
     "q_weighted_sample" -> (AnalyticsQueries.qWeightedSample _),
+    "q_mix_budget"      -> (AnalyticsQueries.qMixBudget _),
     "q_skyline"         -> (AnalyticsQueries.qSkyline _),
     "q_sample_reservoir" -> (AnalyticsQueries.qSampleReservoir _),
     "q_attribution"     -> (BehaviorQueries.qAttribution _),
@@ -1233,6 +1235,37 @@ object SparkEntry {
         |FROM keyed
         |ORDER BY k DESC, doc_id
         |LIMIT 50""".stripMargin,
+    "q_mix_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(len(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+        |    AS BIGINT) AS tok
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, CAST(sum(tok) AS BIGINT) AS t_src,
+        |    count(*) AS n_docs,
+        |    CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS raw
+        |  FROM d GROUP BY source),
+        |t AS (SELECT CAST(sum(t_src) AS BIGINT) AS total_tok,
+        |             CAST(sum(raw) AS BIGINT) AS raw_sum FROM s),
+        |r AS (
+        |  SELECT source, n_docs, t_src,
+        |    least(1.0, 0.5 * total_tok * (raw / raw_sum) / t_src) AS rate
+        |  FROM s, t),
+        |k AS (
+        |  SELECT d.source,
+        |    CAST(sum(CASE WHEN CAST(('0x' || substring(md5('mix:' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |        / 4294967296.0 < r.rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    CAST(sum(CASE WHEN CAST(('0x' || substring(md5('mix:' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |        / 4294967296.0 < r.rate THEN tok ELSE 0 END) AS BIGINT)
+        |      AS tokens_kept
+        |  FROM d JOIN r ON d.source = r.source GROUP BY d.source)
+        |SELECT r.source, r.n_docs, r.t_src AS tokens_src,
+        |  round(r.rate, 6) + 0.0 AS rate_target, k.n_kept, k.tokens_kept
+        |FROM r JOIN k ON r.source = k.source
+        |ORDER BY r.source NULLS FIRST""".stripMargin,
     // the quadratic NOT-EXISTS dominance form — the Spark side runs the
     // sort-scan rewrite, so a green hash proves the scan equivalence
     "q_skyline" ->
@@ -1642,6 +1675,22 @@ object SparkEntry {
         |  round(shared * 1.0 / (x.n + y.n - shared), 6) + 0.0 AS jaccard
         |FROM pairs JOIN sz x ON doc_id_1 = x.doc_id JOIN sz y ON doc_id_2 = y.doc_id
         |WHERE round(shared * 1.0 / (x.n + y.n - shared), 6) + 0.0 >= 0.5
+        |ORDER BY doc_id_1 NULLS FIRST, doc_id_2 NULLS FIRST""".stripMargin,
+    "q_dedup_substring" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(substr(text, CAST(i AS INT), 24)), 1, 15))::BIGINT AS h
+        |  FROM documents, LATERAL (
+        |    SELECT unnest(range(1, CASE WHEN length(text) >= 24
+        |                                THEN length(text) - 22 ELSE 1 END)) AS i) p
+        |), fp AS (SELECT DISTINCT doc_id, h FROM g WHERE h % 8 = 0),
+        |capped AS (
+        |  SELECT doc_id, h FROM (
+        |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM fp)
+        |  WHERE df <= 200)
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS shared
+        |FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_id_1 NULLS FIRST, doc_id_2 NULLS FIRST""".stripMargin,
     "q_containment" ->
       """WITH docs AS (

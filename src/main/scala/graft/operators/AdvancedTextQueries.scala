@@ -581,4 +581,70 @@ object AdvancedTextQueries {
           .as("max_top_bigram_frac"))
       .orderBy(asc_nulls_first("lang"))
   }
+
+  /** Character k-gram length for substring fingerprinting: long enough
+    * that a match is a verbatim copied RUN (not shared vocabulary, which
+    * the token-shingle pipelines already cover), short enough that
+    * near-identical docs share many of them.
+    */
+  val SubstrK = 24
+
+  /** 1-in-p fingerprint selection (Manber '94 "finding similar files"):
+    * a k-gram is a fingerprint iff hash % p == 0. Chosen over
+    * window-min winnowing deliberately: selection is a PER-ROW filter —
+    * no per-doc position window, so the fan-out stage stays a single
+    * codegen'd scan→explode→filter with no exchange, and the 1/p
+    * survivor stream is the only thing that ever shuffles. Winnowing's
+    * gap guarantee costs a per-doc sort at 100 TB and buys nothing
+    * here: expected gap is p and dense repeats are exactly the runs we
+    * want multiple hits on.
+    */
+  val SubstrModP = 8
+
+  /** Fingerprints shared by more than this many docs are boilerplate
+    * (headers, license text) — dropped before pair generation, same
+    * rationale as ShingleDfCap: a df-doc fingerprint makes df² pairs.
+    */
+  val SubstrDfCap = 200
+
+  /** Cross-document VERBATIM-substring near-dups: doc pairs sharing ≥ 2
+    * selected k-gram fingerprints, i.e. ≥ 2 copied 24-char runs. This is
+    * the exact-substring dedup a training corpus runs to catch copied
+    * passages that token-set measures (minhash/jaccard) dilute below
+    * threshold when the surrounding text differs.
+    */
+  def qDedupSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    substringFingerprintPairs(Tables.documents(spark, sfDir),
+      SubstrK, SubstrModP, SubstrDfCap, minShared = 2)
+
+  /** (doc_id_1 < doc_id_2, shared) for docs sharing ≥ minShared
+    * mod-p-selected k-gram fingerprints. Plan: scan → explode positions
+    * → hash+filter (keeps 1/p, ALL pre-shuffle in one codegen stage) →
+    * distinct (doc_id,h) → df-cap window on h → self-equi-join on h →
+    * pair count. The explode is O(chars) but pipelined — nothing wider
+    * than (doc_id, long) ever reaches an exchange.
+    */
+  def substringFingerprintPairs(docs: DataFrame, k: Int, modP: Int,
+      dfCap: Int, minShared: Int): DataFrame = {
+    val nGrams = length(col("text")) - (k - 1)
+    val fp = docs
+      .select(col("doc_id"), col("text"),
+        explode(when(nGrams >= 1, sequence(lit(1), nGrams))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("doc_id"),
+        md5Bits(col("text").substr(col("pos"), lit(k)), 15).as("h"))
+      .filter(col("h") % modP === 0)
+      .distinct()
+    val capped = fp
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy(asc_nulls_first("doc_id_1"), asc_nulls_first("doc_id_2"))
+  }
 }

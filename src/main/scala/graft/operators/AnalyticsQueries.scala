@@ -296,6 +296,56 @@ object AnalyticsQueries {
         (round(col("sel_key"), 6) + lit(0.0)).as("sel_key"))
   }
 
+  /** Token-budget MIXTURE sampling — the data-mixing step of a corpus
+    * build: given a target mixture weight per source and a global token
+    * budget (50% of the corpus here), allocate each source a token
+    * quota budget·w_s, convert it to a per-source KEEP RATE
+    * min(1, quota / tokens_s), and hash-sample docs at that rate.
+    * Oversubscribed sources downsample; undersubscribed ones keep
+    * everything (the min(1,·) clip — real mixtures then re-normalize
+    * over epochs, out of scope for one pass). Weights here derive from
+    * the source index ((i % 4)+1, normalized) so the fixture needs no
+    * 20-literal table; a production call would join a real weight dim.
+    *
+    * Plan: two scans of the corpus by design — pass 1 is a tiny
+    * per-source agg (rows = |sources|), whose 20-row rate table then
+    * BROADCASTS onto pass 2's per-doc keep filter; nothing but the
+    * per-source summary ever shuffles, so the shape survives 100 TB
+    * (the alternative — carrying totals via a window — would shuffle
+    * the full corpus once and gains nothing). Membership is seed-free
+    * md5 (same argument as q_sample_hash): stable under retries,
+    * partitioning, and engine.
+    */
+  def qMixBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(TextQueries.tokens(col("text"))).cast("long").as("tok"))
+    val bySrc = docs.groupBy("source")
+      .agg(sum(col("tok")).as("t_src"), count(lit(1)).as("n_docs"))
+      .withColumn("raw",
+        (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("long"))
+    val tot = bySrc.agg(sum(col("t_src")).as("total_tok"),
+      sum(col("raw")).as("raw_sum"))
+    val rates = bySrc.crossJoin(broadcast(tot))
+      .withColumn("rate",
+        least(lit(1.0), lit(0.5) * col("total_tok") *
+          (col("raw") / col("raw_sum")) / col("t_src")))
+      .select("source", "n_docs", "t_src", "rate")
+    val u = conv(substring(md5(concat(lit("mix:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    val kept = docs.join(broadcast(rates.select("source", "rate")), "source")
+      .withColumn("keep", u < col("rate"))
+      .groupBy("source")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("tok")).otherwise(0L)).as("tokens_kept"))
+    rates.join(kept, Seq("source"))
+      .select(col("source"), col("n_docs"), col("t_src").as("tokens_src"),
+        (round(col("rate"), 6) + lit(0.0)).as("rate_target"),
+        col("n_kept"), col("tokens_kept"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
   /** Forward fill (last observation carried forward) over the
     * gap-filled daily grid: gap days inherit the most recent observed
     * day's value — the imputation step after densification

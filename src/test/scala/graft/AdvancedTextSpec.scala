@@ -295,4 +295,37 @@ class AdvancedTextSpec extends AnyFunSuite {
     // token accounting: n_tokens equals the tokenizer's count
     assert(got.forall(_.getLong(2) == 2L))
   }
+
+  test("substring fingerprints: copied runs pair, disjoint text does not") {
+    import spark.implicits._
+    val run = "the quick brown fox jumps over the lazy dog again and again"
+    // boundary chars around the run differ per doc (_ vs : and ;) so
+    // no boundary-spanning gram matches — shared is EXACTLY the run's
+    // k-gram set
+    val docs = Seq(
+      (1L, s"PREFIX-A_${run}_SUFFIX-A"),
+      (2L, s"totally different lead-in:$run;and a different tail"),
+      (3L, "no overlap whatsoever with anything else in this corpus zz"))
+      .toDF("doc_id", "text")
+    // modP=1 selects every k-gram: docs 1,2 share the full run of
+    // len(run)-k+1 grams; doc 3 shares none
+    val out = operators.AdvancedTextQueries
+      .substringFingerprintPairs(docs, k = 24, modP = 1, dfCap = 200,
+        minShared = 2)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(out.head.getLong(2) == (run.length - 24 + 1).toLong)
+    // df cap: a fingerprint present in ALL docs is boilerplate and
+    // must not pair anyone once df exceeds the cap
+    val boiler = (1L to 5L).map(i => (i, s"shared boilerplate header line $i"))
+      .toDF("doc_id", "text")
+    val capped = operators.AdvancedTextQueries
+      .substringFingerprintPairs(boiler, k = 24, modP = 1, dfCap = 4,
+        minShared = 1)
+    assert(capped.count() == 0)
+    // corpus smoke at test SF: ordered pairs, shared >= 2
+    val corpus = q("q_dedup_substring")
+    assert(corpus.filter($"doc_id_1" >= $"doc_id_2").count() == 0)
+    assert(corpus.filter($"shared" < 2).count() == 0)
+  }
 }
