@@ -34,7 +34,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_bm25",
     // corpus token total N entering the coverage division — 1 row,
     // joined against the post-limit 500-row vocab
-    "q_vocab_coverage")
+    "q_vocab_coverage",
+    // (total_tokens, weight_sum) scalar row entering the per-source
+    // rate computation — 1 row against the |sources|-row summary
+    "q_mix_budget")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —
