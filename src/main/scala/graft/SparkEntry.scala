@@ -107,6 +107,8 @@ object SparkEntry {
     "q_dedup_hamming"   -> (AdvancedTextQueries.qDedupHamming _),
     "q_ngram_jaccard"   -> (AdvancedTextQueries.qNgramJaccard _),
     "q_dedup_substring" -> (AdvancedTextQueries.qDedupSubstring _),
+    "q_entropy"         -> (AdvancedTextQueries.qEntropy _),
+    "q_big_orders"      -> (CompositeQueries.qBigOrders _),
     "q_fingerprint"     -> (AdvancedTextQueries.qFingerprint _),
     "q_text_quality"    -> (AdvancedTextQueries.qTextQuality _),
     "q_token_count"     -> (AdvancedTextQueries.qTokenCount _),
@@ -1235,6 +1237,30 @@ object SparkEntry {
         |FROM keyed
         |ORDER BY k DESC, doc_id
         |LIMIT 50""".stripMargin,
+    "q_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(ln(CAST(sum(c) AS DOUBLE)) -
+        |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6) + 0.0
+        |    AS entropy
+        |FROM cnt GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |      FROM lineitem GROUP BY 1
+        |      HAVING sum(CAST(l_quantity AS BIGINT)) > 300) b
+        |  ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q_mix_budget" ->
       """WITH d AS (
         |  SELECT doc_id, source, CAST(len(list_filter(

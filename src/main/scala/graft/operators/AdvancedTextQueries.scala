@@ -617,6 +617,32 @@ object AdvancedTextQueries {
     substringFingerprintPairs(Tables.documents(spark, sfDir),
       SubstrK, SubstrModP, SubstrDfCap, minShared = 2)
 
+  /** Per-doc token (Shannon) ENTROPY in nats — the distributional
+    * quality signal: low entropy = repetitive/templated text, high =
+    * diverse vocabulary; used alongside q_text_quality's ratio features
+    * and q_repetition's gram features as a filter input. Computed as
+    * H = ln(n) − (Σ cᵢ·ln cᵢ)/n over per-doc token counts — one explode
+    * + two hash aggs, both keyed by doc_id after the first, so the
+    * second agg needs no exchange. Docs with zero tokens have no
+    * distribution and drop (mirrored by the oracle). Cross-engine note:
+    * ln may differ by 1 ulp between libm and the JVM; with ≤ a few
+    * hundred terms the 6-dp rounding absorbs it (same argument as
+    * q_lm_score, proven green over the corpus).
+    */
+  def qEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("clogc"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        (round(log(col("n").cast("double")) - col("clogc") / col("n"), 6)
+          + lit(0.0)).as("entropy"))
+      .orderBy(asc_nulls_first("doc_id"))
+
   /** (doc_id_1 < doc_id_2, shared) for docs sharing ≥ minShared
     * mod-p-selected k-gram fingerprints. Plan: scan → explode positions
     * → hash+filter (keeps 1/p, ALL pre-shuffle in one codegen stage) →

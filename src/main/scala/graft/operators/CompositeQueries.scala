@@ -153,4 +153,32 @@ object CompositeQueries {
       .select("doc_id", "status")
       .orderBy(asc_nulls_first("doc_id"))
   }
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total lineitem
+    * quantity exceeds 300, with their customer. The classic
+    * aggregate-then-join composite: the HAVING collapses the fact table
+    * to a tiny qualifying set BEFORE any wide join runs.
+    *
+    * Plan: lineitem aggregates once on l_orderkey (map-side partial →
+    * one exchange), the >300 filter leaves a data-dependent-but-small
+    * survivor set, and AQE's runtime stats then pick the join strategy
+    * against orders — at any SF the post-HAVING side is the one worth
+    * broadcasting, a decision best left to AQE precisely because its
+    * size is unknowable at plan time. Quantities are integral by data
+    * contract, so the sum is an exact long at any scale.
+    */
+  def qBigOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    Tables.orders(spark, sfDir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), asc_nulls_first("o_orderkey"))
+      .limit(100)
+  }
 }
