@@ -94,6 +94,12 @@ object ScaleSmoke {
       "chunk_strided_32_24" -> (k => TextQueries.chunkTokensStrided(replicated(k), 32, 24)),
       "minhash_lsh_candidates" -> (k => MinHashLsh.candidatePairs(replicated(k))),
       "dedup_hamming_pairs" -> (k => AdvancedTextQueries.dedupHammingPairs(replicated(k), 16, 1, AdvancedTextQueries.HammingBucketCap)),
+      // per-row mod-p k-gram selection: no per-doc window anywhere, so
+      // the only growth surface is the 1/p fingerprint stream; the df
+      // cap bounds a hot (boilerplate) fingerprint's pair fan-out
+      "dedup_substring" -> (k => AdvancedTextQueries.substringFingerprintPairs(
+        replicated(k), AdvancedTextQueries.SubstrK,
+        AdvancedTextQueries.SubstrModP, AdvancedTextQueries.SubstrDfCap, 2)),
       "session_windows" -> (k => EventQueries.sessionWindows(replicatedEvents(k))),
       // one window shuffle on user_id; rows = users, so growth tracks
       // the replicated user space exactly

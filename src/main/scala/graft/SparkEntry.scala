@@ -126,6 +126,7 @@ object SparkEntry {
     "q_boilerplate"     -> (AnalyticsQueries.qBoilerplate _),
     "q_weighted_sample" -> (AnalyticsQueries.qWeightedSample _),
     "q_mix_budget"      -> (AnalyticsQueries.qMixBudget _),
+    "q_incr_agg"        -> (AnalyticsQueries.qIncrAgg _),
     "q_skyline"         -> (AnalyticsQueries.qSkyline _),
     "q_sample_reservoir" -> (AnalyticsQueries.qSampleReservoir _),
     "q_attribution"     -> (BehaviorQueries.qAttribution _),
@@ -1237,6 +1238,13 @@ object SparkEntry {
         |FROM keyed
         |ORDER BY k DESC, doc_id
         |LIMIT 50""".stripMargin,
+    "q_incr_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS DOUBLE) / 100.0 AS value_sum,
+        |  max(ts) AS last_ts
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
     "q_entropy" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -296,6 +296,38 @@ object AnalyticsQueries {
         (round(col("sel_key"), 6) + lit(0.0)).as("sel_key"))
   }
 
+  /** Incremental aggregate-state MERGE — materialized-view maintenance:
+    * per-user aggregates kept as MERGEABLE state (count, cent-sum,
+    * max-ts: all commutative monoids), maintained by aggregating only
+    * the new batch and merging into the snapshot. Here the pre-cutoff
+    * snapshot state and post-cutoff delta state are computed separately
+    * and merged, while the oracle aggregates everything in one pass —
+    * a green hash certifies merge(state(A), state(B)) = state(A ∪ B),
+    * the algebra that makes daily maintenance cost ∝ |delta| + |users|
+    * instead of a full history rescan.
+    *
+    * Plan: each side aggregates map-side first, the merge is ONE
+    * full-outer join on the state key; the delta side is typically tiny
+    * and AQE broadcasts it at runtime.
+    */
+  def qIncrAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("2024-01-20").cast("timestamp")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), cents(col("value")).as("c"))
+    def state(df: DataFrame): DataFrame = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"), max(col("ts")).as("m"))
+    val snap = state(ev.filter(col("ts") < cutoff))
+    val delta = state(ev.filter(col("ts") >= cutoff))
+    snap.as("a").join(delta.as("b"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("a.n"), lit(0L)) + coalesce(col("b.n"), lit(0L)))
+          .as("n_events"),
+        ((coalesce(col("a.s"), lit(0L)) + coalesce(col("b.s"), lit(0L)))
+          .cast("double") / 100.0).as("value_sum"),
+        greatest(col("a.m"), col("b.m")).as("last_ts"))
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
   /** Token-budget MIXTURE sampling — the data-mixing step of a corpus
     * build: given a target mixture weight per source and a global token
     * budget (50% of the corpus here), allocate each source a token

@@ -285,4 +285,61 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == want)
     assert(q("q_weighted_sample").select("doc_id").collect().map(_.getLong(0)).toSeq == got)
   }
+
+  test("incr agg: merged state covers every event exactly once") {
+    import spark.implicits._
+    val out = q("q_incr_agg").cache()
+    val ev = Tables.events(spark, sfDir)
+    assert(out.agg(sum($"n_events")).as[Long].head() == ev.count())
+    assert(out.count() == ev.select("user_id").distinct().count())
+    // the merged max-ts must recover the corpus-wide max
+    assert(out.agg(max($"last_ts")).head().getTimestamp(0) ==
+      ev.agg(max($"ts")).head().getTimestamp(0))
+    out.unpersist()
+  }
+
+  test("mix budget: rates in (0,1], kept within totals, clipped sources keep all") {
+    import spark.implicits._
+    val rows = q("q_mix_budget").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate_target")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("tokens_src"))
+      // a source whose quota covers it entirely (rate clipped to 1.0)
+      // must keep every doc and every token
+      if (rate == 1.0) {
+        assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs"))
+        assert(r.getAs[Long]("tokens_kept") == r.getAs[Long]("tokens_src"))
+      }
+    }
+    // the global keep must land under the full corpus (budget is 50%)
+    val keptTok = rows.map(_.getAs[Long]("tokens_kept")).sum
+    val totTok = rows.map(_.getAs[Long]("tokens_src")).sum
+    assert(keptTok < totTok)
+  }
+
+  test("entropy: bounded by ln(n); constant doc is 0; uniform doc is ln(n)") {
+    import spark.implicits._
+    val out = q("q_entropy").collect()
+    assert(out.forall { r =>
+      val h = r.getAs[Double]("entropy")
+      h >= -1e-6 && h <= math.log(r.getAs[Long]("n_tokens").toDouble) + 1e-6
+    })
+    val toy = Seq((1L, "aa aa aa aa"), (2L, "a b c d")).toDF("doc_id", "text")
+    // same plan shape over the toy frame: closed forms are exact
+    val toyOut = toy
+      .select($"doc_id", explode(operators.TextQueries.tokens($"text")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum($"c").as("n"),
+        sum($"c".cast("double") * log($"c".cast("double"))).as("clogc"))
+      .select($"doc_id",
+        (round(log($"n".cast("double")) - $"clogc" / $"n", 6) + lit(0.0))
+          .as("entropy"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(toyOut(1L) == 0.0)
+    assert(math.abs(toyOut(2L) - math.log(4.0)) < 1e-6)
+  }
 }

@@ -85,4 +85,20 @@ class CompositeSpec extends AnyFunSuite {
     assert(changed.count() == expectChanged)
     d.unpersist()
   }
+
+  test("big orders: every row clears the HAVING, matches a recomputed sum, sorted") {
+    import spark.implicits._
+    val rows = q("q_big_orders").collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(_.getAs[Long]("total_qty") > 300))
+    // sorted by o_totalprice desc with o_orderkey tiebreak
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    // spot-check one order's quantity sum against a direct aggregation
+    val k = rows.head.getAs[Long]("o_orderkey")
+    val direct = Tables.lineitem(spark, sfDir)
+      .filter($"l_orderkey" === k)
+      .agg(sum($"l_quantity".cast("long"))).as[Long].head()
+    assert(direct == rows.head.getAs[Long]("total_qty"))
+  }
 }
