@@ -97,6 +97,10 @@ object SparkEntry {
     "q_mode"            -> (StatsQueries.qMode _),
     "q_corr"            -> (StatsQueries.qCorr _),
     "q_histogram"       -> (StatsQueries.qHistogram _),
+    "q_equidepth"       -> (StatsQueries.qEquidepth _),
+    "q_winsorize"       -> (StatsQueries.qWinsorize _),
+    "q_small_parts"     -> (CompositeQueries.qSmallParts _),
+    "q_dedup_canonical" -> (TextQueries.qDedupCanonical _),
     "q_window_range"    -> (WindowQueries.qWindowRangeFrame _),
     "q_salted_agg"      -> (ScaleOps.qSaltedAgg _),
     "q_salted_join"     -> (ScaleOps.qSaltedJoin _),
@@ -1269,6 +1273,59 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+    "q_equidepth" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |    ntile(4) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS bucket
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(bucket AS INT) AS bucket,
+        |  count(*) AS n_orders,
+        |  round(min(o_totalprice), 6) + 0.0 AS lo,
+        |  round(max(o_totalprice), 6) + 0.0 AS hi
+        |FROM t GROUP BY o_orderpriority, bucket
+        |ORDER BY o_orderpriority NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_winsorize" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal ASC, c_custkey ASC) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer),
+        |bounds AS (
+        |  SELECT c_mktsegment AS b_seg,
+        |    max(CASE WHEN rn = CAST(ceil(n * 5 / 100.0) AS BIGINT)
+        |      THEN CAST(round(c_acctbal * 100, 0) AS BIGINT) END) AS lo_c,
+        |    max(CASE WHEN rn = CAST(ceil(n * 95 / 100.0) AS BIGINT)
+        |      THEN CAST(round(c_acctbal * 100, 0) AS BIGINT) END) AS hi_c
+        |  FROM ranked GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  round(CAST(sum(greatest(lo_c, least(hi_c,
+        |      CAST(round(c_acctbal * 100, 0) AS BIGINT)))) AS DOUBLE)
+        |    / 100.0 / count(*), 6) + 0.0 AS winsorized_mean
+        |FROM customer JOIN bounds ON c_mktsegment = b_seg
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    "q_small_parts" ->
+      """WITH s AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+        |    sum(CAST(l_quantity AS BIGINT))
+        |      OVER (PARTITION BY l_partkey) AS part_qty,
+        |    count(*) OVER (PARTITION BY l_partkey) AS part_cnt
+        |  FROM lineitem)
+        |SELECT p_brand, count(*) AS n_small,
+        |  CAST(sum(price_c) AS DOUBLE) / 100.0 AS small_revenue
+        |FROM s JOIN part ON l_partkey = p_partkey
+        |WHERE qty * part_cnt * 5 < part_qty
+        |GROUP BY p_brand
+        |ORDER BY p_brand NULLS FIRST""".stripMargin,
+    "q_dedup_canonical" ->
+      """SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_dups,
+        |  count(DISTINCT text) AS n_variants
+        |FROM documents
+        |GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |ORDER BY canonical_doc_id NULLS FIRST""".stripMargin,
     "q_mix_budget" ->
       """WITH d AS (
         |  SELECT doc_id, source, CAST(len(list_filter(

@@ -181,4 +181,39 @@ object CompositeQueries {
       .orderBy(desc("o_totalprice"), asc_nulls_first("o_orderkey"))
       .limit(100)
   }
+
+  /** TPC-H Q17 shape (small-quantity revenue): per-brand revenue sitting
+    * in lineitems whose quantity is below 20% of their part's average —
+    * the correlated-average composite.
+    *
+    * The correlation is computed with ONE window over the fact stream
+    * partitioned by l_partkey (per-part sum and count), not an
+    * aggregate-then-self-join — lineitem shuffles exactly once and is
+    * scanned exactly once. The qty < 0.2·avg predicate is evaluated in
+    * exact integer algebra (5·qty·cnt < Σqty; quantities are integral by
+    * data contract), so both engines flag the identical rows with no
+    * double division anywhere. The part dimension joins AFTER the filter
+    * has shrunk the stream, with no broadcast hint: at test SF AQE
+    * broadcasts it, at 100 TB (where part is fact-sized) it degrades to
+    * a shuffle join on its own — the decision stays with the runtime.
+    */
+  def qSmallParts(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_partkey")
+    val small = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_c"))
+      .withColumn("part_qty", sum(col("qty")).over(w))
+      .withColumn("part_cnt", count(lit(1)).over(w))
+      .filter(col("qty") * col("part_cnt") * 5 < col("part_qty"))
+    small
+      .join(Tables.part(spark, sfDir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        (sum(col("price_c")).cast("double") / 100.0).as("small_revenue"))
+      .orderBy(asc_nulls_first("p_brand"))
+  }
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
 }

@@ -218,4 +218,67 @@ object StatsQueries {
         ((col("bucket") + 1) * 50000L).as("hi"),
         col("n_orders"))
       .orderBy(asc_nulls_first("bucket"))
+
+  /** Equi-depth histogram (quartile binning) of order value per
+    * priority: ntile(4) under a TOTAL order (price, then orderkey — the
+    * tiebreak makes both engines deal identical bucket boundaries), then
+    * per-bucket count/min/max. The feature-binning complement of
+    * qHistogram's fixed-width buckets: bucket population is constant by
+    * construction, boundaries are data-driven.
+    *
+    * One shuffle on the priority key; each group sorts independently
+    * (the window is partitioned, never single-reducer). At 100 TB an
+    * EXACT equi-depth of one giant group is a global sort by definition
+    * — for that regime sketch_percentiles is the approximate path; this
+    * form is for per-group binning where groups fit a partition.
+    */
+  def qEquidepth(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("bucket", ntile(4).over(w))
+      .groupBy("o_orderpriority", "bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        (round(min(col("o_totalprice")), 6) + lit(0.0)).as("lo"),
+        (round(max(col("o_totalprice")), 6) + lit(0.0)).as("hi"))
+      .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("bucket"))
+  }
+
+  /** Winsorized mean — robust aggregation: per-segment mean of account
+    * balances after clipping to the exact nearest-rank [p5, p95]
+    * order statistics. The outlier-robust complement of qMedian for
+    * pipelines that need a mean (e.g. per-source quality score
+    * averaging under spam outliers).
+    *
+    * The bounds come from the same rank-position window qPercentiles
+    * uses; they re-enter as a |segments|-row broadcast join (never a
+    * shuffle of the data stream). Clipping and summation run in exact
+    * integer cents, divided once at the end — bit-identical across
+    * engines while a segment's clipped sum stays under 2^53.
+    */
+  def qWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+    val bounds = cust
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+      .groupBy(col("c_mktsegment").as("b_seg"))
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 5 / 100.0),
+          cents(col("c_acctbal")))).as("lo_c"),
+        max(when(col("rn") === ceil(col("n") * 95 / 100.0),
+          cents(col("c_acctbal")))).as("hi_c"))
+    cust.join(broadcast(bounds), col("c_mktsegment") === col("b_seg"))
+      .select(col("c_mktsegment"),
+        greatest(col("lo_c"), least(col("hi_c"), cents(col("c_acctbal"))))
+          .as("clip_c"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        (round(sum(col("clip_c")).cast("double") / 100.0 / count(lit(1)), 6)
+          + lit(0.0)).as("winsorized_mean"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
 }

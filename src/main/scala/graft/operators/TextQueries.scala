@@ -47,6 +47,32 @@ object TextQueries {
       .select("canonical_doc_id", "n_dups")
       .orderBy(asc_nulls_first("canonical_doc_id"))
 
+  /** Canonicalization-keyed dedup — the normalize-then-dedup step every
+    * corpus build runs BEFORE fuzzy matching: lowercase, collapse every
+    * non-alphanumeric run to one space, trim, then dedup on the md5 of
+    * the canonical form. Folds case/punctuation/whitespace variants of
+    * the same document into one group that byte-exact dedup misses.
+    *
+    * Two-level aggregation keeps document bodies out of BOTH shuffles:
+    * level 1 groups on (canonical-md5, raw-sha256) — the exchange rows
+    * carry two fixed-width hashes and a doc_id, never text — and level 2
+    * folds raw variants per canonical key. n_variants counts distinct
+    * RAW texts inside the group (how much the normalization folded).
+    */
+  def qDedupCanonical(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .as("canon_key"),
+        sha2(col("text"), 256).as("raw_key"))
+      .agg(min(col("doc_id")).as("min_id"), count(lit(1)).as("n"))
+      .groupBy("canon_key")
+      .agg(min(col("min_id")).as("canonical_doc_id"),
+        sum(col("n")).as("n_dups"),
+        count(lit(1)).as("n_variants"))
+      .select("canonical_doc_id", "n_dups", "n_variants")
+      .orderBy(asc_nulls_first("canonical_doc_id"))
+
   /** Near dedup by token-set signature: docs that contain exactly the
     * same distinct token set (ignoring order and multiplicity) form a
     * group; emit the canonical member and group size per group.

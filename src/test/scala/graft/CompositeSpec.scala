@@ -86,6 +86,28 @@ class CompositeSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("small parts: window form equals the aggregate-then-join form exactly") {
+    import spark.implicits._
+    // independent recompute with a DIFFERENT plan shape: per-part agg +
+    // join back (instead of the window), same integer predicate
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_quantity".cast("long").as("qty"),
+        round($"l_extendedprice" * 100).cast("long").as("price_c"))
+    val stats = li.groupBy($"l_partkey".as("s_partkey"))
+      .agg(sum($"qty").as("part_qty"), count(lit(1)).as("part_cnt"))
+    val expect = li.join(stats, $"l_partkey" === $"s_partkey")
+      .filter($"qty" * $"part_cnt" * 5 < $"part_qty")
+      .join(Tables.part(spark, sfDir).select("p_partkey", "p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        (sum($"price_c").cast("double") / 100.0).as("small_revenue"))
+    val got = q("q_small_parts")
+    assert(got.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
+
   test("big orders: every row clears the HAVING, matches a recomputed sum, sorted") {
     import spark.implicits._
     val rows = q("q_big_orders").collect()

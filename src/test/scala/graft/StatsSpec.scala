@@ -120,4 +120,62 @@ class StatsSpec extends AnyFunSuite {
       Tables.orders(spark, sfDir).count())
     assert(out.filter($"hi" =!= $"lo" + 50000L || $"n_orders" <= 0).count() == 0)
   }
+
+  test("equidepth: 4 near-equal buckets per priority, ranges ordered, covers all") {
+    import spark.implicits._
+    val out = q("q_equidepth").cache()
+    assert(out.agg(sum($"n_orders")).as[Long].head() ==
+      Tables.orders(spark, sfDir).count())
+    // every priority has buckets 1..4 and |max - min| bucket size <= 1
+    val perPrio = out.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("nb"), min($"n_orders").as("small"),
+        max($"n_orders").as("big"))
+    assert(perPrio.filter($"nb" =!= 4 || $"big" - $"small" > 1).count() == 0)
+    // bucket value ranges are non-overlapping and ordered within a priority
+    val rows = out.orderBy($"o_orderpriority", $"bucket")
+      .collect().groupBy(_.getAs[String]("o_orderpriority"))
+    rows.values.foreach { bs =>
+      bs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+        case _ =>
+      }
+      bs.foreach(r => assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
+    }
+    out.unpersist()
+  }
+
+  test("winsorize: clipped mean sits inside [p5,p95] and damps planted outliers") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val out = q("q_winsorize")
+    // counts match, and each winsorized mean lies within the segment's raw range
+    val bounds = Tables.customer(spark, sfDir).groupBy("c_mktsegment")
+      .agg(min($"c_acctbal").as("lo"), max($"c_acctbal").as("hi"),
+        count(lit(1)).as("n"))
+    assert(out.join(bounds, "c_mktsegment")
+      .filter($"winsorized_mean" < $"lo" || $"winsorized_mean" > $"hi" ||
+        $"n_customers" =!= $"n").count() == 0)
+    // toy: one absurd outlier among flat values barely moves the
+    // winsorized mean (same plan shape, exact expectation)
+    val toy = (1 to 99).map(i => ("S", 100.0, i.toLong)) :+ ("S", 1e9, 100L)
+    val df = toy.toDF("c_mktsegment", "c_acctbal", "c_custkey")
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    val b = df.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+      .groupBy($"c_mktsegment".as("b_seg"))
+      .agg(
+        max(when($"rn" === ceil($"n" * 5 / 100.0),
+          round($"c_acctbal" * 100).cast("long"))).as("lo_c"),
+        max(when($"rn" === ceil($"n" * 95 / 100.0),
+          round($"c_acctbal" * 100).cast("long"))).as("hi_c"))
+    val m = df.join(broadcast(b), $"c_mktsegment" === $"b_seg")
+      .select(greatest($"lo_c", least($"hi_c",
+        round($"c_acctbal" * 100).cast("long"))).as("clip_c"))
+      .agg((sum($"clip_c").cast("double") / 100.0 / count(lit(1))))
+      .as[Double].head()
+    // p95 = value at rank 95 = 100.0, so the outlier clips to 100.0 exactly
+    assert(m == 100.0)
+  }
 }

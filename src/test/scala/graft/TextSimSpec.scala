@@ -21,6 +21,34 @@ class TextSimSpec extends AnyFunSuite {
       viaHash.exceptAll(out).count() == 0)
   }
 
+  test("canonical dedup: covers all docs; folds case/punct variants on a toy frame") {
+    import spark.implicits._
+    val out = q("q_dedup_canonical")
+    assert(out.agg(sum($"n_dups")).as[Long].head() ==
+      Tables.documents(spark, sfDir).count())
+    // variants can never exceed group membership
+    assert(out.filter($"n_variants" > $"n_dups" || $"n_variants" < 1).count() == 0)
+    // canonical groups are at most as many as byte-exact groups
+    assert(out.count() <= q("q_dedup_exact").count())
+    // toy: case / punctuation / whitespace variants fold into one group,
+    // a genuinely different doc stays separate (same plan shape)
+    val toy = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO-WORLD"),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val folded = toy
+      .groupBy(
+        md5(trim(regexp_replace(lower($"text"), "[^a-z0-9]+", " ")))
+          .as("canon_key"),
+        sha2($"text", 256).as("raw_key"))
+      .agg(min($"doc_id").as("min_id"), count(lit(1)).as("n"))
+      .groupBy("canon_key")
+      .agg(min($"min_id").as("canonical_doc_id"), sum($"n").as("n_dups"),
+        count(lit(1)).as("n_variants"))
+      .collect().map(r => (r.getAs[Long]("canonical_doc_id"),
+        r.getAs[Long]("n_dups"), r.getAs[Long]("n_variants"))).toSet
+    assert(folded == Set((1L, 3L, 3L), (4L, 1L, 1L)))
+  }
+
   test("near dedup: groups cover all docs, at most as many as exact") {
     import spark.implicits._
     val near = q("q_dedup_near")
