@@ -116,6 +116,8 @@ object SparkEntry {
     "q_fingerprint"     -> (AdvancedTextQueries.qFingerprint _),
     "q_text_quality"    -> (AdvancedTextQueries.qTextQuality _),
     "q_token_count"     -> (AdvancedTextQueries.qTokenCount _),
+    "q_bpe_pairs"       -> (AdvancedTextQueries.qBpePairs _),
+    "q_source_overlap"  -> (AdvancedTextQueries.qSourceOverlap _),
     "q_lang_id"         -> (AdvancedTextQueries.qLangId _),
     "q_fuzzy_match"     -> (AdvancedTextQueries.qFuzzyMatch _),
     "sketch_distinct"   -> (StatsQueries.sketchDistinct _),
@@ -1326,6 +1328,51 @@ object SparkEntry {
         |FROM documents
         |GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
         |ORDER BY canonical_doc_id NULLS FIRST""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH wc AS (
+        |  SELECT t AS word, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t
+        |    FROM documents) tok
+        |  GROUP BY t),
+        |pairs AS (
+        |  SELECT substring(word,
+        |      CAST(unnest(range(1, length(word))) AS INT), 2) AS pair,
+        |    word, cnt
+        |  FROM wc WHERE length(word) >= 2)
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count,
+        |  count(DISTINCT word) AS n_words
+        |FROM pairs GROUP BY pair
+        |ORDER BY pair_count DESC, pair ASC
+        |LIMIT 20""".stripMargin,
+    "q_source_overlap" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '')) AS t,
+        |    generate_subscripts(
+        |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                  x -> x <> ''), 1) - 1 AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, sh FROM (
+        |    SELECT source,
+        |      t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS sh
+        |    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+        |  WHERE sh IS NOT NULL),
+        |sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+        |common AS (
+        |  SELECT a.source AS source_1, b.source AS source_2,
+        |    count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_1, source_2, n_common,
+        |  s1.n_sh + s2.n_sh - n_common AS n_union,
+        |  round(CAST(n_common AS DOUBLE) /
+        |    (s1.n_sh + s2.n_sh - n_common), 6) + 0.0 AS jaccard
+        |FROM common JOIN sizes s1 ON source_1 = s1.source
+        |JOIN sizes s2 ON source_2 = s2.source
+        |ORDER BY source_1 NULLS FIRST, source_2 NULLS FIRST""".stripMargin,
     "q_mix_budget" ->
       """WITH d AS (
         |  SELECT doc_id, source, CAST(len(list_filter(

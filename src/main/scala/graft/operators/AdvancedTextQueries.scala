@@ -673,4 +673,78 @@ object AdvancedTextQueries {
       .filter(col("shared") >= minShared)
       .orderBy(asc_nulls_first("doc_id_1"), asc_nulls_first("doc_id_2"))
   }
+
+  /** First BPE merge step at corpus scale — the pair-frequency count a
+    * tokenizer trainer runs each round: for every adjacent character
+    * pair inside a word, total occurrences (weighted by word frequency)
+    * and the number of distinct words containing it; top 20 pairs.
+    *
+    * The load-bearing shape is AGGREGATE-BEFORE-EXPLODE: the corpus
+    * collapses to (word, count) first — one shuffle keyed by word, the
+    * same wordcount exchange q_wordcount runs — and pair enumeration
+    * then explodes only the DISTINCT vocabulary (Heaps'-law sized,
+    * ~corpus^0.5, with bounded per-word fan-out). Exploding pairs from
+    * raw text would shuffle ~5x the corpus; this shuffles the corpus
+    * once and then works on data that fits in one executor's cache no
+    * matter how big the input. Pure column algebra (sequence +
+    * substring), fully codegen'd.
+    */
+  def qBpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+    vocab
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(col("word").substr(col("i"), lit(2)).as("pair"),
+        col("word"), col("cnt"))
+      .groupBy("pair")
+      .agg(sum(col("cnt")).as("pair_count"),
+        countDistinct(col("word")).as("n_words"))
+      .orderBy(desc("pair_count"), asc_nulls_first("pair"))
+      .limit(20)
+  }
+
+  /** Cross-source shingle overlap matrix — corpus governance: for each
+    * pair of sources, the Jaccard similarity of their token-trigram
+    * shingle SETS. Tells a corpus owner which sources duplicate which
+    * (mirrors, scrapes of scrapes) before any doc-level dedup runs.
+    *
+    * Scale: the shingle stream collapses to distinct (source, shingle)
+    * rows first; the self-join on the shingle key then fans out at most
+    * |sources|²/2 rows PER DISTINCT SHINGLE — bounded by the source
+    * count, not by how hot the shingle is (a boilerplate trigram in
+    * every doc of every source still yields ≤10 rows here). Per-source
+    * set sizes re-enter as a broadcast to finish the union algebra
+    * |A∪B| = |A|+|B|−|A∩B| without a second pass.
+    */
+  def qSourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val srcSh = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("t1", lead(col("t"), 1).over(w))
+      .withColumn("t2", lead(col("t"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("source"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("sh"))
+      .distinct()
+    val sizes = srcSh.groupBy(col("source").as("sz_source"))
+      .agg(count(lit(1)).as("n_sh"))
+    srcSh.as("a").join(srcSh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_1"), col("b.source").as("source_2"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes), col("source_1") === col("sz_source"))
+      .withColumnRenamed("n_sh", "n_1").drop("sz_source")
+      .join(broadcast(sizes), col("source_2") === col("sz_source"))
+      .withColumnRenamed("n_sh", "n_2").drop("sz_source")
+      .select(col("source_1"), col("source_2"), col("n_common"),
+        (col("n_1") + col("n_2") - col("n_common")).as("n_union"),
+        (round(col("n_common").cast("double") /
+          (col("n_1") + col("n_2") - col("n_common")), 6) + lit(0.0))
+          .as("jaccard"))
+      .orderBy(asc_nulls_first("source_1"), asc_nulls_first("source_2"))
+  }
 }

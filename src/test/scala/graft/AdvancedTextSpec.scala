@@ -328,4 +328,59 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(corpus.filter($"doc_id_1" >= $"doc_id_2").count() == 0)
     assert(corpus.filter($"shared" < 2).count() == 0)
   }
+
+  test("bpe pairs: matches a local recompute on a toy vocab; corpus invariants") {
+    import spark.implicits._
+    // toy: "abab" x2 + "ab" x1 -> ab: 2*2+1=5 occurrences in 2 words,
+    // ba: 2 in 1 word, computed through the same plan shape
+    val toy = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val vocab = toy.select(explode(operators.TextQueries.tokens($"text")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val got = vocab.filter(length($"word") >= 2)
+      .select($"word", $"cnt",
+        explode(sequence(lit(1), length($"word") - 1)).as("i"))
+      .select($"word".substr($"i", lit(2)).as("pair"), $"word", $"cnt")
+      .groupBy("pair")
+      .agg(sum($"cnt").as("pair_count"), countDistinct($"word").as("n_words"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("ab", 5L, 2L), ("ba", 2L, 1L)))
+    // corpus: 20 rows, every pair is 2 chars, counts consistent
+    val out = q("q_bpe_pairs").collect()
+    assert(out.length == 20)
+    assert(out.forall(_.getAs[String]("pair").length == 2))
+    assert(out.forall(r =>
+      r.getAs[Long]("pair_count") >= r.getAs[Long]("n_words") &&
+        r.getAs[Long]("n_words") >= 1))
+    // descending by count with pair tiebreak
+    val counts = out.map(_.getAs[Long]("pair_count"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("source overlap: jaccard algebra consistent; toy pair exact") {
+    import spark.implicits._
+    val out = q("q_source_overlap").cache()
+    assert(out.count() > 0)
+    // jaccard = n_common / n_union (re-derived), bounds hold, pairs ordered
+    assert(out.filter($"n_common" < 1 || $"n_union" < $"n_common").count() == 0)
+    assert(out.filter($"source_1" >= $"source_2").count() == 0)
+    assert(out.filter(
+      abs($"jaccard" - round($"n_common".cast("double") / $"n_union", 6)) >
+        lit(1e-9)).count() == 0)
+    out.unpersist()
+    // toy: A = {a b c, b c d}, B = {b c d, c d e} -> common 1, union 3
+    val toy = Seq(
+      (1L, "A", "a b c d"), (2L, "B", "b c d e")).toDF("doc_id", "source", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val sh = toy.select($"source", $"doc_id",
+        posexplode(operators.TextQueries.tokens($"text")).as(Seq("pos", "t")))
+      .withColumn("t1", lead($"t", 1).over(w))
+      .withColumn("t2", lead($"t", 2).over(w))
+      .filter($"t2".isNotNull)
+      .select($"source", concat_ws(" ", $"t", $"t1", $"t2").as("sh"))
+      .distinct()
+    val common = sh.as("a").join(sh.as("b"),
+        $"a.sh" === $"b.sh" && $"a.source" < $"b.source").count()
+    assert(common == 1)
+  }
 }
