@@ -51,6 +51,19 @@ object ScaleSmoke {
           regexp_replace(col("text"), "([a-z]+)", s"$$1x$tag").as("text"))
       }.reduce(_ unionAll _)
 
+    val baseSrc = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+
+    // same disjoint-token replication, source kept: each source's
+    // shingle set grows linearly, the cross-source structure is preserved
+    def replicatedSrc(k: Int): DataFrame =
+      (0 until k).map { i =>
+        val tag = ('a' + i % 26).toChar.toString + ('a' + i / 26).toChar
+        baseSrc.select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          col("source"),
+          regexp_replace(col("text"), "([a-z]+)", s"$$1x$tag").as("text"))
+      }.reduce(_ unionAll _)
+
     val events = Tables.events(spark, sfDir)
       .select("event_id", "user_id", "ts", "event_type")
 
@@ -100,6 +113,16 @@ object ScaleSmoke {
       "dedup_substring" -> (k => AdvancedTextQueries.substringFingerprintPairs(
         replicated(k), AdvancedTextQueries.SubstrK,
         AdvancedTextQueries.SubstrModP, AdvancedTextQueries.SubstrDfCap, 2)),
+      // aggregate-before-explode: the wordcount exchange grows with the
+      // corpus but the pair explode grows only with the VOCABULARY
+      // (replicas add disjoint token spaces, so vocab grows k·|V| here —
+      // the worst case; real corpora grow ~corpus^0.5)
+      "bpe_pairs" -> (k => AdvancedTextQueries.bpePairsFrom(replicated(k))),
+      // distinct (source,shingle) grows with shingle volume, but the
+      // self-join fan-out stays bounded by |sources|²/2 per shingle and
+      // the output is one row per source pair at any scale
+      "source_overlap" -> (k => AdvancedTextQueries.sourceOverlapFrom(
+        replicatedSrc(k))),
       "session_windows" -> (k => EventQueries.sessionWindows(replicatedEvents(k))),
       // one window shuffle on user_id; rows = users, so growth tracks
       // the replicated user space exactly

@@ -113,6 +113,7 @@ object SparkEntry {
     "q_dedup_substring" -> (AdvancedTextQueries.qDedupSubstring _),
     "q_entropy"         -> (AdvancedTextQueries.qEntropy _),
     "q_big_orders"      -> (CompositeQueries.qBigOrders _),
+    "q_idle_rich"       -> (CompositeQueries.qIdleRich _),
     "q_fingerprint"     -> (AdvancedTextQueries.qFingerprint _),
     "q_text_quality"    -> (AdvancedTextQueries.qTextQuality _),
     "q_token_count"     -> (AdvancedTextQueries.qTokenCount _),
@@ -1328,6 +1329,22 @@ object SparkEntry {
         |FROM documents
         |GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
         |ORDER BY canonical_doc_id NULLS FIRST""".stripMargin,
+    "q_idle_rich" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+        |  FROM customer WHERE c_acctbal > 0.0),
+        |g AS (
+        |  SELECT CAST(sum(bal_c) AS BIGINT) AS s, count(*) AS n FROM cust)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(bal_c) AS DOUBLE) / 100.0 AS total_bal
+        |FROM cust c, g
+        |WHERE bal_c * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
     "q_bpe_pairs" ->
       """WITH wc AS (
         |  SELECT t AS word, count(*) AS cnt FROM (

@@ -689,8 +689,12 @@ object AdvancedTextQueries {
     * matter how big the input. Pure column algebra (sequence +
     * substring), fully codegen'd.
     */
-  def qBpePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val vocab = Tables.documents(spark, sfDir)
+  def qBpePairs(spark: SparkSession, sfDir: String): DataFrame =
+    bpePairsFrom(Tables.documents(spark, sfDir))
+
+  /** Frame-parameterized body of [[qBpePairs]] (ScaleSmoke entry point). */
+  def bpePairsFrom(docs: DataFrame): DataFrame = {
+    val vocab = docs
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
@@ -720,9 +724,13 @@ object AdvancedTextQueries {
     * set sizes re-enter as a broadcast to finish the union algebra
     * |A∪B| = |A|+|B|−|A∩B| without a second pass.
     */
-  def qSourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+  def qSourceOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    sourceOverlapFrom(Tables.documents(spark, sfDir))
+
+  /** Frame-parameterized body of [[qSourceOverlap]] (ScaleSmoke entry point). */
+  def sourceOverlapFrom(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val srcSh = Tables.documents(spark, sfDir)
+    val srcSh = docs
       .select(col("source"), col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "t")))
       .withColumn("t1", lead(col("t"), 1).over(w))

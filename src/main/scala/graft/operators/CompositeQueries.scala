@@ -216,4 +216,34 @@ object CompositeQueries {
   }
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** TPC-H Q22 shape (untapped accounts): customers with above-average
+    * positive balance who never placed an URGENT order, per segment —
+    * the scalar-subquery + NOT EXISTS composite.
+    *
+    * Plan: the global average is a ONE-row map-combinable aggregate
+    * (sum of cents, count) that re-enters as a scalar broadcast — no
+    * driver round-trip, no collect; the above-average predicate runs as
+    * exact integer algebra (bal·n > Σbal, no double division). The
+    * NOT EXISTS is a left-anti shuffle join on custkey — orders is
+    * fact-sized at 100 TB, so neither side broadcasts, and the
+    * priority filter prunes ~80% of it at the scan before the exchange.
+    */
+  def qIdleRich(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 0.0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        cents(col("c_acctbal")).as("bal_c"))
+    val g = cust.agg(sum(col("bal_c")).as("s"), count(lit(1)).as("n"))
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    cust.crossJoin(broadcast(g))
+      .filter(col("bal_c") * col("n") > col("s"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        (sum(col("bal_c")).cast("double") / 100.0).as("total_bal"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
 }

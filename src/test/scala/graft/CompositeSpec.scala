@@ -86,6 +86,34 @@ class CompositeSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("idle rich: every kept customer is above average and urgent-free") {
+    import spark.implicits._
+    val out = q("q_idle_rich").collect()
+    assert(out.nonEmpty)
+    // recompute the population directly: above-average positive balances
+    // minus urgent-order customers, by segment
+    val cust = Tables.customer(spark, sfDir).filter($"c_acctbal" > 0.0)
+      .select($"c_custkey", $"c_mktsegment",
+        round($"c_acctbal" * 100).cast("long").as("bal_c"))
+    val (s, n) = {
+      val r = cust.agg(sum($"bal_c"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val urgentKeys = Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey").distinct().as[Long].collect().toSet
+    val expect = cust.collect()
+      .filter(r => r.getAs[Long]("bal_c") * n > s)
+      .filterNot(r => urgentKeys.contains(r.getAs[Long]("c_custkey")))
+      .groupBy(_.getAs[String]("c_mktsegment"))
+      .map { case (seg, rs) =>
+        (seg, rs.length.toLong, rs.map(_.getAs[Long]("bal_c")).sum / 100.0) }
+      .toSet
+    val got = out.map(r => (r.getAs[String]("c_mktsegment"),
+      r.getAs[Long]("n_cust"), r.getAs[Double]("total_bal"))).toSet
+    assert(got == expect)
+  }
+
   test("small parts: window form equals the aggregate-then-join form exactly") {
     import spark.implicits._
     // independent recompute with a DIFFERENT plan shape: per-part agg +

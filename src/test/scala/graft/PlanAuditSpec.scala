@@ -37,7 +37,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_vocab_coverage",
     // (total_tokens, weight_sum) scalar row entering the per-source
     // rate computation — 1 row against the |sources|-row summary
-    "q_mix_budget")
+    "q_mix_budget",
+    // global (Σbal, n) average row entering the above-average filter —
+    // 1 row at any scale, Q22's scalar subquery
+    "q_idle_rich")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —
