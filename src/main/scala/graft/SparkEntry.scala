@@ -54,6 +54,7 @@ object SparkEntry {
     "q_sample_stratified" -> (TextQueries.qSampleStratified _),
     "q_split_train"     -> (TextQueries.qSplitTrain _),
     "q_dq_report"       -> (ValidationQueries.qDqReport _),
+    "q_profile"         -> (ValidationQueries.qProfile _),
     "q_repetition"      -> (AdvancedTextQueries.qRepetition _),
     "q_resample"        -> (EventQueries.qResample _),
     "q_ewma"            -> (EventQueries.qEwma _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "q_snapshot_diff"   -> (CompositeQueries.qSnapshotDiff _),
     "q_funnel"          -> (BehaviorQueries.qFunnel _),
     "q_retention"       -> (BehaviorQueries.qRetention _),
+    "q_rolling_active"  -> (BehaviorQueries.qRollingActive _),
     "q_cooccur"         -> (BehaviorQueries.qCooccur _),
     "q_shuffle_export"  -> (BehaviorQueries.qShuffleExport _),
     "q_dedup_exact"     -> (TextQueries.qDedupExact _),
@@ -105,6 +107,7 @@ object SparkEntry {
     "q_salted_agg"      -> (ScaleOps.qSaltedAgg _),
     "q_salted_join"     -> (ScaleOps.qSaltedJoin _),
     "q_sim_topk"        -> (SimilarityQueries.qSimTopk _),
+    "q_knn_classify"    -> (SimilarityQueries.qKnnClassify _),
     "q_dedup_embed"     -> (SimilarityQueries.qDedupEmbed _),
     "q_dedup_minhash"   -> (AdvancedTextQueries.qDedupMinhash _),
     "q_dedup_simhash"   -> (AdvancedTextQueries.qDedupSimhash _),
@@ -715,6 +718,27 @@ object SparkEntry {
         |      AS BIGINT) % 100 AS b
         |  FROM documents)
         |GROUP BY 1, 2 ORDER BY lang NULLS FIRST, split NULLS FIRST""".stripMargin,
+    "q_profile" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    count(o_orderkey) AS p0, count(DISTINCT o_orderkey) AS d0,
+        |    count(o_custkey) AS p1, count(DISTINCT o_custkey) AS d1,
+        |    count(o_orderstatus) AS p2, count(DISTINCT o_orderstatus) AS d2,
+        |    count(o_totalprice) AS p3, count(DISTINCT o_totalprice) AS d3,
+        |    count(o_orderdate) AS p4, count(DISTINCT o_orderdate) AS d4,
+        |    count(o_orderpriority) AS p5, count(DISTINCT o_orderpriority) AS d5
+        |  FROM orders),
+        |l AS (
+        |  SELECT 'o_orderkey' AS column_name, p0 AS np, d0 AS nd FROM a
+        |  UNION ALL SELECT 'o_custkey', p1, d1 FROM a
+        |  UNION ALL SELECT 'o_orderstatus', p2, d2 FROM a
+        |  UNION ALL SELECT 'o_totalprice', p3, d3 FROM a
+        |  UNION ALL SELECT 'o_orderdate', p4, d4 FROM a
+        |  UNION ALL SELECT 'o_orderpriority', p5, d5 FROM a)
+        |SELECT column_name, CAST(a.n - np AS BIGINT) AS n_nulls,
+        |  CAST(nd AS BIGINT) AS n_distinct,
+        |  round(CAST(np AS DOUBLE) / a.n, 6) + 0.0 AS completeness
+        |FROM l, a ORDER BY column_name NULLS FIRST""".stripMargin,
     "q_dq_report" ->
       """WITH a AS (
         |  SELECT count(*) AS n,
@@ -970,6 +994,20 @@ object SparkEntry {
         |LEFT JOIN c ON b.user_id = c.user_id
         |LEFT JOIN p ON b.user_id = p.user_id
         |ORDER BY b.user_id NULLS FIRST""".stripMargin,
+    "q_rolling_active" ->
+      """WITH du AS (
+        |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day AS target_day FROM du),
+        |fan AS (
+        |  SELECT event_type, user_id,
+        |    day + CAST(unnest(range(0, 7)) AS INT) AS target_day
+        |  FROM du)
+        |SELECT target_day AS day, event_type,
+        |  count(DISTINCT user_id) AS wau
+        |FROM fan JOIN days USING (target_day)
+        |GROUP BY 1, 2
+        |ORDER BY day NULLS FIRST, event_type NULLS FIRST""".stripMargin,
     "q_retention" ->
       """WITH cohorts AS (
         |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
@@ -1703,6 +1741,34 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
         |ORDER BY probe_id NULLS FIRST, rank ASC""".stripMargin,
+    "q_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+        |    round(list_dot_product(p.v, c.v) /
+        |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))),
+        |      6) + 0.0 AS cosine
+        |  FROM e p JOIN e c ON p.vec_id % 100 = 0 AND c.vec_id <> p.vec_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM pairs
+        |), votes AS (
+        |  SELECT probe_id, d.lang, count(*) AS votes
+        |  FROM ranked r JOIN documents d ON r.vec_id = d.doc_id
+        |  WHERE r.rank <= 5 GROUP BY 1, 2
+        |), top AS (
+        |  SELECT probe_id, lang AS pred_lang, votes,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY votes DESC, lang ASC) AS rn
+        |  FROM votes)
+        |SELECT t.probe_id, t.pred_lang, t.votes, d.lang AS true_lang,
+        |  t.pred_lang = d.lang AS correct
+        |FROM top t JOIN documents d ON t.probe_id = d.doc_id
+        |WHERE t.rn = 1
+        |ORDER BY t.probe_id NULLS FIRST""".stripMargin,
     "udaf_demo" ->
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word

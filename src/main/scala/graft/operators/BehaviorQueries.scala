@@ -100,6 +100,31 @@ object BehaviorQueries {
       .orderBy(asc_nulls_first("cohort_day"), asc_nulls_first("day_offset"))
   }
 
+  /** Rolling 7-day distinct active users per day and event type (the
+    * WAU curve). Exact sliding DISTINCT cannot run as a window
+    * aggregate, and the textbook day-range join is a non-equi (nested
+    * loop) plan — instead each (type, day, user) contributes itself to
+    * the 7 target days via a bounded explode, turning the range join
+    * into an EQUI-join problem: fan-out is exactly 7 regardless of data
+    * size, applied AFTER the daily-distinct collapse (days×types×users
+    * rows, not raw events). Target days with no events of their own are
+    * dropped by an equi-join against the distinct-day set (broadcast —
+    * it is |days| rows).
+    */
+  def qRollingActive(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = du.select(col("day").as("target_day")).distinct()
+    du.withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select(col("event_type"), col("user_id"),
+        date_add(col("day"), col("off")).as("target_day"))
+      .join(broadcast(days), Seq("target_day"))
+      .groupBy(col("target_day").as("day"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy(asc_nulls_first("day"), asc_nulls_first("event_type"))
+  }
+
   /** Market-basket co-occurrence: top part pairs appearing in the same
     * order, ranked by order count (ties broken by the pair itself so the
     * top-k is deterministic).

@@ -100,6 +100,42 @@ object SimilarityQueries {
       .orderBy(asc_nulls_first("probe_id"), col("rank").asc)
   }
 
+  /** kNN majority-vote classification — semantic weak labeling: each
+    * probe vector is assigned the majority language of its 5 exact
+    * nearest neighbors (ties → lexically smallest lang), reported next
+    * to the probe's own label for accuracy accounting. The standard way
+    * to propagate labels from a small annotated set across an unlabeled
+    * corpus.
+    *
+    * Plan: all the heavy lifting stays in the proven blocked grid
+    * (blockedTopKFrom — no broadcast of a growing probe set, no n²
+    * task); classification adds only a label join on the k·|probes|
+    * neighbor rows (AQE broadcasts whichever side is small at runtime)
+    * and a |probes|×|langs| vote agg + top-1 window. No new scale
+    * surface beyond the top-k itself.
+    */
+  def qKnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val labels = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val nn = blockedTopKFrom(emb, k = 5)
+    val votes = nn.join(labels, nn("vec_id") === labels("doc_id"))
+      .groupBy("probe_id", "lang")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("votes").desc, col("lang").asc)
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("lang").as("pred_lang"), col("votes"))
+      .join(labels.select(col("doc_id"), col("lang").as("true_lang")),
+        col("probe_id") === col("doc_id"))
+      .select(col("probe_id"), col("pred_lang"), col("votes"), col("true_lang"),
+        (col("pred_lang") === col("true_lang")).as("correct"))
+      .orderBy(asc_nulls_first("probe_id"))
+  }
+
   /** DataFrame-core brute-force top-k: `emb` is (vec_id, array<double>
     * vec); probes are the rows with vec_id % probeModulus = 0. Kept as
     * the reference plan BlockedTopKSpec proves blockedTopKFrom

@@ -55,4 +55,43 @@ object ValidationQueries {
         sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)),
       "priority_format" ->
         sum(when(col("o_orderpriority").rlike("^[1-5]-"), 1L).otherwise(0L))))
+
+  /** Column profile — the DISCOVERY side of data quality (qDqReport is
+    * the assertion side): per column of `orders`, null count, exact
+    * distinct count, and completeness ratio, in long format. What a
+    * pipeline runs on a NEW source before anyone writes constraints
+    * for it.
+    *
+    * Scale shape: ONE aggregation pass — Spark plans the multi-column
+    * exact count-distinct as a single Expand (each row fans out once
+    * per column, tagged) feeding a two-phase hash aggregate, so the
+    * table is scanned once no matter how many columns are profiled;
+    * the stack() pivot to long format runs on the single result row.
+    * All outputs are integers or one rounded ratio — no cross-engine
+    * value-formatting surface.
+    */
+  def qProfile(spark: SparkSession, sfDir: String): DataFrame =
+    profile(Tables.orders(spark, sfDir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+
+  /** Generic long-format column profile of `cols` in one pass. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column required")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(c)).as(s"nn$i"), count_distinct(col(c)).as(s"nd$i"))
+    }
+    val a = df.agg(count(lit(1)).as("n"), aggs: _*)
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) => s"'$c', nn$i, nd$i" }.mkString(", ")
+    a.select(
+        expr(s"stack(${cols.size}, $stackArgs) as (column_name, n_present, n_distinct)"),
+        col("n").as("n_rows"))
+      .select(col("column_name"),
+        (col("n_rows") - col("n_present")).as("n_nulls"),
+        col("n_distinct"),
+        (round(col("n_present").cast("double") / col("n_rows"), 6) + lit(0.0))
+          .as("completeness"))
+      .orderBy(asc_nulls_first("column_name"))
+  }
 }

@@ -136,4 +136,26 @@ class BehaviorSpec extends AnyFunSuite {
     assert(e1.exceptAll(e2).count() == 0 && e2.exceptAll(e1).count() == 0)
     e1.unpersist()
   }
+
+  test("rolling active: equals a local 7-day set-union recompute") {
+    import spark.implicits._
+    val du = Tables.events(spark, sfDir)
+      .select($"event_type", to_date($"ts").as("day"), $"user_id")
+      .distinct().collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toLocalDate, r.getAs[Long]("user_id")))
+    val days = du.map(_._2).distinct
+    val expect = (for {
+      d <- days
+      t <- du.map(_._1).distinct
+    } yield {
+      val users = du.collect { case (`t`, dd, u)
+        if !dd.isAfter(d) && !dd.isBefore(d.minusDays(6)) => u }.toSet
+      ((d, t), users.size.toLong)
+    }).filter(_._2 > 0).toMap
+    val got = q("q_rolling_active").collect()
+      .map(r => ((r.getAs[java.sql.Date]("day").toLocalDate,
+        r.getAs[String]("event_type")), r.getAs[Long]("wau"))).toMap
+    assert(got == expect)
+  }
 }

@@ -95,6 +95,33 @@ class TextSimSpec extends AnyFunSuite {
     assert(out.filter($"probe_id" === $"vec_id").count() == 0)
   }
 
+  test("knn classify: vote recomputed from q_sim_topk's neighbor sets matches") {
+    import spark.implicits._
+    val out = q("q_knn_classify").cache()
+    val probes = q("q_sim_topk").select($"probe_id").distinct().count()
+    assert(out.count() == probes)
+    assert(out.filter($"votes" < 1 || $"votes" > 5).count() == 0)
+    // independent recompute: take q_sim_topk's neighbors, join langs,
+    // majority-vote locally
+    val labels = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = q("q_sim_topk").select($"probe_id", $"vec_id").collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rs) =>
+        val byLang = rs.map(r => labels(r.getLong(1)))
+          .groupBy(identity).map { case (l, xs) => (l, xs.length.toLong) }
+        val (lang, votes) = byLang.toSeq.minBy { case (l, v) => (-v, l) }
+        (p, lang, votes, labels(p))
+      }.toSet
+    val got = out.collect().map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[String]("pred_lang"), r.getAs[Long]("votes"),
+      r.getAs[String]("true_lang"))).toSet
+    assert(got == expect)
+    assert(out.filter($"correct" =!= ($"pred_lang" === $"true_lang")).count() == 0)
+    out.unpersist()
+  }
+
   test("sim: cosine of a vector with itself is 1") {
     import spark.implicits._
     import operators.SimilarityQueries._

@@ -166,4 +166,23 @@ class ValidationSpec extends AnyFunSuite {
     assert(failed == Set("orderkey_unique", "custkey_complete"),
       s"unexpected verdicts: $failed")
   }
+
+  test("q_profile: key column fully distinct on clean orders; exact on planted nulls") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_profile")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("column_name") ->
+        (r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("completeness"))).toMap
+    val n = Tables.orders(spark, sfDir).count()
+    assert(out("o_orderkey") == ((0L, n, 1.0)))
+    assert(out.size == 6 && out.values.forall(_._1 == 0L))
+    // toy with planted nulls and duplicates: counts are closed-form
+    val toy = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "a"), (3L, null), (null, "b")).toDF("k", "v")
+    val p = ValidationQueries.profile(toy, Seq("k", "v")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(p("k") == ((1L, 3L, 0.75)))
+    assert(p("v") == ((1L, 2L, 0.75)))
+  }
 }
