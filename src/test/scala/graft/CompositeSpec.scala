@@ -136,6 +136,13 @@ class CompositeSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("small parts: lineitem scanned exactly once (window form, no agg-self-join)") {
+    val scans = flatten(q("q_small_parts").queryExecution.executedPlan)
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .filter(_.metadata.get("Location").exists(_.contains("lineitem")))
+    assert(scans.size == 1, s"expected 1 lineitem scan, got ${scans.size}")
+  }
+
   test("big orders: every row clears the HAVING, matches a recomputed sum, sorted") {
     import spark.implicits._
     val rows = q("q_big_orders").collect()
