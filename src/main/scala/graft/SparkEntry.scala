@@ -76,6 +76,7 @@ object SparkEntry {
     "q_funnel"          -> (BehaviorQueries.qFunnel _),
     "q_retention"       -> (BehaviorQueries.qRetention _),
     "q_rolling_active"  -> (BehaviorQueries.qRollingActive _),
+    "q_transitions"     -> (BehaviorQueries.qTransitions _),
     "q_cooccur"         -> (BehaviorQueries.qCooccur _),
     "q_shuffle_export"  -> (BehaviorQueries.qShuffleExport _),
     "q_dedup_exact"     -> (TextQueries.qDedupExact _),
@@ -994,6 +995,21 @@ object SparkEntry {
         |LEFT JOIN c ON b.user_id = c.user_id
         |LEFT JOIN p ON b.user_id = p.user_id
         |ORDER BY b.user_id NULLS FIRST""".stripMargin,
+    "q_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS next_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    count(*) AS n
+        |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    sum(n) OVER (PARTITION BY from_type), 6) + 0.0 AS p
+        |FROM t
+        |ORDER BY from_type NULLS FIRST, to_type NULLS FIRST""".stripMargin,
     "q_rolling_active" ->
       """WITH du AS (
         |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id

@@ -100,6 +100,33 @@ object BehaviorQueries {
       .orderBy(asc_nulls_first("cohort_day"), asc_nulls_first("day_offset"))
   }
 
+  /** Per-user event-transition matrix (first-order Markov statistics):
+    * for each (from, to) event-type pair, the transition count and the
+    * conditional probability P(to | from) — the behavioral model behind
+    * next-action prediction and funnel anomaly detection, and the
+    * pairwise complement of qSessionpath's whole-path counting.
+    *
+    * One window shuffle on user_id produces the lead() pairs; the agg
+    * collapses to the |types|² grid immediately (map-side partial), and
+    * the probability normalization is a window over that tiny grid —
+    * nothing after the first exchange scales with the data.
+    */
+  def qTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val t = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    t.withColumn("p",
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("from_type")), 6) + lit(0.0))
+      .orderBy(asc_nulls_first("from_type"), asc_nulls_first("to_type"))
+  }
+
   /** Rolling 7-day distinct active users per day and event type (the
     * WAU curve). Exact sliding DISTINCT cannot run as a window
     * aggregate, and the textbook day-range join is a non-equi (nested

@@ -137,6 +137,20 @@ class BehaviorSpec extends AnyFunSuite {
     e1.unpersist()
   }
 
+  test("transitions: rows per from-type sum to 1; counts conserve adjacent pairs") {
+    import spark.implicits._
+    val out = q("q_transitions").cache()
+    // per-from probabilities sum to ~1 (rounding each p to 6 dp)
+    val sums = out.groupBy("from_type").agg(sum($"p").as("sp")).collect()
+    assert(sums.forall(r => math.abs(r.getAs[Double]("sp") - 1.0) < 1e-4))
+    // total transitions = events - one per user (each user's last event
+    // has no successor)
+    val ev = Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(out.agg(sum($"n")).as[Long].head() == expected)
+    out.unpersist()
+  }
+
   test("rolling active: equals a local 7-day set-union recompute") {
     import spark.implicits._
     val du = Tables.events(spark, sfDir)
