@@ -85,6 +85,7 @@ object SparkEntry {
     "q_chunk_strided"   -> (TextQueries.qChunkStrided _),
     "q_dedup_clusters"  -> (AdvancedTextQueries.qDedupClusters _),
     "q_dedup_keep_best" -> (AdvancedTextQueries.qDedupKeepBest _),
+    "q_cluster_sizes"   -> (AdvancedTextQueries.qClusterSizes _),
     "q_sample_hash"     -> (TextQueries.qSampleHash _),
     "q_decontaminate"   -> (TextQueries.qDecontaminate _),
     "q_decontaminate_bloom" -> (TextQueries.qDecontaminateBloom _),
@@ -201,6 +202,45 @@ object SparkEntry {
     * Bloom path prunes with a no-false-negative sketch then confirms
     * exactly, so its row set equals the exact form's by construction.
     */
+  /** Shared recursive-CTE prefix for the dedup-cluster family: shingle
+    * → Jaccard≥0.5 candidate pairs → undirected edges → reachability →
+    * per-vertex component label (`comp(id, component)`). The three
+    * cluster oracles (q_dedup_clusters, q_dedup_keep_best,
+    * q_cluster_sizes) append their own tails so the clustering
+    * definition cannot drift between them.
+    */
+  private val ClusterCompCte =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, CASE WHEN len(toks) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |    ELSE [] END AS s
+      |  FROM docs
+      |), ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |cand AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT d1, d2
+      |  FROM cand JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+      |  WHERE round(shared * 1.0 / (x.n + y.n - shared), 6) + 0.0 >= 0.5),
+      |edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM jp
+      |  UNION
+      |  SELECT d2 AS src, d1 AS dst FROM jp),
+      |verts AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, comp) AS (
+      |  SELECT id, id FROM verts
+      |  UNION
+      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)""".stripMargin
+
   private val DecontaminateSql =
     """WITH tok AS (
       |  SELECT doc_id,
@@ -1597,72 +1637,27 @@ object SparkEntry {
         |  string_agg(t, ' ' ORDER BY pos) AS chunk_text
         |FROM ch GROUP BY doc_id, chunk_id
         |ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST""".stripMargin,
-    "q_dedup_clusters" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, list_filter(
-        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id, CASE WHEN len(toks) >= 3
-        |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
-        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |    ELSE [] END AS s
-        |  FROM docs
-        |), ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
-        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
-        |cand AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT d1, d2
-        |  FROM cand JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-        |  WHERE round(shared * 1.0 / (x.n + y.n - shared), 6) + 0.0 >= 0.5),
-        |edges AS (
-        |  SELECT d1 AS src, d2 AS dst FROM jp
-        |  UNION
-        |  SELECT d2 AS src, d1 AS dst FROM jp),
-        |verts AS (SELECT DISTINCT src AS id FROM edges),
-        |reach(id, comp) AS (
-        |  SELECT id, id FROM verts
-        |  UNION
-        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
-        |SELECT id, min(comp) AS component FROM reach GROUP BY id
-        |ORDER BY id NULLS FIRST""".stripMargin,
+    "q_dedup_clusters" -> (ClusterCompCte + "\n" +
+      """SELECT id, component FROM comp
+        |ORDER BY id NULLS FIRST""".stripMargin),
+    "q_cluster_sizes" -> (ClusterCompCte + ",\n" +
+      """szs AS (SELECT component, count(*) AS cluster_size
+        |        FROM comp GROUP BY component),
+        |hist AS (
+        |  SELECT cluster_size, count(*) AS n_clusters
+        |  FROM szs GROUP BY cluster_size
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+        |    (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)
+        |      AS n_clusters)
+        |SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+        |FROM hist GROUP BY cluster_size
+        |HAVING sum(n_clusters) > 0
+        |ORDER BY cluster_size NULLS FIRST""".stripMargin),
     // same recursive-CTE component labels as q_dedup_clusters, then the
     // q_text_quality score ranks members within each cluster
-    "q_dedup_keep_best" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, list_filter(
-        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id, CASE WHEN len(toks) >= 3
-        |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
-        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |    ELSE [] END AS s
-        |  FROM docs
-        |), ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
-        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
-        |cand AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT d1, d2
-        |  FROM cand JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-        |  WHERE round(shared * 1.0 / (x.n + y.n - shared), 6) + 0.0 >= 0.5),
-        |edges AS (
-        |  SELECT d1 AS src, d2 AS dst FROM jp
-        |  UNION
-        |  SELECT d2 AS src, d1 AS dst FROM jp),
-        |verts AS (SELECT DISTINCT src AS id FROM edges),
-        |reach(id, comp) AS (
-        |  SELECT id, id FROM verts
-        |  UNION
-        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
-        |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
-        |q AS (
+    "q_dedup_keep_best" -> (ClusterCompCte + ",\n" +
+      """q AS (
         |  SELECT doc_id,
         |    round(0.4 * (len(list_distinct(toks)) * 1.0 / len(toks)) +
         |          0.4 * (1.0 - len(list_filter(toks, t -> t = 'the' OR t = 'a'))
@@ -1683,7 +1678,7 @@ object SparkEntry {
         |  FROM lab)
         |SELECT component, doc_id AS keep_doc_id, keep_quality,
         |  cluster_size, cluster_size - 1 AS dropped
-        |FROM r WHERE rn = 1 ORDER BY component NULLS FIRST""".stripMargin,
+        |FROM r WHERE rn = 1 ORDER BY component NULLS FIRST""".stripMargin),
     "q_dedup_near" ->
       """SELECT min(doc_id) AS canonical_doc_id, count(*) AS group_size
         |FROM (

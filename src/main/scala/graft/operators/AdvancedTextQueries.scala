@@ -286,6 +286,36 @@ object AdvancedTextQueries {
       .orderBy(asc_nulls_first("id"))
   }
 
+  /** Duplicate-cluster size distribution — the governance summary of a
+    * dedup run: how many clusters of each size the corpus contains,
+    * INCLUDING the singleton row (docs in no cluster), which is where
+    * most of a healthy corpus lives. The number a corpus owner reads to
+    * decide whether near-dup thresholds are tuned right.
+    *
+    * Plan: the component labels come from the same CC the dedup run
+    * already computes; the histogram is two tiny aggs over |clustered
+    * docs| rows, and the singleton count enters as the difference of
+    * two 1-row aggregates joined as a scalar broadcast (declared in
+    * PlanAuditSpec) — the corpus itself is scanned once, for its count.
+    */
+  def qClusterSizes(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = qDedupClusters(spark, sfDir)
+    val hist = cc.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(cc.agg(count(lit(1)).as("n_clustered"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_docs") - col("n_clustered")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    hist.unionByName(singles)
+      .groupBy("cluster_size")
+      .agg(sum(col("n_clusters")).as("n_clusters"))
+      .orderBy(asc_nulls_first("cluster_size"))
+  }
+
   /** Rounded composite quality score of a text column — shared by
     * qTextQuality (reporting) and qDedupKeepBest (ranking) so the two
     * can never diverge. Ratios of exact integer counts, one fixed IEEE

@@ -40,7 +40,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_mix_budget",
     // global (Σbal, n) average row entering the above-average filter —
     // 1 row at any scale, Q22's scalar subquery
-    "q_idle_rich")
+    "q_idle_rich",
+    // (n_docs, n_clustered) 1-row aggregates differenced into the
+    // singleton-cluster row of the size histogram
+    "q_cluster_sizes")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —

@@ -167,6 +167,24 @@ class ValidationSpec extends AnyFunSuite {
       s"unexpected verdicts: $failed")
   }
 
+  test("q_cluster_sizes: histogram accounts for every document exactly once") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_cluster_sizes")(spark, sfDir).cache()
+    // sum(size * n_clusters) == corpus size (every doc in exactly one
+    // cluster or the singleton bucket)
+    val covered = out.agg(sum($"cluster_size" * $"n_clusters")).as[Long].head()
+    assert(covered == Tables.documents(spark, sfDir).count())
+    // non-singleton buckets must agree with the CC labels directly
+    val cc = SparkEntry.queries("q_dedup_clusters")(spark, sfDir)
+    val fromCc = cc.groupBy("component").agg(count(lit(1)).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nonSingleton = out.filter($"cluster_size" > 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nonSingleton == fromCc)
+    out.unpersist()
+  }
+
   test("q_profile: key column fully distinct on clean orders; exact on planted nulls") {
     import spark.implicits._
     val out = SparkEntry.queries("q_profile")(spark, sfDir).collect()
