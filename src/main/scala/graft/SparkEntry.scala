@@ -103,6 +103,8 @@ object SparkEntry {
     "q_histogram"       -> (StatsQueries.qHistogram _),
     "q_equidepth"       -> (StatsQueries.qEquidepth _),
     "q_winsorize"       -> (StatsQueries.qWinsorize _),
+    "q_pct_change"      -> (StatsQueries.qPctChange _),
+    "q_gini"            -> (StatsQueries.qGini _),
     "q_small_parts"     -> (CompositeQueries.qSmallParts _),
     "q_dedup_canonical" -> (TextQueries.qDedupCanonical _),
     "q_window_range"    -> (WindowQueries.qWindowRangeFrame _),
@@ -1382,6 +1384,42 @@ object SparkEntry {
         |  round(max(o_totalprice), 6) + 0.0 AS hi
         |FROM t GROUP BY o_orderpriority, bucket
         |ORDER BY o_orderpriority NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_pct_change" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT day, rev_c,
+        |    lag(rev_c, 1) OVER (ORDER BY day ASC) AS prev_c
+        |  FROM daily)
+        |SELECT day, CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(rev_c - prev_c AS DOUBLE) / 100.0 AS change,
+        |  round(CAST(rev_c - prev_c AS DOUBLE) / prev_c, 6) + 0.0
+        |    AS pct_change
+        |FROM l ORDER BY day NULLS FIRST""".stripMargin,
+    "q_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS spend_c
+        |  FROM orders GROUP BY 1),
+        |lab AS (
+        |  SELECT c_mktsegment, c_custkey, spend_c,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY spend_c ASC, c_custkey ASC) AS i
+        |  FROM customer JOIN spend ON c_custkey = o_custkey),
+        |g AS (
+        |  SELECT c_mktsegment, count(*) AS n_customers,
+        |    CAST(sum(spend_c) AS BIGINT) AS s,
+        |    CAST(sum(i * spend_c) AS BIGINT) AS si
+        |  FROM lab GROUP BY 1)
+        |SELECT c_mktsegment, n_customers,
+        |  CAST(s AS DOUBLE) / 100.0 AS total_spend,
+        |  round(2 * CAST(si AS DOUBLE) / CAST(n_customers * s AS DOUBLE)
+        |    - CAST(n_customers + 1 AS DOUBLE) / n_customers, 6) + 0.0 AS gini
+        |FROM g ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
     "q_winsorize" ->
       """WITH ranked AS (
         |  SELECT c_mktsegment, c_acctbal,

@@ -245,6 +245,65 @@ object StatsQueries {
       .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("bucket"))
   }
 
+  /** Day-over-day revenue change — the period-over-period report every
+    * warehouse runs: daily order revenue with the absolute and relative
+    * change vs the previous PRESENT day (gaps inherit the last present
+    * day, standard pct-change semantics). Revenue sums in exact integer
+    * cents; the one division happens after rounding boundaries are
+    * fixed. One date-keyed aggregation plus a lag over the tiny
+    * |days|-row result — nothing after the first exchange scales with
+    * the data.
+    */
+  def qPctChange(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+    val w = Window.orderBy(col("day").asc)
+    daily
+      .withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+      .select(col("day"),
+        (col("rev_c").cast("double") / 100.0).as("revenue"),
+        ((col("rev_c") - col("prev_c")).cast("double") / 100.0).as("change"),
+        (round((col("rev_c") - col("prev_c")).cast("double") /
+          col("prev_c"), 6) + lit(0.0)).as("pct_change"))
+      .orderBy(asc_nulls_first("day"))
+  }
+
+  /** Per-segment Gini coefficient of customer order spend — the
+    * inequality measure (how concentrated is revenue among customers?),
+    * the same statistic a corpus owner runs on per-source token counts
+    * to audit mixture balance. Closed form over the ascending order
+    * statistics: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n, all sums in exact
+    * integer cents (Σ i·xᵢ stays under 2^63 while n²·x̄ does — fine to
+    * ~10⁸ customers per segment at max spend; past that, widen to
+    * DECIMAL), the division happening once in a deterministic double
+    * expression. One shuffle on custkey for the spend agg, one on the
+    * segment key for the ranking window.
+    */
+  def qGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("spend_c"))
+    val labeled = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("spend_c").asc, col("c_custkey").asc)
+    labeled
+      .withColumn("i", row_number().over(w))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend_c")).as("s"),
+        sum(col("i") * col("spend_c")).as("si"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        (col("s").cast("double") / 100.0).as("total_spend"),
+        (round(lit(2.0) * col("si").cast("double") /
+            (col("n_customers") * col("s")).cast("double") -
+            (col("n_customers") + 1).cast("double") / col("n_customers"), 6)
+          + lit(0.0)).as("gini"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
+
   /** Winsorized mean — robust aggregation: per-segment mean of account
     * balances after clipping to the exact nearest-rank [p5, p95]
     * order statistics. The outlier-robust complement of qMedian for

@@ -145,6 +145,43 @@ class StatsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("pct change: reconstructs each day's revenue from the previous day") {
+    import spark.implicits._
+    val rows = q("q_pct_change").orderBy($"day").collect()
+    assert(rows.length > 1)
+    // first present day has no predecessor
+    assert(rows.head.isNullAt(rows.head.fieldIndex("change")))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val prev = a.getAs[Double]("revenue")
+        val cur = b.getAs[Double]("revenue")
+        assert(math.abs((cur - prev) - b.getAs[Double]("change")) < 1e-6)
+        val expectPct = math.round((cur - prev) / prev * 1e6) / 1e6
+        assert(math.abs(b.getAs[Double]("pct_change") - expectPct) < 1e-6)
+      case _ =>
+    }
+  }
+
+  test("gini: in [0,1); 0 on equal toy spends, high on concentrated ones") {
+    import spark.implicits._
+    val out = q("q_gini").collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val g = r.getAs[Double]("gini"); g >= 0.0 && g < 1.0
+    })
+    // toy closed forms through the same algebra: equal spends -> 0;
+    // one customer holding everything -> (n-1)/n
+    def gini(spends: Seq[Long]): Double = {
+      val xs = spends.sorted
+      val n = xs.length
+      val s = xs.sum.toDouble
+      val si = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum.toDouble
+      2.0 * si / (n * s) - (n + 1.0) / n
+    }
+    assert(math.abs(gini(Seq(100L, 100L, 100L, 100L))) < 1e-12)
+    assert(math.abs(gini(Seq(0L, 0L, 0L, 400L)) - 0.75) < 1e-12)
+  }
+
   test("winsorize: clipped mean sits inside [p5,p95] and damps planted outliers") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
