@@ -54,6 +54,24 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment — the standard dimension-join pattern: a
+    * streaming event source joins a STATIC dimension frame (user →
+    * tier here), then aggregates per tier in tumbling windows. Spark
+    * plans the static side as a broadcast re-read per micro-batch, so
+    * the stream never re-shuffles on the join key and the state store
+    * holds only the windowed aggregate — the shape that keeps a 100 TB/
+    * day stream's enrichment cost proportional to the BATCH, not the
+    * dimension's history.
+    */
+  def enrichedTierCounts(events: DataFrame, userTiers: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(userTiers, Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("tier"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("tier"),
+        col("n_events"))
+
   /** 1-hour windows sliding every 30 minutes (each event lands in
     * exactly two windows) — the streaming twin of
     * EventQueries.qStreamSliding, same watermark/append contract as

@@ -62,6 +62,27 @@ class StreamingSmokeSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("stream-static enrichment join matches the batch per-tier counts") {
+    import spark.implicits._
+    val tiers = Tables.events(spark, sfDir).select($"user_id").distinct()
+      .select($"user_id", (pmod($"user_id", lit(3))).cast("int").as("tier"))
+    EventStreams.runToMemory(
+      EventStreams.enrichedTierCounts(
+        EventStreams.fileSource(spark, inputDir), tiers),
+      "enrich_smoke", OutputMode.Append())
+    val streamed = spark.table("enrich_smoke")
+    assert(streamed.count() > 0)
+    // every emitted (window, tier) row equals the batch recompute
+    val batch = Tables.events(spark, sfDir)
+      .join(tiers, Seq("user_id"))
+      .groupBy(window($"ts", "1 hour"), $"tier")
+      .agg(count(lit(1)).as("b_n"))
+      .select($"window.start".as("window_start"), $"tier", $"b_n")
+    val joined = streamed.join(batch, Seq("window_start", "tier"))
+    assert(joined.count() == streamed.count(), "streamed row missing from batch")
+    assert(joined.filter($"n_events" =!= $"b_n").count() == 0)
+  }
+
   test("streaming sliding windows match the batch result below the watermark") {
     import spark.implicits._
     EventStreams.runToMemory(
