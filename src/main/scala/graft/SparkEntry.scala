@@ -104,6 +104,7 @@ object SparkEntry {
     "q_equidepth"       -> (StatsQueries.qEquidepth _),
     "q_winsorize"       -> (StatsQueries.qWinsorize _),
     "q_pct_change"      -> (StatsQueries.qPctChange _),
+    "q_contingency"     -> (StatsQueries.qContingency _),
     "q_gini"            -> (StatsQueries.qGini _),
     "q_small_parts"     -> (CompositeQueries.qSmallParts _),
     "q_dedup_canonical" -> (TextQueries.qDedupCanonical _),
@@ -1384,6 +1385,26 @@ object SparkEntry {
         |  round(max(o_totalprice), 6) + 0.0 AS hi
         |FROM t GROUP BY o_orderpriority, bucket
         |ORDER BY o_orderpriority NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_contingency" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+        |    count(*) AS observed
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT segment, priority, observed,
+        |    CAST(sum(observed) OVER (PARTITION BY segment) AS BIGINT) AS r,
+        |    CAST(sum(observed) OVER (PARTITION BY priority) AS BIGINT) AS c,
+        |    CAST(sum(observed) OVER () AS BIGINT) AS n
+        |  FROM g),
+        |u AS (
+        |  SELECT segment, priority, observed,
+        |    CAST(r AS DOUBLE) * c / n AS e
+        |  FROM t)
+        |SELECT segment, priority, observed,
+        |  round(e, 6) + 0.0 AS expected,
+        |  round((observed - e) * (observed - e) / e, 6) + 0.0 AS contribution
+        |FROM u ORDER BY segment NULLS FIRST, priority NULLS FIRST""".stripMargin,
     "q_pct_change" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

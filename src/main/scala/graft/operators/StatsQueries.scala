@@ -245,6 +245,36 @@ object StatsQueries {
       .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("bucket"))
   }
 
+  /** Contingency analysis of market segment × order priority: observed
+    * counts, independence-expected counts E = rowΣ·colΣ/N, and each
+    * cell's χ² contribution (O−E)²/E with standardized sign available
+    * from O vs E. Emitted PER CELL deliberately: every value is one
+    * deterministic double expression over exact integer counts — a
+    * cross-cell χ² total would sum doubles in engine-dependent order,
+    * so the (tiny) final fold is left to the reader of the 25-row grid.
+    *
+    * One fact shuffle for the grid counts; row/col/total sums are
+    * windows over the |segments|×|priorities| grid, never the data.
+    */
+  def qContingency(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("observed"))
+    val e = (sum(col("observed")).over(Window.partitionBy("segment"))
+        .cast("double") *
+      sum(col("observed")).over(Window.partitionBy("priority")) /
+      sum(col("observed")).over(Window.partitionBy())).as("e")
+    grid.select(col("segment"), col("priority"), col("observed"), e)
+      .select(col("segment"), col("priority"), col("observed"),
+        (round(col("e"), 6) + lit(0.0)).as("expected"),
+        (round((col("observed") - col("e")) * (col("observed") - col("e")) /
+          col("e"), 6) + lit(0.0)).as("contribution"))
+      .orderBy(asc_nulls_first("segment"), asc_nulls_first("priority"))
+  }
+
   /** Day-over-day revenue change — the period-over-period report every
     * warehouse runs: daily order revenue with the absolute and relative
     * change vs the previous PRESENT day (gaps inherit the last present

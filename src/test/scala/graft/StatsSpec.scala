@@ -145,6 +145,26 @@ class StatsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("contingency: margins consistent, expected sums to N, contributions >= 0") {
+    import spark.implicits._
+    val rows = q("q_contingency").collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("observed")).sum
+    // expected counts sum back to N (up to per-cell rounding)
+    val eSum = rows.map(_.getAs[Double]("expected")).sum
+    assert(math.abs(eSum - n) < 1e-3 * n)
+    assert(rows.forall(_.getAs[Double]("contribution") >= 0.0))
+    // spot-check one cell's expectation from the margins
+    val bySeg = rows.groupBy(_.getAs[String]("segment"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("observed")).sum }
+    val byPrio = rows.groupBy(_.getAs[String]("priority"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("observed")).sum }
+    val cell = rows.head
+    val want = bySeg(cell.getAs[String]("segment")).toDouble *
+      byPrio(cell.getAs[String]("priority")) / n
+    assert(math.abs(cell.getAs[Double]("expected") - want) < 1e-4)
+  }
+
   test("pct change: reconstructs each day's revenue from the previous day") {
     import spark.implicits._
     val rows = q("q_pct_change").orderBy($"day").collect()
