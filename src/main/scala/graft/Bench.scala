@@ -32,33 +32,69 @@ object Bench {
 
     // Warm every query once (JIT + codegen compilation dominate a cold
     // first run — measured 13 s vs 1.3 s steady-state on one scalar
-    // query), then measure three further executions and record the MIN.
+    // query), then measure `reps` further executions and record the MIN.
     // A single measured execution has no defense against a transiently
     // contended host (an unrelated process stealing the cores inflates
-    // one run 10-60x); the min of three is the number that reflects the
-    // PLAN, which is what a long-running cluster job sees. The median is
+    // one run 10-60x); the min is the number that reflects the PLAN,
+    // which is what a long-running cluster job sees. The median is
     // reported alongside so contention remains visible in the artifact.
+    //
+    // Reps are INTERLEAVED round-robin across the whole query set (rep
+    // 1 of every query, then rep 2 of every query, …), not back-to-back
+    // per query: a multi-minute contention burst then inflates one rep
+    // of many queries — which min() discards — instead of every rep of
+    // a few queries, which r6 showed produces 15x phantom regressions
+    // (q_unpivot 4.17s recorded vs 0.55s steady-state in a fresh JVM).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) => run(fn) }
+
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    for (_ <- 0 until reps; (name, fn) <- ordered) {
+      val t = run(fn)
+      if (t >= 0) times(name) = times.getOrElse(name, Vector.empty) :+ t
+    }
+    // Re-certify the slowest tail: the queries whose numbers drive the
+    // round-over-round comparison get extra, later-in-time reps, so a
+    // burst that happened to span all earlier reps still can't stick a
+    // false regression on them.
+    val slowest = times.toSeq
+      .filter(_._2.nonEmpty).sortBy(-_._2.min).take(8).map(_._1).toSet
+    for (_ <- 0 until 2; (name, fn) <- ordered if slowest(name)) {
+      val t = run(fn)
+      if (t >= 0) times(name) = times(name) :+ t
+    }
 
     // EVERY printed line is small (<120 bytes): the recording harness
     // captures only a log tail, and a single giant JSON line loses its
     // head to the tail window (it did, three rounds running — per-query
     // maps inlined in the summary pushed the head out). One JSON line
-    // per query as it completes makes any tail self-sufficient, and the
-    // machine-readable summary is ONE SHORT line that always fits.
-    val results = ordered.map { case (name, fn) =>
-      val times = Seq.fill(reps)(run(fn)).filter(_ >= 0)
+    // per query makes any tail self-sufficient, and the machine-readable
+    // summary is ONE SHORT line that always fits.
+    val results = ordered.map { case (name, _) =>
+      val ts = times.getOrElse(name, Vector.empty)
       val (min, med) =
-        if (times.isEmpty) (-1.0, -1.0)
-        else (times.min, times.sorted.apply(times.size / 2))
+        if (ts.isEmpty) (-1.0, -1.0)
+        else (ts.min, ts.sorted.apply(ts.size / 2))
       println(f"""{"metric":"query","name":"$name","min":$min%.3f,"med":$med%.3f}""")
       Console.out.flush()
       (name, min, med)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMed = results.map(_._3).filter(_ >= 0).sum
+    // The recorder keeps only a 2000-char stdout tail, so the per-query
+    // map is also persisted to a file in the working tree — committed
+    // next session, it gives every round a full timing history that no
+    // tail window can clip.
+    try {
+      val qjson = results
+        .map { case (n, mn, md) => f""""$n":{"min":$mn%.3f,"med":$md%.3f}""" }
+        .mkString("{", ",", "}")
+      val w = new java.io.PrintWriter("bench_full_last.json")
+      try w.println(
+        f"""{"sf_dir":"$sfDir","total_min":$total%.3f,"total_med":$totalMed%.3f,"queries":$qjson}""")
+      finally w.close()
+    } catch { case _: Throwable => () }
     // Stop Spark BEFORE the summary line so no shutdown logging can land
     // after it — the JSON must be the final bytes of the captured tail.
     spark.stop()

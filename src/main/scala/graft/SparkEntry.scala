@@ -350,7 +350,7 @@ object SparkEntry {
        |    $zExpr AS zcell,
        |  user_id, vbucket, n_events
        |FROM cells
-       |ORDER BY zcell NULLS FIRST
+       |ORDER BY zcell NULLS FIRST, user_id NULLS FIRST, vbucket NULLS FIRST
        |LIMIT 100""".stripMargin
   }
 
@@ -1201,7 +1201,7 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
         |  FROM pts)
         |SELECT day,
-        |  sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_sessions,
+        |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  CAST(max(conc) AS BIGINT) AS peak_concurrency
         |FROM curve GROUP BY day
         |ORDER BY day NULLS FIRST""".stripMargin,
@@ -1322,7 +1322,7 @@ object SparkEntry {
         |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
         |per_doc AS (
         |  SELECT s.doc_id, count(*) AS n_shingles,
-        |    sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS n_common
+        |    CAST(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
         |  FROM sh s JOIN df d USING (sh) GROUP BY s.doc_id)
         |SELECT doc_id, n_shingles, n_common,
         |  round(CAST(n_common AS DOUBLE) / n_shingles, 6) AS boiler_ratio,

@@ -117,6 +117,11 @@ object ScaleOps {
         graft.sources.Sources.morton2(col("user_id"), col("vbucket"))
           .as("zcell"),
         col("user_id"), col("vbucket"), col("n_events"))
-      .orderBy(asc_nulls_first("zcell"))
+      // zcell alone is non-injective past 512 users/buckets (morton2
+      // keeps 9 bits per key) — tie-break on the raw keys so the cut at
+      // LIMIT 100 is deterministic at any scale, not just the sf0.01
+      // fixture's 150 users. Oracle orders identically (ZorderSql).
+      .orderBy(asc_nulls_first("zcell"), asc_nulls_first("user_id"),
+        asc_nulls_first("vbucket"))
       .limit(100)
 }

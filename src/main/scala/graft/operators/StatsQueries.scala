@@ -304,11 +304,13 @@ object StatsQueries {
     * the same statistic a corpus owner runs on per-source token counts
     * to audit mixture balance. Closed form over the ascending order
     * statistics: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n, all sums in exact
-    * integer cents (Σ i·xᵢ stays under 2^63 while n²·x̄ does — fine to
-    * ~10⁸ customers per segment at max spend; past that, widen to
-    * DECIMAL), the division happening once in a deterministic double
-    * expression. One shuffle on custkey for the spend agg, one on the
-    * segment key for the ranking window.
+    * integer cents. The rank-weighted sum Σ i·xᵢ (and the n·Σx
+    * denominator) run in decimal(38,0) — n²·x̄ passes 2^63 near 10⁸
+    * customers per segment, so a long would wrap silently; decimal is
+    * exact to 10³⁸ and overflows loudly, matching the DuckDB oracle's
+    * HUGEINT behavior. The division happens once in a deterministic
+    * double expression. One shuffle on custkey for the spend agg, one
+    * on the segment key for the ranking window.
     */
   def qGini(spark: SparkSession, sfDir: String): DataFrame = {
     val spend = Tables.orders(spark, sfDir)
@@ -324,11 +326,16 @@ object StatsQueries {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend_c")).as("s"),
-        sum(col("i") * col("spend_c")).as("si"))
+        // decimal(38,0), not long: Σ i·xᵢ ≈ n²·x̄ passes 2^63 near 10⁸
+        // customers per segment; a long sum would wrap silently there
+        // while the DuckDB oracle (HUGEINT) errors. Decimal keeps both
+        // engines exact to 10³⁸ and fails loudly (null/ANSI error), so
+        // overflow can never be a silent wrong answer.
+        sum(col("i").cast("decimal(38,0)") * col("spend_c")).as("si"))
       .select(col("c_mktsegment"), col("n_customers"),
         (col("s").cast("double") / 100.0).as("total_spend"),
         (round(lit(2.0) * col("si").cast("double") /
-            (col("n_customers") * col("s")).cast("double") -
+            (col("n_customers").cast("decimal(38,0)") * col("s")).cast("double") -
             (col("n_customers") + 1).cast("double") / col("n_customers"), 6)
           + lit(0.0)).as("gini"))
       .orderBy(asc_nulls_first("c_mktsegment"))
