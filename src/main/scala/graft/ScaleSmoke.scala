@@ -51,6 +51,17 @@ object ScaleSmoke {
           regexp_replace(col("text"), "([a-z]+)", s"$$1x$tag").as("text"))
       }.reduce(_ unionAll _)
 
+    // replicated(k) plus the same closing boilerplate on every doc:
+    // the perturbed replicas still grow the vocabulary ~31·k, but the
+    // appended tokens are SHARED across replicas, so their share of the
+    // token stream (≈3/57, ≈2/57, ≈1/57 per doc of ~54 tokens) is
+    // scale-invariant — heavy-hitter output stays non-trivial at 16x
+    // instead of diluting to zero rows.
+    def replicatedHot(k: Int): DataFrame =
+      replicated(k).select(col("doc_id"),
+        concat(col("text"),
+          lit(" corpus corpus corpus quality quality data")).as("text"))
+
     val baseSrc = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
 
     // same disjoint-token replication, source kept: each source's
@@ -139,11 +150,23 @@ object ScaleSmoke {
         .select(explode(TextQueries.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))),
       // MG sketch pass + candidate-only confirm. The replicas make the
-      // vocabulary GROW 31·k (disjoint token spaces) while k=128 state
-      // stays fixed — the vocabulary-independence claim measured. Past
-      // 4x no token clears 1% (each replica dilutes shares), so rows
-      // drop to 0 while the timed work — sketch scan + confirm — remains.
-      "heavy_hitters_mg" -> (k => AnalyticsQueries.heavyHittersFrom(spark, replicated(k))),
+      // vocabulary GROW ~31·k (disjoint token spaces) while k=128 state
+      // stays fixed — the vocabulary-independence claim measured. The
+      // corpus is replicatedHot, not replicated: pure disjoint
+      // replication divides every token's share by k, so past 4x
+      // nothing cleared 1% and the smoke timed an operator with an
+      // empty threshold set (r6 rows 47-49 reported 0 rows). The
+      // shared per-doc hot tokens hold a scale-INVARIANT >1% share, so
+      // the sketch→confirm→threshold path stays exercised at every
+      // scale while the vocabulary still grows with k.
+      "heavy_hitters_mg" -> (k => AnalyticsQueries.heavyHittersFrom(spark, replicatedHot(k))),
+      // exact vs sketch column profile (see ValidationQueries): the
+      // exact form's Expand multiplies agg input rows by (cols+1); the
+      // HLL form's curve must track the scan alone
+      "profile_exact" -> (k => ValidationQueries.profile(
+        replicatedEvents(k), Seq("event_id", "user_id", "ts", "event_type"))),
+      "profile_approx" -> (k => ValidationQueries.profileApprox(
+        replicatedEvents(k), Seq("event_id", "user_id", "ts", "event_type"))),
       // 10 fixed iterations; disjoint order replicas share partkeys so
       // co-occurrence counts grow with k and the thresholded edge set
       // densifies toward the pair-space ceiling — rounds stay 10, so

@@ -23,6 +23,7 @@ object SparkEntry {
     "q_scan_project"    -> (CoreQueries.qScanProject _),
     "q_filter"          -> (CoreQueries.qFilter _),
     "q_wordcount"       -> (CoreQueries.qWordcount _),
+    "q_wordcount_unicode" -> (CoreQueries.qWordcountUnicode _),
     "q_inverted_index"  -> (CoreQueries.qInvertedIndex _),
     "q_inverted_index_capped" -> (CoreQueries.qInvertedIndexCapped _),
     "q_join_inner"      -> (JoinQueries.qJoinInner _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "q_text_quality"    -> (AdvancedTextQueries.qTextQuality _),
     "q_token_count"     -> (AdvancedTextQueries.qTokenCount _),
     "q_bpe_pairs"       -> (AdvancedTextQueries.qBpePairs _),
+    "q_bpe_merges"      -> (AdvancedTextQueries.qBpeMerges _),
     "q_source_overlap"  -> (AdvancedTextQueries.qSourceOverlap _),
     "q_lang_id"         -> (AdvancedTextQueries.qLangId _),
     "q_fuzzy_match"     -> (AdvancedTextQueries.qFuzzyMatch _),
@@ -393,8 +395,62 @@ object SparkEntry {
       "\nORDER BY rank DESC, node NULLS FIRST"
   }
 
+  /** k UNROLLED BPE merge rounds (generated like PagerankSql — the
+    * round count is the SAME constant the Spark loop runs,
+    * `AdvancedTextQueries.BpeMergeRounds`, so the two sides cannot
+    * drift). Each round: zip-unnest adjacent symbol pairs, argmax with
+    * the (count DESC, left, right) tie-break, then the identical
+    * two-pass literal boundary replace the engine applies — `replace`
+    * is leftmost-non-overlapping in both engines, which is the whole
+    * reason this loop is oracle-expressible.
+    */
+  private val BpeMergesSql: String = {
+    val k = operators.AdvancedTextQueries.BpeMergeRounds
+    val head =
+      """WITH v1 AS (
+        |  SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s, cnt
+        |  FROM (
+        |    SELECT t AS word, count(*) AS cnt FROM (
+        |      SELECT unnest(list_filter(
+        |        string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t
+        |      FROM documents) tok
+        |    GROUP BY t) wc)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      val mergeNext =
+        if (r == k) ""
+        else s""",
+           |v${r + 1} AS (
+           |  SELECT replace(replace(v.s,
+           |      ' ' || b.left_sym || ' ' || b.right_sym || ' ',
+           |      ' ' || b.left_sym || b.right_sym || ' '),
+           |      ' ' || b.left_sym || ' ' || b.right_sym || ' ',
+           |      ' ' || b.left_sym || b.right_sym || ' ') AS s, v.cnt
+           |  FROM v$r v CROSS JOIN best$r b)""".stripMargin
+      s"""pairs$r AS (
+         |  SELECT left_sym, right_sym, CAST(sum(cnt) AS BIGINT) AS pair_count
+         |  FROM (
+         |    SELECT unnest(list_slice(l, 1, len(l) - 1)) AS left_sym,
+         |           unnest(list_slice(l, 2, len(l))) AS right_sym, cnt
+         |    FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS l,
+         |                 cnt
+         |          FROM v$r) q
+         |    WHERE len(l) >= 2) p
+         |  GROUP BY 1, 2),
+         |best$r AS (
+         |  SELECT left_sym, right_sym, pair_count FROM pairs$r
+         |  ORDER BY pair_count DESC, left_sym ASC, right_sym ASC LIMIT 1)""".stripMargin +
+        mergeNext
+    }.mkString(",\n")
+    val steps = (1 to k).map { r =>
+      s"""SELECT CAST($r AS INT) AS step, left_sym, right_sym,
+         |  left_sym || right_sym AS merged, pair_count FROM best$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    head + ",\n" + rounds + "\n" + steps + "\nORDER BY step"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> PagerankSql,
+    "q_bpe_merges" -> BpeMergesSql,
     "q_bm25" -> Bm25Sql,
     "q_ewma" -> EwmaSql,
     "q_embed_centroid" ->
@@ -497,6 +553,17 @@ object SparkEntry {
     "q_wordcount" ->
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |  FROM documents) t
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+    // \p{L} is the identical Unicode letter category in Java regex
+    // (Spark) and RE2 (DuckDB); translate manufactures multi-script
+    // tokens from the ASCII fixture so the agreement is actually
+    // exercised (see CoreQueries.qWordcountUnicode).
+    "q_wordcount_unicode" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(
+        |    lower(translate(lower(text), 'aeiou', 'αєиωю')),
+        |    '[^\p{L}]+')) AS word
         |  FROM documents) t
         |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
     "q_inverted_index" ->

@@ -741,6 +741,85 @@ object AdvancedTextQueries {
       .limit(20)
   }
 
+  /** Merge rounds q_bpe_merges trains. Small enough that the unrolled
+    * oracle CTE chain stays readable; ≥3 so the loop demonstrably
+    * re-pairs over merged symbols (later rounds merge multi-char
+    * symbols earlier rounds created).
+    */
+  val BpeMergeRounds = 6
+
+  /** Iterative BPE training — the k-round merge loop qBpePairs is one
+    * step of: each round counts adjacent-symbol pairs over the vocab
+    * (weighted by word frequency), merges the most frequent pair
+    * everywhere, and re-pairs over the merged symbols. Output: one row
+    * per round — the merge table a tokenizer trainer persists.
+    *
+    * Scale design mirrors qBpePairs: AGGREGATE-BEFORE-EXPLODE. The
+    * corpus collapses once to (word, count) — the only corpus-sized
+    * shuffle — and every round's pair count + merge runs over the
+    * DISTINCT vocabulary (Heaps'-law sized), lazily checkpointed per
+    * round like GraphOps.pageRank so plans don't grow with k. Each
+    * round takes ONE driver action fetching ONE row (the argmax pair —
+    * the same bounded-collect pattern as q_heavy_hitters' sketch); the
+    * merge itself is a codegen'd literal replace, never a regex.
+    *
+    * Merge semantics: symbols live in a space-delimited string
+    * (" h e l l o "); merging (x, y) is TWO leftmost-non-overlapping
+    * literal replaces of " x y " with " xy " (two passes because
+    * adjacent occurrences share a boundary space; two always reach the
+    * fixpoint). This coincides with textbook greedy left-to-right BPE
+    * except inside self-overlapping runs of a doubled symbol
+    * ("aaaaa" tokenizes (aa)(a)(aa) instead of (aa)(aa)(a)) — an
+    * explicitly-chosen deterministic variant, because `replace` has
+    * IDENTICAL semantics in Spark and DuckDB, which is what makes the
+    * k-round loop oracle-checkable at all (no SQL engine can express
+    * the stateful left-to-right scan).
+    */
+  def qBpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    bpeMergesFrom(spark, Tables.documents(spark, sfDir), BpeMergeRounds)
+
+  /** Frame-parameterized body of [[qBpeMerges]]. */
+  def bpeMergesFrom(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    var v = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      // " h e l l o " — every symbol surrounded by spaces so a merge
+      // is a literal substring replace
+      .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"),
+        col("cnt"))
+      .localCheckpoint(false)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to k) {
+      val best = v
+        .select(col("cnt"), filter(split(col("s"), " "), x => x =!= "").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), col("syms"),
+          explode(sequence(lit(1), size(col("syms")) - 1)).as("i"))
+        .select(element_at(col("syms"), col("i")).as("left_sym"),
+          element_at(col("syms"), col("i") + 1).as("right_sym"), col("cnt"))
+        .groupBy("left_sym", "right_sym")
+        .agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, rr, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, l, rr, c))
+        val pat = lit(s" $l $rr ")
+        val rep = lit(s" $l$rr ")
+        v = v.select(replace(replace(col("s"), pat, rep), pat, rep).as("s"),
+            col("cnt"))
+          .localCheckpoint(false)
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("step", "left_sym", "right_sym", "pair_count")
+      .select(col("step").cast("int").as("step"), col("left_sym"),
+        col("right_sym"), concat(col("left_sym"), col("right_sym")).as("merged"),
+        col("pair_count"))
+      .orderBy("step")
+  }
+
   /** Cross-source shingle overlap matrix — corpus governance: for each
     * pair of sources, the Jaccard similarity of their token-trigram
     * shingle SETS. Tells a corpus owner which sources duplicate which

@@ -56,6 +56,27 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("word")
 
+  /** The wordcount on a non-Latin corpus — proves the unicode
+    * tokenizer (`TextQueries.tokensUnicode`, `[^\p{L}]+` ≙ the
+    * reference wc's `!unicode.IsLetter`, `mrapps/wc.go:23`) agrees
+    * with the oracle engine's regex on real multi-script text. The
+    * fixture corpus is ASCII, so the scripts are manufactured
+    * deterministically IN the plan: translate() (same function, same
+    * semantics in both engines) maps vowels to Greek/Cyrillic
+    * codepoints, giving every token mixed Latin+Greek+Cyrillic
+    * letters. An ASCII tokenizer shreds every such token into
+    * consonant fragments, so the hash can only match if both engines
+    * treat the full \p{L} category — and unicode lowercasing —
+    * identically. Plan shape is qWordcount's exactly.
+    */
+  def qWordcountUnicode(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(TextQueries.tokensUnicode(
+        translate(lower(col("text")), "aeiou", "αєиωю"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
   /** Inverted index (`mrapps/indexer.go`): per word, the count of distinct
     * docs containing it plus the sorted comma-joined doc id list. The
     * per-doc distinct (the reference's `map[string]bool`) falls out of

@@ -22,9 +22,30 @@ object TextQueries {
 
   /** Tokens of `text`, lowercased, split on non-letter runs, empties
     * removed — exactly the reference's wc tokenization.
+    *
+    * ASCII BY CONTRACT: the class is [^a-z]+, so any non-Latin letter
+    * splits — on Greek/Cyrillic/CJK/accented text every token shreds
+    * to fragments or empties. The analytics queries built on this
+    * (dedup, tf-idf, BPE, entropy, lang-id, …) inherit that contract,
+    * which matches the synthetic corpus (ASCII by construction). A
+    * multilingual corpus must feed [[tokensUnicode]] instead;
+    * q_wordcount_unicode proves that form oracle-identical across
+    * engines on manufactured multi-script text.
     */
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z]+"), t => t =!= "")
+
+  /** Unicode tokens: lowercased, split on runs of non-LETTERS in the
+    * full Unicode category sense — `[^\p{L}]+` is exactly the
+    * reference wc's `!unicode.IsLetter` split (`mrapps/wc.go:23`,
+    * which the MapReduceCompat port already matches). Greek, Cyrillic,
+    * CJK and accented Latin letters all survive where [[tokens]]'
+    * ASCII class would split them. Same codegen'd split/filter shape —
+    * swapping it into any text query changes no plan, only the
+    * character class.
+    */
+  def tokensUnicode(c: Column): Column =
+    filter(split(lower(c), "[^\\p{L}]+"), t => t =!= "")
 
   /** Exact dedup: one output row per distinct text with the canonical
     * (minimum) doc_id and the duplicate count.

@@ -356,6 +356,53 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("bpe merges: toy corpus follows the hand-computed merge table") {
+    import spark.implicits._
+    // vocab: the x3, cat x1. Round 1 pairs: th 3, he 3, ca 1, at 1 —
+    // tie at 3 broken by left_sym ('h' < 't') → merge (h,e). Round 2
+    // re-pairs over MERGED symbols: (t,he) 3 wins → 'the'. Round 3:
+    // only cat remains: (a,t) 1 beats (c,a) 1 on left_sym → 'at'.
+    // Round 4: (c,at) → 'cat'. Rounds 5-6: no pairs left — the loop
+    // must stop emitting, not fail.
+    val toy = Seq((1L, "the the the cat")).toDF("doc_id", "text")
+    val got = operators.AdvancedTextQueries.bpeMergesFrom(spark, toy, 6)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "h", "e", "he", 3L),
+      (2, "t", "he", "the", 3L),
+      (3, "a", "t", "at", 1L),
+      (4, "c", "at", "cat", 1L)))
+    // doubled-symbol run: two-pass boundary replace is deterministic
+    // ("aaaa" → (aa)(aa), so round 2's best pair is (aa,aa))
+    val runs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val gotRuns = operators.AdvancedTextQueries.bpeMergesFrom(spark, runs, 2)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(gotRuns.toSeq == Seq((1, "aa", 3L), (2, "aaaa", 1L)))
+    // corpus: exactly BpeMergeRounds rows, steps 1..k, counts positive
+    // and non-increasing is NOT required (BPE counts may rise as merged
+    // symbols create new pairs), but every merged symbol is distinct
+    val out = q("q_bpe_merges").collect()
+    assert(out.length == operators.AdvancedTextQueries.BpeMergeRounds)
+    assert(out.map(_.getAs[Int]("step")).toSeq ==
+      (1 to operators.AdvancedTextQueries.BpeMergeRounds))
+    assert(out.map(_.getAs[String]("merged")).distinct.length == out.length)
+    assert(out.forall(_.getAs[Long]("pair_count") > 0))
+  }
+
+  test("unicode tokenizer keeps non-Latin scripts whole; ascii form shreds them") {
+    import spark.implicits._
+    val df = Seq("Spark 4.1 merges données and Ωmega tables; 世界 too").toDF("text")
+    val got = df.select(operators.TextQueries.tokensUnicode($"text").as("t"))
+      .as[Seq[String]].head()
+    assert(got == Seq("spark", "merges", "données", "and", "ωmega", "tables",
+      "世界", "too"))
+    val ascii = df.select(operators.TextQueries.tokens($"text").as("t"))
+      .as[Seq[String]].head()
+    assert(ascii.contains("donn") && !ascii.contains("données"))
+  }
+
   test("source overlap: jaccard algebra consistent; toy pair exact") {
     import spark.implicits._
     val out = q("q_source_overlap").cache()
