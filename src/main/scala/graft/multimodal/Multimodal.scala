@@ -4,8 +4,11 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Multimodal columns: image/audio/video as opaque binary columns with
   * typed metadata, plus the Spark-side plumbing for batch decode /
-  * feature-extract / frame-sample. The actual codecs are NOT available
-  * in this environment, so `StubDecoder` stands in — a clearly marked,
+  * feature-extract / frame-sample. Image and audio DECODE are real
+  * (JdkMediaDecoder); video METADATA is real (`ContainerMeta` parses
+  * MP4/ISO-BMFF and Matroska/WebM container headers for duration and
+  * resolution — see [[probeMetadata]]); video FRAME decode has no
+  * in-JDK codec, so `StubDecoder` stands in — a clearly marked,
   * deterministic fake — while the schema, partitioning, batch shape and
   * typed Dataset plumbing are real and tested. A production deployment
   * swaps `MediaDecoder` for one backed by javacv/ffmpeg or a JNI codec;
@@ -200,6 +203,28 @@ object Multimodal {
       col("content"),
       lit(0).as("width"), lit(0).as("height"), lit(0L).as("duration_ms"))
       .as[MediaRecord]
+  }
+
+  /** Fill intrinsic video metadata (width, height, duration_ms) from
+    * the payload's CONTAINER headers — `ContainerMeta` parses the
+    * public MP4/ISO-BMFF box tree and the Matroska/WebM EBML tree, so
+    * the values come from the real bytes, no codec needed. Non-video
+    * records and unparseable payloads pass through unchanged (per-
+    * record degradation, same policy as decode). Narrow map — keeps
+    * the input partitioning, bytes never leave their partition.
+    */
+  def probeMetadata(ds: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        if (m.kind != "video") m
+        else ContainerMeta.parse(m.content) match {
+          case Some(v) =>
+            m.copy(width = v.width, height = v.height, duration_ms = v.durationMs)
+          case None => m
+        }
+      }
+    }
   }
 
   /** Batched feature extraction: mapPartitions + grouped(batchSize), so
