@@ -60,6 +60,9 @@ object SparkEntry {
     "q_resample"        -> (EventQueries.qResample _),
     "q_ewma"            -> (EventQueries.qEwma _),
     "q_embed_centroid"  -> (SimilarityQueries.qEmbedCentroid _),
+    "q_kmeans"          -> (ClusterQueries.qKmeans _),
+    "q_diversity_sample" -> ((s: SparkSession, d: String) =>
+      ClusterQueries.qDiversitySample(s, d)),
     "q_scalar_string"   -> (ScalarQueries.qScalarString _),
     "q_scalar_date"     -> (ScalarQueries.qScalarDate _),
     "q_scalar_math"     -> (ScalarQueries.qScalarMath _),
@@ -128,6 +131,7 @@ object SparkEntry {
     "q_token_count"     -> (AdvancedTextQueries.qTokenCount _),
     "q_bpe_pairs"       -> (AdvancedTextQueries.qBpePairs _),
     "q_bpe_merges"      -> (AdvancedTextQueries.qBpeMerges _),
+    "q_bpe_encode"      -> (AdvancedTextQueries.qBpeEncode _),
     "q_source_overlap"  -> (AdvancedTextQueries.qSourceOverlap _),
     "q_lang_id"         -> (AdvancedTextQueries.qLangId _),
     "q_fuzzy_match"     -> (AdvancedTextQueries.qFuzzyMatch _),
@@ -404,7 +408,11 @@ object SparkEntry {
     * is leftmost-non-overlapping in both engines, which is the whole
     * reason this loop is oracle-expressible.
     */
-  private val BpeMergesSql: String = {
+  /** Shared k-round BPE training chain ending with best1..bestk —
+    * BpeMergesSql reads the merge table off it, BpeEncodeSql applies
+    * the same merges to every document's token stream.
+    */
+  private def bpeChainSql: String = {
     val k = operators.AdvancedTextQueries.BpeMergeRounds
     val head =
       """WITH v1 AS (
@@ -441,16 +449,154 @@ object SparkEntry {
          |  ORDER BY pair_count DESC, left_sym ASC, right_sym ASC LIMIT 1)""".stripMargin +
         mergeNext
     }.mkString(",\n")
+    head + ",\n" + rounds
+  }
+
+  private val BpeMergesSql: String = {
+    val k = operators.AdvancedTextQueries.BpeMergeRounds
     val steps = (1 to k).map { r =>
       s"""SELECT CAST($r AS INT) AS step, left_sym, right_sym,
          |  left_sym || right_sym AS merged, pair_count FROM best$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    head + ",\n" + rounds + "\n" + steps + "\nORDER BY step"
+    bpeChainSql + "\n" + steps + "\nORDER BY step"
   }
+
+  /** Tokenizer APPLY: the k trained merges re-applied to every token
+    * occurrence (same two-pass boundary replace as training), then
+    * per-document symbol counts — the encode half of the BPE story.
+    */
+  private val BpeEncodeSql: String = {
+    val k = operators.AdvancedTextQueries.BpeMergeRounds
+    val encodeRounds = (1 to k).map { r =>
+      s"""e$r AS (
+         |  SELECT doc_id, lang, word,
+         |    replace(replace(e.s,
+         |      ' ' || b.left_sym || ' ' || b.right_sym || ' ',
+         |      ' ' || b.left_sym || b.right_sym || ' '),
+         |      ' ' || b.left_sym || ' ' || b.right_sym || ' ',
+         |      ' ' || b.left_sym || b.right_sym || ' ') AS s
+         |  FROM e${r - 1} e CROSS JOIN best$r b)""".stripMargin
+    }.mkString(",\n")
+    bpeChainSql + ",\n" +
+      s"""toks AS (
+         |  SELECT doc_id, lang, unnest(list_filter(
+         |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+         |  FROM documents),
+         |e0 AS (
+         |  SELECT doc_id, lang, word,
+         |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
+         |  FROM toks),
+         |$encodeRounds
+         |SELECT doc_id, lang,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(word)) AS BIGINT) AS n_chars,
+         |  CAST(sum(len(list_filter(string_split(s, ' '), x -> x <> '')))
+         |    AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(sum(len(list_filter(string_split(s, ' '), x -> x <> '')))
+         |    AS DOUBLE) / count(*), 6) + 0.0 AS bpe_per_word
+         |FROM e$k
+         |GROUP BY doc_id, lang
+         |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
+  /** The unrolled k-means CTE chain (generated like PagerankSql — the
+    * cluster count and round count are the SAME constants the Spark
+    * loop runs, `ClusterQueries.K`/`Iters`, so the two sides cannot
+    * drift). All arithmetic is on the 1e-6 integer grid: distances are
+    * BIGINT sums of integer squares, centroid updates round
+    * half-away-from-zero — bit-identical to the engine's
+    * literal-inlined projection. Ends at `af` (final assignment with
+    * rn = 1 to keep), so both the assignment query and the
+    * diversity-sample query share one chain.
+    */
+  private def kmeansChainSql: String = {
+    val k = operators.ClusterQueries.K
+    val t = operators.ClusterQueries.Iters
+    val head =
+      s"""WITH pos AS (SELECT unnest(range(1, 65)) AS dim),
+         |q AS (
+         |  SELECT vec_id, CAST(dim AS INT) AS dim,
+         |    CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000, 0) AS BIGINT)
+         |      AS qv
+         |  FROM embeddings CROSS JOIN pos),
+         |init AS (
+         |  SELECT vec_id,
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+         |c0 AS (
+         |  SELECT i.cid, q.dim, q.qv AS qc
+         |  FROM init i JOIN q ON q.vec_id = i.vec_id)""".stripMargin
+    val rounds = (1 to t).map { i =>
+      s"""d$i AS (
+         |  SELECT q.vec_id, c.cid,
+         |    CAST(sum((q.qv - c.qc) * (q.qv - c.qc)) AS BIGINT) AS dist
+         |  FROM q JOIN c${i - 1} c ON q.dim = c.dim
+         |  GROUP BY q.vec_id, c.cid),
+         |a$i AS (
+         |  SELECT vec_id, cid, dist,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist ASC, cid ASC) AS rn
+         |  FROM d$i),
+         |c$i AS (
+         |  SELECT a.cid, q.dim,
+         |    CAST(round(CAST(sum(q.qv) AS DOUBLE) / count(*), 0) AS BIGINT)
+         |      AS qc
+         |  FROM a$i a JOIN q ON q.vec_id = a.vec_id
+         |  WHERE a.rn = 1
+         |  GROUP BY a.cid, q.dim)""".stripMargin
+    }.mkString(",\n")
+    val fin =
+      s"""df AS (
+         |  SELECT q.vec_id, c.cid,
+         |    CAST(sum((q.qv - c.qc) * (q.qv - c.qc)) AS BIGINT) AS dist
+         |  FROM q JOIN c$t c ON q.dim = c.dim
+         |  GROUP BY q.vec_id, c.cid),
+         |af AS (
+         |  SELECT vec_id, cid, dist,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist ASC, cid ASC) AS rn
+         |  FROM df)""".stripMargin
+    head + ",\n" + rounds + ",\n" + fin
+  }
+
+  private val KmeansSql: String =
+    kmeansChainSql +
+      """
+        |SELECT e.vec_id, e.label, a.cid AS cluster, a.dist AS dist_sq
+        |FROM af a JOIN embeddings e ON e.vec_id = a.vec_id
+        |WHERE a.rn = 1
+        |ORDER BY e.vec_id NULLS FIRST""".stripMargin
+
+  private val DiversitySampleSql: String =
+    kmeansChainSql +
+      """,
+        |win AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(0.4 * (len(list_distinct(toks)) * 1.0 / len(toks)) +
+        |          0.4 * (1.0 - len(list_filter(toks, t -> t = 'the' OR t = 'a'))
+        |                 * 1.0 / len(toks)) +
+        |          0.2 * least(CAST(list_sum(list_transform(toks, t -> length(t)))
+        |                 AS DOUBLE) / len(toks) / 10.0, 1.0), 6) + 0.0
+        |      AS quality_score
+        |  FROM (SELECT doc_id, list_filter(
+        |          string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |        FROM documents) d),
+        |ranked AS (
+        |  SELECT w.cid AS cluster, u.doc_id, u.quality_score,
+        |    CAST(row_number() OVER (PARTITION BY w.cid
+        |      ORDER BY u.quality_score DESC, u.doc_id ASC) AS INT) AS rank
+        |  FROM win w JOIN qual u ON u.doc_id = w.vec_id)
+        |SELECT cluster, rank, doc_id, quality_score FROM ranked
+        |WHERE rank <= 3
+        |ORDER BY cluster NULLS FIRST, rank ASC""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> PagerankSql,
     "q_bpe_merges" -> BpeMergesSql,
+    "q_kmeans" -> KmeansSql,
+    "q_diversity_sample" -> DiversitySampleSql,
+    "q_bpe_encode" -> BpeEncodeSql,
     "q_bm25" -> Bm25Sql,
     "q_ewma" -> EwmaSql,
     "q_embed_centroid" ->

@@ -820,6 +820,55 @@ object AdvancedTextQueries {
       .orderBy("step")
   }
 
+  /** Tokenizer APPLY — the encode half of the BPE story q_bpe_merges
+    * trains: re-run the k merge rounds, then apply the learned merge
+    * table (in training order, same two-pass boundary replace) to
+    * every token occurrence and report per-document symbol counts.
+    * n_bpe_tokens / n_words is the compression the learned vocab buys —
+    * the number a tokenizer-budget planner actually needs per corpus
+    * slice.
+    *
+    * Scale: the merge table is O(k) driver state (it IS the model);
+    * encoding inlines it as k·2 literal replaces — a pure codegen'd
+    * projection over the exploded token stream, NO join and NO extra
+    * exchange (the only shuffle is the per-doc count, the wordcount
+    * exchange). The alternative — encode the distinct vocab once and
+    * join back — trades those replace CPU cycles for a corpus-sized
+    * shuffle; at 100 TB the projection wins unless k grows to
+    * real-tokenizer size (30k merges), where the vocab join becomes
+    * the right plan.
+    */
+  def qBpeEncode(spark: SparkSession, sfDir: String): DataFrame =
+    bpeEncodeFrom(spark, Tables.documents(spark, sfDir))
+
+  /** Frame-parameterized body of [[qBpeEncode]]. */
+  def bpeEncodeFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val merges = bpeMergesFrom(spark, docs, BpeMergeRounds)
+      .select("left_sym", "right_sym").collect().toSeq
+      .map(r => (r.getString(0), r.getString(1)))
+    val spaced = concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+    val encoded = merges.foldLeft(spaced) { case (c, (l, r)) =>
+      val pat = lit(s" $l $r ")
+      val rep = lit(s" $l$r ")
+      replace(replace(c, pat, rep), pat, rep)
+    }
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("word"))
+      .select(col("doc_id"), col("lang"), col("word"),
+        size(filter(split(encoded, " "), x => x =!= ""))
+          .cast("long").as("n_sym"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        (round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+          + lit(0.0)).as("bpe_per_word"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
   /** Cross-source shingle overlap matrix — corpus governance: for each
     * pair of sources, the Jaccard similarity of their token-trigram
     * shingle SETS. Tells a corpus owner which sources duplicate which

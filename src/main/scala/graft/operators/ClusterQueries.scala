@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** K-means clustering over the embeddings table (Lloyd's algorithm) and
+  * the cluster-stratified sampling built on top of it — the semantic
+  * bucketing a training-data pipeline runs to measure corpus coverage
+  * and pick a diverse, high-quality subset (per-cluster quotas instead
+  * of a global score cut, so no semantic region is silently dropped).
+  *
+  * Scale design (the MLlib KMeans shape, re-derived on DataFrames):
+  * the model is O(k·dim) — 8×64 longs here — so each Lloyd round is
+  *   1. ONE corpus scan that assigns every vector to its nearest
+  *      centroid with the centroids inlined as LITERALS (a pure
+  *      codegen'd projection: no join, no broadcast variable, no
+  *      shuffle on the assignment side), and
+  *   2. ONE k×dim-cell aggregation (partial map-side combine collapses
+  *      each task's slice to ≤ k·dim rows before the exchange) whose
+  *      fixed-size result is collected to the driver as the next
+  *      round's model — the bounded-collect pattern q_heavy_hitters'
+  *      sketch and q_bpe_merges' argmax already use.
+  * Nothing in the loop holds state proportional to the corpus; at
+  * 100 TB the cost is `iters + 1` scans and `iters` tiny exchanges.
+  *
+  * Determinism (the [[SimilarityQueries.qEmbedCentroid]] recipe,
+  * extended to distances): every float quantizes to the exact 1e-6
+  * integer grid BEFORE any arithmetic. Squared L2 distances are then
+  * sums of 64 integer products ≤ ~1.2e12 each, total ≤ ~8e13 —
+  * integer-exact in double arithmetic (< 2^53), so the expansion
+  * |v|² − 2v·c + |c|² over the codegen'd [[graft.functions.DotProduct]]
+  * is bit-identical to the oracle's BIGINT sum whatever the
+  * partitioning. Centroid updates divide an exact long sum by an exact
+  * count and round half-away-from-zero — identical in Spark and DuckDB.
+  * Exactness bound: per-cluster Σ|qv| must stay below 2^53, i.e.
+  * ≲ 8e9 vectors per cluster at |v| ≤ 1.1; past that, widen the update
+  * sum to decimal(38,0) the way StatsQueries.qGini documents.
+  *
+  * Ties (a vector equidistant to two centroids) break to the smaller
+  * cluster id; clusters that lose all members drop out (k may shrink),
+  * matching the oracle's GROUP BY exactly.
+  */
+object ClusterQueries {
+
+  /** Cluster count and Lloyd rounds — the SAME constants generate the
+    * unrolled oracle CTE chain (SparkEntry.KmeansSql), so the two
+    * sides cannot drift.
+    */
+  val K = 8
+  val Iters = 3
+
+  private def vecDot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vecDot(a, b)
+
+  /** vec_id, label, and the micro-quantized (integer-valued double)
+    * vector — the only form any arithmetic below touches.
+    */
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000000, 0)).as("qv"))
+
+  /** Lloyd's k-means: `iters` (assign → update) rounds, then the final
+    * assignment under the last model. Returns one row per vector:
+    * (vec_id, label, cluster, dist_sq) with dist_sq in squared
+    * micro-units (exact integer).
+    */
+  def kmeansAssign(spark: SparkSession, emb: DataFrame,
+      k: Int = K, iters: Int = Iters): DataFrame = {
+    val q = quantized(emb).localCheckpoint(false)
+
+    // Initial model: the embeddings of the k smallest vec_ids, cluster
+    // id = rank order. Deterministic, matches the oracle's LIMIT k.
+    var centroids: Seq[(Int, Array[Double])] =
+      q.orderBy("vec_id").limit(k).collect().toSeq.zipWithIndex.map {
+        case (r, i) => (i, r.getSeq[Double](2).toArray)
+      }
+
+    // Nearest-centroid assignment as a pure projection: per-centroid
+    // distance structs (dist, cid) with the model inlined as literals;
+    // array_min's lexicographic struct order gives argmin with the
+    // smaller-cid tie-break.
+    def assigned: DataFrame = {
+      val self = vecDot(col("qv"), col("qv"))
+      val cands = centroids.map { case (cid, c) =>
+        val cSelf = c.map(x => x * x).sum // exact: integer-valued, < 2^53
+        struct(
+          (self - lit(2.0) * vecDot(col("qv"), typedLit(c.toSeq)) + lit(cSelf))
+            .cast("long").as("d"),
+          lit(cid).as("cid"))
+      }
+      q.select(col("vec_id"), col("label"), col("qv"),
+          array_min(array(cands: _*)).as("best"))
+        .select(col("vec_id"), col("label"), col("qv"),
+          col("best.cid").as("cluster"), col("best.d").as("dist_sq"))
+    }
+
+    for (_ <- 1 to iters) {
+      // New model: per-(cluster, dim) mean on the 1e-6 grid. The agg
+      // output is ≤ k·dim rows — a fixed-size model, the one driver
+      // action per round.
+      val upd = assigned
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "qd")))
+        .groupBy("cluster", "dim")
+        .agg(sum(col("qd").cast("long")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"),
+          round(col("s").cast("double") / col("n"), 0).as("qc"))
+        .collect()
+      centroids = upd.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+        val dim = rows.map(_.getInt(1)).max + 1
+        val arr = new Array[Double](dim)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        (cid, arr)
+      }.sortBy(_._1)
+    }
+    assigned.drop("qv")
+  }
+
+  /** Oracle-checked k-means: final cluster and squared distance per
+    * vector, label carried for inspection.
+    */
+  def qKmeans(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansAssign(spark, Tables.embeddings(spark, sfDir))
+      .orderBy(asc_nulls_first("vec_id"))
+
+  /** Cluster-stratified diversity sample: the top-`perCluster` documents
+    * BY QUALITY within each semantic cluster — the curation step that
+    * keeps corpus coverage (every cluster contributes) while selecting
+    * for quality inside each region. Joins the k-means assignment to
+    * the documents table on vec_id = doc_id and reuses the exact
+    * q_text_quality score.
+    *
+    * The ranking is the two-phase top-K [[AdvancedTextQueries.qLangId]]
+    * uses: phase 1 ranks inside (cluster, doc_id-hash bucket) — 32
+    * parallel partitions per cluster, none holding more than 1/32 of a
+    * cluster — and phase 2 re-ranks the ≤ 32·perCluster survivors per
+    * cluster. A window partitioned by cluster alone would sort each
+    * full cluster in ONE reducer (corpus/k rows at 100 TB).
+    */
+  def qDiversitySample(spark: SparkSession, sfDir: String,
+      perCluster: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        AdvancedTextQueries.qualityScore(col("text")).as("quality_score"))
+    val scored = kmeansAssign(spark, emb)
+      .join(docs, col("vec_id") === col("doc_id"))
+    val bucketed = Window
+      .partitionBy(col("cluster"), pmod(col("doc_id"), lit(32)))
+      .orderBy(desc("quality_score"), asc("doc_id"))
+    val perClusterW = Window.partitionBy(col("cluster"))
+      .orderBy(desc("quality_score"), asc("doc_id"))
+    scored
+      .withColumn("lrank", row_number().over(bucketed))
+      .filter(col("lrank") <= perCluster)
+      .withColumn("rank", row_number().over(perClusterW))
+      .filter(col("rank") <= perCluster)
+      .select(col("cluster"), col("rank"), col("doc_id"), col("quality_score"))
+      .orderBy(asc_nulls_first("cluster"), asc("rank"))
+  }
+}

@@ -391,6 +391,26 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("pair_count") > 0))
   }
 
+  test("bpe encode: toy corpus collapses trained words; corpus bounds hold") {
+    import spark.implicits._
+    // same toy as the merge test — merges (h,e)(t,he)(a,t)(c,at) fully
+    // collapse both words, so every word encodes to ONE symbol
+    val toy = Seq((1L, "en", "the the the cat")).toDF("doc_id", "lang", "text")
+    val got = operators.AdvancedTextQueries.bpeEncodeFrom(spark, toy).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_words") == 4L)
+    assert(r.getAs[Long]("n_chars") == 12L)
+    assert(r.getAs[Long]("n_bpe_tokens") == 4L)
+    assert(r.getAs[Double]("bpe_per_word") == 1.0)
+    // corpus: every word is at least one symbol and merges only shrink,
+    // so n_words <= n_bpe_tokens <= n_chars in every document
+    val out = q("q_bpe_encode")
+    assert(out.filter($"n_bpe_tokens" < $"n_words" ||
+      $"n_bpe_tokens" > $"n_chars").count() == 0)
+    assert(out.count() > 0)
+  }
+
   test("unicode tokenizer keeps non-Latin scripts whole; ascii form shreds them") {
     import spark.implicits._
     val df = Seq("Spark 4.1 merges données and Ωmega tables; 世界 too").toDF("text")

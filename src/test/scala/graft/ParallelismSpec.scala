@@ -66,10 +66,15 @@ class ParallelismSpec extends AnyFunSuite {
           // iterative operators (q_dedup_clusters) return a
           // localCheckpoint-backed frame: lineage is truncated by design
           // and the file scans ran inside the convergence loop, so the
-          // final plan legitimately has none — only then is empty OK
+          // final plan legitimately has none — only then is empty OK.
+          // Model-emitting operators (q_bpe_merges) go one further: the
+          // output IS the fixed-size trained model, materialized as a
+          // local relation after the per-round scans already ran — a
+          // local scan of O(k) rows is their legitimate final plan.
           def hasRddScan(p: SparkPlan): Boolean = p match {
             case a: AdaptiveSparkPlanExec => hasRddScan(a.executedPlan)
             case _: org.apache.spark.sql.execution.RDDScanExec => true
+            case _: org.apache.spark.sql.execution.LocalTableScanExec => true
             case other => other.children.exists(hasRddScan)
           }
           val checkpointBacked = hasRddScan(df.queryExecution.executedPlan)
