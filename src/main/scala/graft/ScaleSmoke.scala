@@ -267,6 +267,25 @@ object ScaleSmoke {
       }
     }
 
+    // ---- K-means: Lloyd rounds over the same jittered replicas ----
+    // Each round is ONE scan (literal-centroid assignment projection)
+    // plus ONE k x dim-cell agg whose result is the next model, so
+    // wall time must track corpus rows ~linearly; superlinear growth
+    // would mean the model exchange or the driver collect is scaling
+    // with the data, which it never may.
+    sb.append("\n## K-means (3 Lloyd rounds + final assignment, k=8)\n\n")
+    sb.append("| corpus | rows | seconds |\n|---|---|---|\n")
+    for (k <- Seq(1, 4, 16)) {
+      val corpus = replicatedEmb(k).localCheckpoint(true)
+        .select(col("vec_id"), lit(0).as("label"), col("vec").as("embedding"))
+      val nRows = corpus.count()
+      timeNoop(ClusterQueries.kmeansAssign(spark, corpus)) // warm
+      val sec = timeMin(ClusterQueries.kmeansAssign(spark, corpus))
+      val line = f"| ${k}x | $nRows | $sec%.1f |"
+      println(s"[scale] $line")
+      sb.append(line + "\n")
+    }
+
     // ---- Skew: manufactured hot key, plain vs salted wall time ----
     // ~20% of events remapped onto one user — the hot-key regime the
     // salted rewrites (ScaleOps) exist for. Auto-broadcast is disabled

@@ -93,6 +93,8 @@ object SparkEntry {
     "q_sample_hash"     -> (TextQueries.qSampleHash _),
     "q_decontaminate"   -> (TextQueries.qDecontaminate _),
     "q_decontaminate_bloom" -> (TextQueries.qDecontaminateBloom _),
+    "q_decontaminate_fuzzy" -> ((s: SparkSession, d: String) =>
+      TextQueries.qDecontaminateFuzzy(s, d)),
     "q_join_bloom"      -> (JoinQueries.qJoinBloom _),
     "q_pack"            -> ((s: SparkSession, d: String) => TextQueries.qPack(s, d)),
     "q_chunk"           -> (TextQueries.qChunk _),
@@ -1319,6 +1321,50 @@ object SparkEntry {
     // The Bloom variant must be row-identical to the exact form (no
     // false negatives + exact confirm join) — same oracle by design.
     "q_decontaminate_bloom" -> DecontaminateSql,
+    // Same band construction as q_dedup_minhash's signature (salted-md5
+    // lexicographic min), over the SAME trigram shingles as
+    // DecontaminateSql. Band ids are join-internal so 1..4 here vs 0..3
+    // in the plan is immaterial; docs under 3 tokens have no shingles,
+    // hence no bands, hence are always kept — both engines agree.
+    "q_decontaminate_fuzzy" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '')) AS t,
+        |    generate_subscripts(
+        |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                  x -> x <> ''), 1) - 1 AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS sh
+        |    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+        |  WHERE sh IS NOT NULL),
+        |bands AS (
+        |  SELECT doc_id, 1 AS band, min(md5('s1:' || sh)) AS h
+        |  FROM sh GROUP BY doc_id
+        |  UNION ALL SELECT doc_id, 2, min(md5('s2:' || sh)) FROM sh GROUP BY doc_id
+        |  UNION ALL SELECT doc_id, 3, min(md5('s3:' || sh)) FROM sh GROUP BY doc_id
+        |  UNION ALL SELECT doc_id, 4, min(md5('s4:' || sh)) FROM sh GROUP BY doc_id),
+        |probe AS (
+        |  SELECT DISTINCT band, h FROM bands WHERE doc_id % 97 = 0),
+        |matched AS (
+        |  SELECT b.doc_id FROM bands b
+        |  JOIN probe p ON b.band = p.band AND b.h = p.h
+        |  WHERE b.doc_id % 97 <> 0
+        |  GROUP BY b.doc_id
+        |  HAVING count(*) >= 1)
+        |SELECT d.lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN m.doc_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clean
+        |FROM documents d LEFT JOIN matched m ON d.doc_id = m.doc_id
+        |WHERE d.doc_id % 97 <> 0
+        |GROUP BY d.lang
+        |ORDER BY d.lang NULLS FIRST""".stripMargin,
     // Plain-join SQL: the Bloom prune only removes rows the join would
     // drop anyway (no false negatives), so the result is identical.
     "q_join_bloom" ->

@@ -222,6 +222,32 @@ class AdvancedTextSpec extends AnyFunSuite {
       "an exact probe copy survived decontamination")
   }
 
+  test("fuzzy decontamination: planted near-copy dropped, disjoint doc kept") {
+    import spark.implicits._
+    // doc 0 is the probe (0 % 97 = 0); doc 5 is an exact copy
+    // (identical shingle set -> all 4 bands match -> dropped); docs 6
+    // and 7 are shingle-disjoint -> zero bands match -> kept
+    val toy = Seq(
+      (0L, "en", "alpha beta gamma delta"),
+      (5L, "en", "alpha beta gamma delta"),
+      (6L, "en", "omicron sigma tau upsilon"),
+      (7L, "de", "zeta eta theta iota")).toDF("doc_id", "lang", "text")
+    val rows = operators.TextQueries.fuzzyDecontaminateFrom(toy).collect()
+    val en = rows.find(_.getString(0) == "en").get
+    val de = rows.find(_.getString(0) == "de").get
+    assert(en.getLong(1) == 2 && en.getLong(2) == 1 && en.getLong(3) == 1,
+      s"en row: $en (doc 5 dropped, doc 6 kept)")
+    assert(de.getLong(1) == 1 && de.getLong(2) == 0 && de.getLong(3) == 1,
+      s"de row: $de (doc 7 kept)")
+    // corpus: accounting closes and the scrub is non-trivial
+    val corpus = q("q_decontaminate_fuzzy").collect()
+    assert(corpus.forall(r => r.getLong(1) == r.getLong(2) + r.getLong(3)))
+    val dropped = corpus.map(_.getLong(2)).sum
+    val total = corpus.map(_.getLong(1)).sum
+    assert(dropped > 0 && dropped < total,
+      s"fuzzy scrub should drop some but not all ($dropped of $total)")
+  }
+
   test("pii redaction: plants scrubbed, clean text untouched") {
     import spark.implicits._
     val docs = Seq(
