@@ -61,6 +61,7 @@ object SparkEntry {
     "q_ewma"            -> (EventQueries.qEwma _),
     "q_embed_centroid"  -> (SimilarityQueries.qEmbedCentroid _),
     "q_kmeans"          -> (ClusterQueries.qKmeans _),
+    "q_kmeans_inertia"  -> (ClusterQueries.qKmeansInertia _),
     "q_diversity_sample" -> ((s: SparkSession, d: String) =>
       ClusterQueries.qDiversitySample(s, d)),
     "q_scalar_string"   -> (ScalarQueries.qScalarString _),
@@ -569,6 +570,23 @@ object SparkEntry {
         |WHERE a.rn = 1
         |ORDER BY e.vec_id NULLS FIRST""".stripMargin
 
+  /** Per-round inertia off the same chain: rounds 1..t read a1..at,
+    * round t+1 reads the final assignment af — exactly the Iters+1
+    * assignments the Spark loop scores.
+    */
+  private val KmeansInertiaSql: String = {
+    val t = operators.ClusterQueries.Iters
+    val parts = (1 to t).map(i => (i, s"a$i")) :+ ((t + 1, "af"))
+    val selects = parts.map { case (r, cte) =>
+      s"""SELECT CAST($r AS INT) AS round,
+         |  CAST(sum(dist) AS BIGINT) AS inertia,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(count(DISTINCT cid) AS INT) AS n_clusters
+         |FROM $cte WHERE rn = 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    kmeansChainSql + "\n" + selects + "\nORDER BY round"
+  }
+
   private val DiversitySampleSql: String =
     kmeansChainSql +
       """,
@@ -597,6 +615,7 @@ object SparkEntry {
     "q_pagerank" -> PagerankSql,
     "q_bpe_merges" -> BpeMergesSql,
     "q_kmeans" -> KmeansSql,
+    "q_kmeans_inertia" -> KmeansInertiaSql,
     "q_diversity_sample" -> DiversitySampleSql,
     "q_bpe_encode" -> BpeEncodeSql,
     "q_bm25" -> Bm25Sql,

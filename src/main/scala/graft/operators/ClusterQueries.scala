@@ -62,6 +62,55 @@ object ClusterQueries {
       transform(col("embedding"),
         x => round(x.cast("double") * 1000000, 0)).as("qv"))
 
+  /** Initial model: the embeddings of the k smallest vec_ids, cluster
+    * id = rank order. Deterministic, matches the oracle's LIMIT k.
+    */
+  private def initModel(q: DataFrame, k: Int): Seq[(Int, Array[Double])] =
+    q.orderBy("vec_id").limit(k).collect().toSeq.zipWithIndex.map {
+      case (r, i) => (i, r.getSeq[Double](2).toArray)
+    }
+
+  /** Nearest-centroid assignment as a pure projection: per-centroid
+    * distance structs (dist, cid) with the model inlined as literals;
+    * array_min's lexicographic struct order gives argmin with the
+    * smaller-cid tie-break.
+    */
+  private def assignWith(q: DataFrame,
+      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val self = vecDot(col("qv"), col("qv"))
+    val cands = centroids.map { case (cid, c) =>
+      val cSelf = c.map(x => x * x).sum // exact: integer-valued, < 2^53
+      struct(
+        (self - lit(2.0) * vecDot(col("qv"), typedLit(c.toSeq)) + lit(cSelf))
+          .cast("long").as("d"),
+        lit(cid).as("cid"))
+    }
+    q.select(col("vec_id"), col("label"), col("qv"),
+        array_min(array(cands: _*)).as("best"))
+      .select(col("vec_id"), col("label"), col("qv"),
+        col("best.cid").as("cluster"), col("best.d").as("dist_sq"))
+  }
+
+  /** New model from an assignment: per-(cluster, dim) mean on the 1e-6
+    * grid. The agg output is ≤ k·dim rows — a fixed-size model, the
+    * one driver action per round.
+    */
+  private def updateModel(assigned: DataFrame): Seq[(Int, Array[Double])] = {
+    val upd = assigned
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "qd")))
+      .groupBy("cluster", "dim")
+      .agg(sum(col("qd").cast("long")).as("s"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("dim"),
+        round(col("s").cast("double") / col("n"), 0).as("qc"))
+      .collect()
+    upd.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+      val dim = rows.map(_.getInt(1)).max + 1
+      val arr = new Array[Double](dim)
+      rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+      (cid, arr)
+    }.sortBy(_._1)
+  }
+
   /** Lloyd's k-means: `iters` (assign → update) rounds, then the final
     * assignment under the last model. Returns one row per vector:
     * (vec_id, label, cluster, dist_sq) with dist_sq in squared
@@ -70,52 +119,10 @@ object ClusterQueries {
   def kmeansAssign(spark: SparkSession, emb: DataFrame,
       k: Int = K, iters: Int = Iters): DataFrame = {
     val q = quantized(emb).localCheckpoint(false)
-
-    // Initial model: the embeddings of the k smallest vec_ids, cluster
-    // id = rank order. Deterministic, matches the oracle's LIMIT k.
-    var centroids: Seq[(Int, Array[Double])] =
-      q.orderBy("vec_id").limit(k).collect().toSeq.zipWithIndex.map {
-        case (r, i) => (i, r.getSeq[Double](2).toArray)
-      }
-
-    // Nearest-centroid assignment as a pure projection: per-centroid
-    // distance structs (dist, cid) with the model inlined as literals;
-    // array_min's lexicographic struct order gives argmin with the
-    // smaller-cid tie-break.
-    def assigned: DataFrame = {
-      val self = vecDot(col("qv"), col("qv"))
-      val cands = centroids.map { case (cid, c) =>
-        val cSelf = c.map(x => x * x).sum // exact: integer-valued, < 2^53
-        struct(
-          (self - lit(2.0) * vecDot(col("qv"), typedLit(c.toSeq)) + lit(cSelf))
-            .cast("long").as("d"),
-          lit(cid).as("cid"))
-      }
-      q.select(col("vec_id"), col("label"), col("qv"),
-          array_min(array(cands: _*)).as("best"))
-        .select(col("vec_id"), col("label"), col("qv"),
-          col("best.cid").as("cluster"), col("best.d").as("dist_sq"))
-    }
-
-    for (_ <- 1 to iters) {
-      // New model: per-(cluster, dim) mean on the 1e-6 grid. The agg
-      // output is ≤ k·dim rows — a fixed-size model, the one driver
-      // action per round.
-      val upd = assigned
-        .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "qd")))
-        .groupBy("cluster", "dim")
-        .agg(sum(col("qd").cast("long")).as("s"), count(lit(1)).as("n"))
-        .select(col("cluster"), col("dim"),
-          round(col("s").cast("double") / col("n"), 0).as("qc"))
-        .collect()
-      centroids = upd.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
-        val dim = rows.map(_.getInt(1)).max + 1
-        val arr = new Array[Double](dim)
-        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-        (cid, arr)
-      }.sortBy(_._1)
-    }
-    assigned.drop("qv")
+    var centroids = initModel(q, k)
+    for (_ <- 1 to iters)
+      centroids = updateModel(assignWith(q, centroids))
+    assignWith(q, centroids).drop("qv")
   }
 
   /** Oracle-checked k-means: final cluster and squared distance per
@@ -124,6 +131,42 @@ object ClusterQueries {
   def qKmeans(spark: SparkSession, sfDir: String): DataFrame =
     kmeansAssign(spark, Tables.embeddings(spark, sfDir))
       .orderBy(asc_nulls_first("vec_id"))
+
+  /** Convergence curve: total inertia (Σ dist_sq, exact integer) and
+    * active cluster count per assignment round — the monitoring row a
+    * clustering job emits each Lloyd iteration. Inertia is
+    * non-increasing by construction (each assignment minimizes against
+    * the model its round uses; each update minimizes within clusters),
+    * so a rising row = a broken loop, which is what makes this a query
+    * worth shipping next to the assignment itself. Adds ONE scalar agg
+    * action per round on top of the model collect.
+    */
+  def qKmeansInertia(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = quantized(emb).localCheckpoint(false)
+    var centroids = initModel(q, K)
+    val rows = Seq.newBuilder[(Int, Long, Long, Int)]
+    for (r <- 1 to (Iters + 1)) {
+      val a = assignWith(q, centroids)
+      // decimal(38,0) widening (the q_gini convention): a long sum of
+      // ~3e14-bounded distances wraps silently past ~30k vectors in
+      // Spark while DuckDB's HUGEINT doesn't; longValueExact turns
+      // overflow into an explicit failure on this side too.
+      val agg = a.agg(
+        sum(col("dist_sq").cast("decimal(38,0)")).as("inertia"),
+        count(lit(1)).as("n_vecs"),
+        countDistinct(col("cluster")).as("n_clusters")).collect()(0)
+      rows += ((r, agg.getDecimal(0).toBigInteger.longValueExact(),
+        agg.getLong(1), agg.getLong(2).toInt))
+      if (r <= Iters) centroids = updateModel(a)
+    }
+    import spark.implicits._
+    rows.result()
+      .toDF("round", "inertia", "n_vecs", "n_clusters")
+      .select(col("round").cast("int").as("round"), col("inertia"),
+        col("n_vecs"), col("n_clusters").cast("int").as("n_clusters"))
+      .orderBy("round")
+  }
 
   /** Cluster-stratified diversity sample: the top-`perCluster` documents
     * BY QUALITY within each semantic cluster — the curation step that

@@ -80,6 +80,23 @@ class ClusterSpec extends AnyFunSuite {
     assert(viaDot == direct)
   }
 
+  test("inertia curve: non-increasing across rounds, closes with the assignment") {
+    val rows = graft.operators.ClusterQueries
+      .qKmeansInertia(spark, sfDir)
+      .as[(Int, Long, Long, Int)].collect().toSeq
+    assert(rows.map(_._1) == (1 to graft.operators.ClusterQueries.Iters + 1))
+    // Lloyd's invariant: each assignment and each update can only
+    // lower total inertia
+    assert(rows.sliding(2).forall { case Seq(a, b) => b._2 <= a._2 },
+      s"inertia must be non-increasing: ${rows.map(_._2)}")
+    // the last round IS the shipped assignment: same total
+    val finalInertia = graft.operators.ClusterQueries
+      .kmeansAssign(spark, Tables.embeddings(spark, sfDir))
+      .agg(sum(col("dist_sq"))).as[Long].head()
+    assert(rows.last._2 == finalInertia)
+    assert(rows.forall(r => r._4 <= graft.operators.ClusterQueries.K))
+  }
+
   test("diversity sample: two-phase ranking equals the naive global window") {
     val got = ClusterQueries.qDiversitySample(spark, sfDir)
       .as[(Int, Int, Long, Double)].collect().toSeq
