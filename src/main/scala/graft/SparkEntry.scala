@@ -62,6 +62,7 @@ object SparkEntry {
     "q_embed_centroid"  -> (SimilarityQueries.qEmbedCentroid _),
     "q_kmeans"          -> (ClusterQueries.qKmeans _),
     "q_kmeans_inertia"  -> (ClusterQueries.qKmeansInertia _),
+    "q_drift_psi"       -> (AnalyticsQueries.qDriftPsi _),
     "q_diversity_sample" -> ((s: SparkSession, d: String) =>
       ClusterQueries.qDiversitySample(s, d)),
     "q_scalar_string"   -> (ScalarQueries.qScalarString _),
@@ -616,6 +617,37 @@ object SparkEntry {
     "q_bpe_merges" -> BpeMergesSql,
     "q_kmeans" -> KmeansSql,
     "q_kmeans_inertia" -> KmeansInertiaSql,
+    // q_histogram's binning + q_lm_score's micro-nat term rounding;
+    // add-one smoothing over the fixed 10-bin domain keeps ln finite,
+    // the observed-bin domain (empty-in-both excluded) is deterministic.
+    "q_drift_psi" ->
+      """WITH cnt AS (
+        |  SELECT event_type,
+        |    least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+        |    CAST(sum(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_base,
+        |    CAST(sum(CASE WHEN date_part('day', ts) <= 15 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_cur
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(n_base) AS BIGINT) AS tot_base,
+        |    CAST(sum(n_cur) AS BIGINT) AS tot_cur,
+        |    CAST(count(*) AS BIGINT) AS n_bins
+        |  FROM cnt GROUP BY 1),
+        |terms AS (
+        |  SELECT c.event_type, t.tot_base, t.tot_cur, t.n_bins,
+        |    CAST(round(
+        |      (CAST(c.n_cur + 1 AS DOUBLE) / (t.tot_cur + 10) -
+        |       CAST(c.n_base + 1 AS DOUBLE) / (t.tot_base + 10)) *
+        |      ln((CAST(c.n_cur + 1 AS DOUBLE) / (t.tot_cur + 10)) /
+        |         (CAST(c.n_base + 1 AS DOUBLE) / (t.tot_base + 10))) *
+        |      1000000, 0) AS BIGINT) AS term_micro
+        |  FROM cnt c JOIN tot t USING (event_type))
+        |SELECT event_type, max(tot_base) AS n_base, max(tot_cur) AS n_cur,
+        |  max(n_bins) AS n_bins,
+        |  CAST(sum(term_micro) AS BIGINT) AS psi_micro
+        |FROM terms GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_diversity_sample" -> DiversitySampleSql,
     "q_bpe_encode" -> BpeEncodeSql,
     "q_bm25" -> Bm25Sql,

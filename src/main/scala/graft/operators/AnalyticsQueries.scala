@@ -615,4 +615,53 @@ object AnalyticsQueries {
       .select("lang", "rank", "doc_id")
       .orderBy(asc_nulls_first("lang"), asc("rank"))
   }
+
+  /** Distribution drift (Population Stability Index) of event value per
+    * event type, first half of the month (day ≤ 15 = baseline) vs the
+    * second (current) — the feature-drift gate a pipeline owner runs
+    * before retraining on a new snapshot. PSI = Σ_bins (p−q)·ln(p/q)
+    * over fixed-width value bins (q_histogram's binning, width 50,
+    * capped at bucket 9) with add-one smoothing over the 10-bin domain
+    * so empty-on-one-side bins stay finite; <0.1 stable, >0.25 action.
+    *
+    * Determinism: p and q are double ratios of EXACT integer counts
+    * (identical in both engines), each bin's term is rounded to
+    * integer micro-nats BEFORE the per-type sum (the q_lm_score
+    * recipe) so the fold is order-independent, and bins empty in BOTH
+    * halves are excluded by construction (observed-bin domain —
+    * deterministic, documented).
+    *
+    * Scale: one fact shuffle for the (type × ≤10 bins) grid; totals
+    * re-enter as a broadcast of |types| rows; everything after the
+    * first agg runs on the tiny grid.
+    */
+  def qDriftPsi(spark: SparkSession, sfDir: String): DataFrame =
+    driftPsiFrom(Tables.events(spark, sfDir))
+
+  /** Frame-parameterized body of [[qDriftPsi]] (events need event_type,
+    * ts, value).
+    */
+  def driftPsiFrom(events: DataFrame): DataFrame = {
+    val nBins = 10
+    val cnt = events
+      .select(col("event_type"),
+        (dayofmonth(col("ts")) <= 15).as("is_base"),
+        least(floor(col("value") / 50.0), lit(9)).cast("long").as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(sum(when(col("is_base"), 1).otherwise(0)).as("n_base"),
+        sum(when(!col("is_base"), 1).otherwise(0)).as("n_cur"))
+    val tot = cnt.groupBy(col("event_type").as("t_type"))
+      .agg(sum(col("n_base")).as("tot_base"), sum(col("n_cur")).as("tot_cur"),
+        count(lit(1)).as("n_bins"))
+    val p = (col("n_cur") + 1).cast("double") / (col("tot_cur") + nBins)
+    val q = (col("n_base") + 1).cast("double") / (col("tot_base") + nBins)
+    cnt.join(broadcast(tot), col("event_type") === col("t_type"))
+      .select(col("event_type"), col("n_base"), col("n_cur"), col("n_bins"),
+        col("tot_base"), col("tot_cur"),
+        round((p - q) * log(p / q) * 1000000, 0).cast("long").as("term_micro"))
+      .groupBy("event_type")
+      .agg(max(col("tot_base")).as("n_base"), max(col("tot_cur")).as("n_cur"),
+        max(col("n_bins")).as("n_bins"), sum(col("term_micro")).as("psi_micro"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
 }

@@ -342,4 +342,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(toyOut(1L) == 0.0)
     assert(math.abs(toyOut(2L) - math.log(4.0)) < 1e-6)
   }
+
+  test("drift psi: zero for identical halves, positive for a planted shift") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // identical value distribution in both halves -> every bin's p = q
+    // -> psi exactly 0 (terms are 0 before rounding)
+    def ev(day: Int, v: Double) =
+      ("click", Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), v)
+    val same = ((1 to 10) ++ (16 to 25)).flatMap(d =>
+      Seq(ev(d, 10.0), ev(d, 60.0), ev(d, 110.0)))
+      .toDF("event_type", "ts", "value")
+    val sameOut = operators.AnalyticsQueries.driftPsiFrom(same).collect()
+    assert(sameOut.length == 1 && sameOut(0).getAs[Long]("psi_micro") == 0L)
+    // mass moves from bin 0 (baseline) to bin 9 (current) -> large psi
+    val shifted = ((1 to 10).map(d => ev(d, 10.0)) ++
+      (16 to 25).map(d => ev(d, 480.0))).toDF("event_type", "ts", "value")
+    val shiftOut = operators.AnalyticsQueries.driftPsiFrom(shifted).collect()
+    assert(shiftOut(0).getAs[Long]("psi_micro") > 250000L,
+      s"planted full shift must exceed the 0.25 action threshold: ${shiftOut.toSeq}")
+    // corpus: PSI is a sum of pointwise-nonnegative terms; accounting closes
+    val out = q("q_drift_psi").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("psi_micro") >= 0L))
+    assert(out.forall(r => r.getAs[Long]("n_bins") <= 10L))
+    val evTot = Tables.events(spark, sfDir).count()
+    assert(out.map(r => r.getAs[Long]("n_base") + r.getAs[Long]("n_cur")).sum
+      == evTot)
+  }
 }
