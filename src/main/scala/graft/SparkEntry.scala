@@ -75,6 +75,8 @@ object SparkEntry {
     "q_stream_sliding"  -> (EventQueries.qStreamSliding _),
     "q_session_window"  -> (EventQueries.qSessionWindow _),
     "q_dedup_latest"    -> (EventQueries.qDedupLatest _),
+    "q_scd2"            -> (EventQueries.qScd2 _),
+    "q_time_weighted"   -> (EventQueries.qTimeWeighted _),
     "q_shipping_priority" -> (CompositeQueries.qShippingPriority _),
     "q_regional_volume" -> (CompositeQueries.qRegionalVolume _),
     "q_ab_assign"       -> (CompositeQueries.qAbAssign _),
@@ -1217,6 +1219,49 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rn = 1
         |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+    "q_scd2" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), runs AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |  FROM flagged
+        |), agg AS (
+        |  SELECT user_id, CAST(version AS BIGINT) AS version,
+        |    min(event_type) AS event_type, min(ts) AS valid_from,
+        |    count(*) AS n_events
+        |  FROM runs GROUP BY user_id, version)
+        |SELECT user_id, version, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version ASC)
+        |    AS valid_to,
+        |  n_events
+        |FROM agg
+        |ORDER BY user_id NULLS FIRST, version NULLS FIRST""".stripMargin,
+    "q_time_weighted" ->
+      """WITH seq AS (
+        |  SELECT user_id, value, epoch_us(ts) AS us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS next_us
+        |  FROM events
+        |), agg AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    max(us) - min(us) AS duration_us,
+        |    sum(CASE WHEN next_us IS NOT NULL THEN
+        |          CAST(CAST(round(value * 100, 0) AS BIGINT) AS DECIMAL(38,0))
+        |            * (next_us - us)
+        |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS wsum
+        |  FROM seq GROUP BY user_id)
+        |SELECT user_id, n_events, duration_us,
+        |  round(CAST(wsum AS DOUBLE) / (100.0 * duration_us), 6) + 0.0 AS twa
+        |FROM agg WHERE duration_us > 0
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
     "q_shipping_priority" ->
       """SELECT l_orderkey,
         |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *

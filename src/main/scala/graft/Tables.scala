@@ -13,13 +13,19 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * cannot represent (micros only). Sessions set
+  /** Timestamp normalization across testdata generations. Older fixtures
+    * store `ts` as parquet TIMESTAMP(NANOS), which Spark cannot represent
+    * (micros only): sessions set
     * `spark.sql.legacy.parquet.nanosAsLong=true` so the column arrives as
-    * nanos-since-epoch LONG; `ts DIV 1000` truncates to micros — the
+    * nanos-since-epoch LONG, and `ts DIV 1000` truncates to micros — the
     * exact same truncation DuckDB applies reading the file, keeping the
-    * oracle comparable. Integer division only: a double roundtrip would
-    * lose precision above 2^53 ns.
+    * oracle comparable (integer division only: a double roundtrip would
+    * lose precision above 2^53 ns). Newer fixtures store micros with
+    * `isAdjustedToUTC=false`, which Spark 4 would surface as
+    * TIMESTAMP_NTZ — a type `unix_micros`/`Row.getTimestamp` reject — so
+    * sessions also set `spark.sql.parquet.inferTimestampNTZ.enabled=false`
+    * to read it as the session-UTC TIMESTAMP the whole engine (and the
+    * DuckDB oracle, which treats it as naive) already assumes.
     */
   private def eventsWithMicrosTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._

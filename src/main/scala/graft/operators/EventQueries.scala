@@ -158,4 +158,81 @@ object EventQueries {
       .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
       .orderBy(asc_nulls_first("user_id"), asc_nulls_first("event_id"))
   }
+
+  /** Type-2 slowly-changing-dimension history build: collapse each
+    * user's event stream into versioned runs of `event_type` with
+    * [valid_from, valid_to) intervals — the warehouse-dimension shape a
+    * MERGE-based SCD pipeline maintains, derived here in one pass
+    * (gaps-and-islands: lag() flags run starts, a running sum numbers
+    * them, one aggregate collapses each run, lead() closes the
+    * intervals).
+    *
+    * Scale: the change-flag and run-number windows share ONE shuffle on
+    * user_id; the aggregate collapses events to runs BEFORE the final
+    * lead() window, so the second (post-agg) exchange moves only the
+    * collapsed dimension rows — at 100 TB of events the history table is
+    * orders of magnitude smaller than the log, which is exactly the side
+    * you want re-shuffled. No global sort; per-user state is bounded.
+    */
+  def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val runs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTime).isNull ||
+          lag(col("event_type"), 1).over(byTime) =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("version",
+        sum(col("chg")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "version")
+      .agg(
+        min(col("event_type")).as("event_type"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val byVersion = Window.partitionBy("user_id").orderBy(col("version").asc)
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+      .orderBy(asc_nulls_first("user_id"), asc_nulls_first("version"))
+  }
+
+  /** Time-weighted average of `value` per user — the TSDB/metrics
+    * operator where each observation holds until the next one
+    * (zero-order hold): twa = Σ value_i·(t_{i+1}−t_i) / (t_n−t_0).
+    * Users with a single event (zero span) drop out. All weighting is
+    * exact integer arithmetic — cents (long) × micros (long) summed in
+    * decimal(38,0), so the sum is order-independent and the only
+    * float op is the final division, making the result bit-identical
+    * across engines and partitionings.
+    *
+    * Scale: one window (lead) and one aggregate, both keyed on user_id —
+    * a single exchange; decimal(38,0) accumulation cannot overflow below
+    * ~10^24 cent-micros per user (≫ any real stream).
+    */
+  def qTimeWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("next_us", lead(col("us"), 1).over(byTime))
+      .withColumn("w_cents_us",
+        when(col("next_us").isNotNull,
+          round(col("value") * 100).cast("long").cast("decimal(38,0)") *
+            (col("next_us") - col("us")))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        sum(col("w_cents_us")).as("wsum"))
+      .filter(col("duration_us") > 0)
+      .select(col("user_id"), col("n_events"), col("duration_us"),
+        (round(col("wsum").cast("double") /
+          (lit(100.0) * col("duration_us")), 6) + lit(0.0)).as("twa"))
+      .orderBy(asc_nulls_first("user_id"))
+  }
 }

@@ -81,6 +81,42 @@ class ScalarEventSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("scd2: versions partition events; intervals chain without gaps") {
+    import spark.implicits._
+    val out = q("q_scd2")
+    // Every event lands in exactly one version.
+    assert(out.agg(sum($"n_events")).as[Long].head() ==
+      Tables.events(spark, sfDir).count())
+    // Versions are 1..k per user and consecutive runs differ in type.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy($"version")
+    val bad = out
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .withColumn("prev_to", lag($"valid_to", 1).over(w))
+      .filter(($"prev_type".isNotNull && $"prev_type" === $"event_type") ||
+        ($"prev_to".isNotNull && $"prev_to" =!= $"valid_from"))
+      .count()
+    assert(bad == 0)
+    // Exactly one open (valid_to IS NULL) version per user.
+    assert(out.filter($"valid_to".isNull).groupBy("user_id").count()
+      .filter($"count" =!= 1).count() == 0)
+  }
+
+  test("time-weighted: span-positive users only; twa within value range") {
+    import spark.implicits._
+    val out = q("q_time_weighted")
+    assert(out.filter($"duration_us" <= 0).count() == 0)
+    val range = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(min($"value").as("lo"), max($"value").as("hi"))
+    // Zero-order-hold average is bounded by the per-user value range
+    // (up to the 1-cent quantization of the weights).
+    val bad = out.join(range, Seq("user_id"))
+      .filter($"twa" < $"lo" - 0.01 || $"twa" > $"hi" + 0.01)
+      .count()
+    assert(bad == 0)
+  }
+
   test("dedup latest: one row per (user, type), keeps the max ts") {
     import spark.implicits._
     val out = q("q_dedup_latest")
