@@ -110,6 +110,9 @@ object SparkEntry {
     "q_percentiles"     -> (StatsQueries.qPercentiles _),
     "q_mode"            -> (StatsQueries.qMode _),
     "q_corr"            -> (StatsQueries.qCorr _),
+    "q_corr_spearman"   -> (StatsQueries.qCorrSpearman _),
+    "q_regression"      -> (StatsQueries.qRegression _),
+    "q_benford"         -> (StatsQueries.qBenford _),
     "q_histogram"       -> (StatsQueries.qHistogram _),
     "q_equidepth"       -> (StatsQueries.qEquidepth _),
     "q_winsorize"       -> (StatsQueries.qWinsorize _),
@@ -2269,6 +2272,82 @@ object SparkEntry {
         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
         |    AS corr_qty_price
         |FROM s ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+    "q_corr_spearman" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    rank() OVER wx + count(*) OVER wx AS rx,
+        |    rank() OVER wy + count(*) OVER wy AS ry
+        |  FROM lineitem
+        |  WINDOW wx AS (PARTITION BY l_returnflag ORDER BY l_quantity ASC),
+        |         wy AS (PARTITION BY l_returnflag ORDER BY l_extendedprice ASC)
+        |), s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(rx AS HUGEINT)) AS sx,
+        |    sum(CAST(ry AS HUGEINT)) AS sy,
+        |    sum(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy,
+        |    sum(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+        |    sum(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy
+        |  FROM r GROUP BY l_returnflag)
+        |SELECT l_returnflag, n AS n_rows,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
+        |    AS spearman_qty_price
+        |FROM s ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+    "q_regression" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment,
+        |    CAST(round(c_acctbal * 100, 0) AS HUGEINT) AS x,
+        |    CAST(round(o_totalprice * 100, 0) AS HUGEINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), s AS (
+        |  SELECT c_mktsegment, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM j GROUP BY c_mktsegment
+        |), d AS (
+        |  SELECT c_mktsegment, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM s)
+        |SELECT c_mktsegment, n AS n_orders,
+        |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) + 0.0
+        |    AS slope,
+        |  round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+        |         * sxd) / nd / 100.0, 6) + 0.0 AS intercept,
+        |  round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd) /
+        |    ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) + 0.0
+        |    AS r2
+        |FROM d ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    "q_benford" -> {
+      val cases = StatsQueries.BenfordExpected
+        .map { case (d, p) => s"WHEN $d THEN ${p.toString}" }
+        .mkString(" ")
+      s"""WITH grid AS (
+        |  SELECT o_orderpriority,
+        |    CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2
+        |), t AS (
+        |  SELECT o_orderpriority, digit, n_orders,
+        |    CAST(sum(n_orders) OVER (PARTITION BY o_orderpriority)
+        |      AS BIGINT) AS total,
+        |    CASE digit $cases END AS expf
+        |  FROM grid)
+        |SELECT o_orderpriority, digit, n_orders,
+        |  round(CAST(n_orders AS DOUBLE) / total, 6) + 0.0 AS obs_freq,
+        |  round(expf, 6) + 0.0 AS exp_freq,
+        |  round((CAST(n_orders AS DOUBLE) / total - expf)
+        |    * (CAST(n_orders AS DOUBLE) / total - expf)
+        |    / expf * total, 6) + 0.0 AS chi2_term
+        |FROM t
+        |ORDER BY o_orderpriority NULLS FIRST, digit NULLS FIRST""".stripMargin
+    },
     "q_histogram" ->
       """SELECT bucket, bucket * 50000 AS lo, (bucket + 1) * 50000 AS hi,
         |  count(*) AS n_orders

@@ -377,4 +377,138 @@ object StatsQueries {
           + lit(0.0)).as("winsorized_mean"))
       .orderBy(asc_nulls_first("c_mktsegment"))
   }
+
+  /** Spearman rank correlation of (quantity, extendedprice) per return
+    * flag — the outlier-robust companion to qCorr's Pearson. Tied
+    * values take average (fractional) ranks; to keep every intermediate
+    * exact we carry DOUBLED ranks, which are integers: 2·avg_rank =
+    * rank() + count() over the same ordered window (the default RANGE
+    * frame counts all peers, i.e. the tie group's max rank; rank() is
+    * its min). Correlation is affine-invariant, so Pearson on the
+    * doubled ranks IS Spearman. Power sums run in decimal(38,0)
+    * (ranks ≤ 2n ⇒ products ≤ 4n², within 38 digits to n ~ 10^17);
+    * the final formula is one deterministic double expression.
+    *
+    * Scale: both rank windows sort within the SAME returnflag
+    * partitioning — one exchange, two in-partition sorts, then a
+    * map-side-combinable aggregate. No joins, no second shuffle.
+    */
+  def qCorrSpearman(spark: SparkSession, sfDir: String): DataFrame = {
+    def ranks2(v: Column, name: String): Column = {
+      val w = Window.partitionBy("l_returnflag").orderBy(v.asc)
+      (rank().over(w) + count(lit(1)).over(w)).cast("decimal(38,0)").as(name)
+    }
+    val ranked = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .select(col("l_returnflag"),
+        ranks2(col("l_quantity"), "rx"),
+        ranks2(col("l_extendedprice"), "ry"))
+    ranked
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("rx")).cast("double").as("sx"),
+        sum(col("ry")).cast("double").as("sy"),
+        sum(col("rx") * col("ry")).cast("double").as("sxy"),
+        sum(col("rx") * col("rx")).cast("double").as("sxx"),
+        sum(col("ry") * col("ry")).cast("double").as("syy"))
+      .select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        (round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6) + lit(0.0))
+          .as("spearman_qty_price"))
+      .orderBy(asc_nulls_first("l_returnflag"))
+  }
+
+  /** Per-segment ordinary-least-squares fit of order total on customer
+    * balance (slope, intercept, r²) — the regr_slope/regr_intercept/
+    * regr_r2 family assembled from exact integer-cents power sums in
+    * decimal(38,0), because the built-in regr_* aggregates sum doubles
+    * in partition order (non-deterministic under AQE) and their
+    * interpolation dialects differ across engines. The final three
+    * formulas are each one deterministic double expression.
+    *
+    * Scale: one broadcast of the customer dim side? No — both tables
+    * are fact-sized; the join shuffles on custkey, then ONE hash
+    * aggregate on the 5-row segment key with map-side combine. The
+    * power sums are the only state — O(segments) rows after the agg.
+    */
+  def qRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val joined = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+        col("o_custkey") === col("c_custkey"))
+    val x = cents(col("c_acctbal")).cast("decimal(38,0)")
+    val y = cents(col("o_totalprice")).cast("decimal(38,0)")
+    // num/den duplicated (not pow/shared-ref) so the IEEE op sequence is
+    // spelled out identically here and in the oracle SQL.
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    joined
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      .select(
+        col("c_mktsegment"),
+        col("n").cast("long").as("n_orders"),
+        (round(num / den, 6) + lit(0.0)).as("slope"),
+        (round((col("sy") - num / den * col("sx")) /
+          col("n") / 100.0, 6) + lit(0.0)).as("intercept"),
+        (round(num * num /
+          (den * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          + lit(0.0)).as("r2"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
+
+  /** Benford first-significant-digit audit of order totals per order
+    * priority — the classic fabricated-data screen: natural
+    * multi-magnitude amounts follow P(d) = log10(1+1/d); a flat or
+    * spiked digit histogram flags synthetic or constrained data. The
+    * digit is extracted EXACTLY: totalprice → integer cents (×100
+    * preserves the leading significant digit) → first character of the
+    * long's decimal string — no log10/pow roundtrip whose last-ulp
+    * disagreement between engines could flip a digit near a power of
+    * ten. Expected frequencies enter both engines as shared round-trip
+    * double literals (BenfordExpected, the EWMA generated-literal
+    * recipe).
+    *
+    * Scale: one hash aggregate to the (priority × 9 digits) grid with
+    * map-side combine; totals re-enter via a window over the ≤45-row
+    * grid — post-agg tiny, no second data shuffle (q_drift_psi's
+    * shape).
+    */
+  val BenfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+  def qBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    val expected = BenfordExpected.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    val grid = Tables.orders(spark, sfDir)
+      .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"), col("o_orderpriority"))
+      .groupBy(col("o_orderpriority"), col("digit"))
+      .agg(count(lit(1)).as("n_orders"))
+    val wTot = Window.partitionBy("o_orderpriority")
+    grid
+      .withColumn("total", sum(col("n_orders")).over(wTot))
+      .select(
+        col("o_orderpriority"), col("digit"), col("n_orders"),
+        (round(col("n_orders").cast("double") / col("total"), 6) + lit(0.0))
+          .as("obs_freq"),
+        (round(expected, 6) + lit(0.0)).as("exp_freq"),
+        (round(
+          (col("n_orders").cast("double") / col("total") - expected) *
+            (col("n_orders").cast("double") / col("total") - expected) /
+            expected * col("total"), 6) + lit(0.0)).as("chi2_term"))
+      .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("digit"))
+  }
 }

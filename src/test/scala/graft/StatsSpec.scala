@@ -32,6 +32,57 @@ class StatsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("spearman in [-1,1] and matches built-in corr over the same doubled ranks") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def r2(c: String) = {
+      val w = Window.partitionBy("l_returnflag").orderBy(col(c).asc)
+      rank().over(w) + count(lit(1)).over(w)
+    }
+    val ref = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", r2("l_quantity").as("rx"),
+        r2("l_extendedprice").as("ry"))
+      .groupBy("l_returnflag").agg(corr($"rx", $"ry").as("ref"))
+    val bad = q("q_corr_spearman").join(ref, "l_returnflag")
+      .filter($"spearman_qty_price" < -1 || $"spearman_qty_price" > 1 ||
+        abs($"spearman_qty_price" - $"ref") > 1e-4)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("regression matches built-in regr_slope/intercept/r2 to 1e-4; r2 in [0,1]") {
+    import spark.implicits._
+    val ref = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        $"o_custkey" === $"c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(
+        expr("regr_slope(o_totalprice, c_acctbal)").as("ref_slope"),
+        expr("regr_intercept(o_totalprice, c_acctbal)").as("ref_icept"),
+        expr("regr_r2(o_totalprice, c_acctbal)").as("ref_r2"))
+    val bad = q("q_regression").join(ref, "c_mktsegment")
+      .filter($"r2" < 0 || $"r2" > 1 ||
+        abs($"slope" - $"ref_slope") > 1e-4 ||
+        abs($"intercept" - $"ref_icept") > 1e-4 ||
+        abs($"r2" - $"ref_r2") > 1e-4)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("benford: digits 1-9, per-priority freqs sum to 1, counts cover all orders") {
+    import spark.implicits._
+    val out = q("q_benford")
+    assert(out.filter($"digit" < 1 || $"digit" > 9).count() == 0)
+    assert(out.agg(sum($"n_orders")).as[Long].head() ==
+      Tables.orders(spark, sfDir).count())
+    val bad = out.groupBy("o_orderpriority")
+      .agg(sum($"obs_freq").as("so"), sum($"exp_freq").as("se"))
+      // obs rounds to 6 dp per digit: 9 digits bound the drift at 9e-6
+      .filter(abs($"so" - 1.0) > 1e-5 || abs($"se" - 1.0) > 1e-5)
+      .count()
+    assert(bad == 0)
+  }
+
   test("qCorr digit-group split is row-identical to the DECIMAL(38,0) comparator") {
     // the docstring's claimed equivalence proof: same rows, same doubles,
     // bit for bit — both forms assemble the identical exact integer sums
