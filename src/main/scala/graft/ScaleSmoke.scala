@@ -77,14 +77,14 @@ object ScaleSmoke {
       }.reduce(_ unionAll _)
 
     val events = Tables.events(spark, sfDir)
-      .select("event_id", "user_id", "ts", "event_type")
+      .select("event_id", "user_id", "ts", "event_type", "value")
 
     def replicatedEvents(k: Int): DataFrame =
       (0 until k).map { i =>
         events.select(
           (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
           (col("user_id") + lit(i.toLong * 10000000L)).as("user_id"),
-          col("ts"), col("event_type"))
+          col("ts"), col("event_type"), col("value"))
       }.reduce(_ unionAll _)
 
     val lineitem = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
@@ -180,7 +180,13 @@ object ScaleSmoke {
       "attribution" -> (k => BehaviorQueries.attributionFrom(replicatedEvents(k))),
       // distributed count agg; the single-partition cumsum only ever
       // sees the post-limit vocab rows no matter how the corpus grows
-      "vocab_coverage" -> (k => TextQueries.vocabCoverageFrom(replicated(k))))
+      "vocab_coverage" -> (k => TextQueries.vocabCoverageFrom(replicated(k))),
+      // two windows + agg sharing one user_id exchange; replicas are
+      // disjoint users so runs (and output rows) grow linearly
+      "scd2_history" -> (k => EventQueries.scd2From(replicatedEvents(k))),
+      // one lead window + one keyed agg, single exchange; output rows
+      // = distinct multi-event users, linear in replicas
+      "time_weighted" -> (k => EventQueries.timeWeightedFrom(replicatedEvents(k))))
 
     val sb = new StringBuilder
     sb.append("# Operator scaling smoke (corpus replicated with disjoint token/user spaces)\n\n")

@@ -83,6 +83,7 @@ object SparkEntry {
     "q_snapshot_diff"   -> (CompositeQueries.qSnapshotDiff _),
     "q_funnel"          -> (BehaviorQueries.qFunnel _),
     "q_retention"       -> (BehaviorQueries.qRetention _),
+    "q_cohort_ltv"      -> (BehaviorQueries.qCohortLtv _),
     "q_rolling_active"  -> (BehaviorQueries.qRollingActive _),
     "q_transitions"     -> (BehaviorQueries.qTransitions _),
     "q_cooccur"         -> (BehaviorQueries.qCooccur _),
@@ -113,6 +114,8 @@ object SparkEntry {
     "q_corr_spearman"   -> (StatsQueries.qCorrSpearman _),
     "q_regression"      -> (StatsQueries.qRegression _),
     "q_benford"         -> (StatsQueries.qBenford _),
+    "q_mutual_info"     -> (StatsQueries.qMutualInfo _),
+    "q_overlap_kmv"     -> (AnalyticsQueries.qOverlapKmv _),
     "q_histogram"       -> (StatsQueries.qHistogram _),
     "q_equidepth"       -> (StatsQueries.qEquidepth _),
     "q_winsorize"       -> (StatsQueries.qWinsorize _),
@@ -137,6 +140,7 @@ object SparkEntry {
     "q_idle_rich"       -> (CompositeQueries.qIdleRich _),
     "q_fingerprint"     -> (AdvancedTextQueries.qFingerprint _),
     "q_text_quality"    -> (AdvancedTextQueries.qTextQuality _),
+    "q_readability"     -> (AdvancedTextQueries.qReadability _),
     "q_token_count"     -> (AdvancedTextQueries.qTokenCount _),
     "q_bpe_pairs"       -> (AdvancedTextQueries.qBpePairs _),
     "q_bpe_merges"      -> (AdvancedTextQueries.qBpeMerges _),
@@ -1392,6 +1396,21 @@ object SparkEntry {
         |FROM act a JOIN cohorts c ON a.user_id = c.user_id
         |GROUP BY c.cohort_day, day_offset
         |ORDER BY cohort_day NULLS FIRST, day_offset NULLS FIRST""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+        |  FROM events GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.cw AS cohort_week,
+        |  CAST(date_diff('day', c.cw, p.w) / 7 AS INT) AS age_weeks,
+        |  count(DISTINCT p.user_id) AS n_buyers,
+        |  round(CAST(sum(p.cents) AS DOUBLE) / 100.0, 6) + 0.0 AS revenue
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week NULLS FIRST, age_weeks NULLS FIRST""".stripMargin,
     // Oracle uses the textbook distinct self-join; the Spark plan groups
     // per order and explodes sorted pairs (same result, half the scans).
     "q_cooccur" ->
@@ -2323,6 +2342,69 @@ object SparkEntry {
         |    ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) + 0.0
         |    AS r2
         |FROM d ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    "q_overlap_kmv" ->
+      s"""WITH pts AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) AS h
+        |  FROM (SELECT DISTINCT event_type, user_id FROM events)
+        |), sk AS (
+        |  SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY h ASC)
+        |        AS rn
+        |    FROM pts) WHERE rn <= ${AnalyticsQueries.KmvK}
+        |), ty AS (SELECT DISTINCT event_type FROM sk),
+        |pairs AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2
+        |  FROM ty a JOIN ty b ON a.event_type < b.event_type),
+        |pooled AS (
+        |  SELECT p.t1, p.t2, s.h,
+        |    max(CASE WHEN s.event_type = p.t1 THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN s.event_type = p.t2 THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p JOIN sk s
+        |    ON s.event_type = p.t1 OR s.event_type = p.t2
+        |  GROUP BY p.t1, p.t2, s.h),
+        |kept AS (
+        |  SELECT * FROM (
+        |    SELECT t1, t2, h, in_a, in_b,
+        |      row_number() OVER (PARTITION BY t1, t2 ORDER BY h ASC) AS rn
+        |    FROM pooled) WHERE rn <= ${AnalyticsQueries.KmvK}),
+        |agg AS (
+        |  SELECT t1, t2, count(*) AS k_used, max(h) AS theta,
+        |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_common
+        |  FROM kept GROUP BY t1, t2)
+        |SELECT t1, t2, k_used, n_common,
+        |  round(CAST(n_common AS DOUBLE) / k_used, 6) + 0.0 AS jaccard_est,
+        |  round(CASE WHEN k_used < ${AnalyticsQueries.KmvK}
+        |      THEN CAST(k_used AS DOUBLE)
+        |      ELSE ${(AnalyticsQueries.KmvK - 1).toDouble} /
+        |        (CAST(theta AS DOUBLE) / 1152921504606846976.0) END, 6)
+        |    + 0.0 AS union_est,
+        |  round((CAST(n_common AS DOUBLE) / k_used) *
+        |    (CASE WHEN k_used < ${AnalyticsQueries.KmvK}
+        |      THEN CAST(k_used AS DOUBLE)
+        |      ELSE ${(AnalyticsQueries.KmvK - 1).toDouble} /
+        |        (CAST(theta AS DOUBLE) / 1152921504606846976.0) END), 6)
+        |    + 0.0 AS inter_est
+        |FROM agg ORDER BY t1 NULLS FIRST, t2 NULLS FIRST""".stripMargin,
+    "q_mutual_info" ->
+      """WITH grid AS (
+        |  SELECT event_type, hour(ts) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, hour, n,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_type,
+        |    CAST(sum(n) OVER (PARTITION BY hour) AS BIGINT) AS n_hour,
+        |    CAST(sum(n) OVER () AS BIGINT) AS tot
+        |  FROM grid)
+        |SELECT event_type, hour, n, n_type, n_hour,
+        |  CAST(round((CAST(n AS DOUBLE) / tot) *
+        |    ln(CAST(n AS DOUBLE) * tot / (CAST(n_type AS DOUBLE) * n_hour))
+        |    * 1000000, 0) AS BIGINT) AS mi_term_micro
+        |FROM t
+        |ORDER BY event_type NULLS FIRST, hour NULLS FIRST""".stripMargin,
     "q_benford" -> {
       val cases = StatsQueries.BenfordExpected
         .map { case (d, p) => s"WHEN $d THEN ${p.toString}" }
@@ -2469,6 +2551,28 @@ object SparkEntry {
         |     ((pos * 2654435761) % 1000003)) % 1000000007
         |  ) % 1000000007 AS BIGINT) AS fingerprint
         |FROM tok GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> x <> '') AS toks,
+        |    greatest(1, len(list_filter(
+        |      string_split_regex(lower(text), '[.!?]+'),
+        |      s -> regexp_matches(s, '[a-z]')))) AS n_sentences,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS runs
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(len(toks) AS INT) AS n_words,
+        |  CAST(n_sentences AS INT) AS n_sentences,
+        |  CAST(runs + len(list_filter(toks,
+        |    w -> NOT regexp_matches(w, '[aeiouy]'))) AS INT) AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(len(toks) AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(runs + len(list_filter(toks,
+        |        w -> NOT regexp_matches(w, '[aeiouy]'))) AS DOUBLE)
+        |      / len(toks)), 6) + 0.0 AS flesch
+        |FROM t WHERE len(toks) > 0
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id, lang,
         |  CAST(len(toks) AS INT) AS n_tokens,

@@ -500,6 +500,42 @@ object AdvancedTextQueries {
       .orderBy(asc_nulls_first("lang"))
   }
 
+  /** Per-document Flesch reading-ease score — the readability signal
+    * next to q_text_quality's ratio features: 206.835 − 1.015·(words/
+    * sentences) − 84.6·(syllables/words). Sentences are letter-bearing
+    * `[.!?]+` segments (floored at 1); syllables use the standard
+    * vowel-group heuristic, counted EXACTLY as regex matches —
+    * `[aeiouy]+` runs over the whole lowered text (runs cannot span a
+    * word boundary, a non-letter, so the text-wide count equals the
+    * per-word sum) plus one for each vowel-less word (the ≥1-syllable
+    * floor). All counts are integers; the final formula is one double
+    * expression, identical in both engines.
+    *
+    * Scale: a narrow scan-only projection — no explode, no shuffle
+    * beyond the output sort; every count is codegen'd column algebra
+    * on the doc's own text.
+    */
+  def qReadability(spark: SparkSession, sfDir: String): DataFrame = {
+    val low = lower(col("text"))
+    val toks = tokens(col("text"))
+    val nWords = size(toks)
+    val nSent = greatest(lit(1),
+      size(filter(split(low, "[.!?]+"), s => s.rlike("[a-z]"))))
+    val runs = size(regexp_extract_all(low, lit("[aeiouy]+"), lit(0)))
+    val noVowel = size(filter(toks, w => not(w.rlike("[aeiouy]"))))
+    val nSyll = runs + noVowel
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        nWords.as("n_words"), nSent.as("n_sentences"),
+        nSyll.as("n_syllables"),
+        (round(lit(206.835)
+          - lit(1.015) * (nWords.cast("double") / nSent)
+          - lit(84.6) * (nSyll.cast("double") / nWords), 6) + lit(0.0))
+          .as("flesch"))
+      .filter(col("n_words") > 0)
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
   /** Per-document quality score from type-token ratio, stopword ratio
     * and average token length — all ratios of exact integer counts, so
     * both engines divide identical values.

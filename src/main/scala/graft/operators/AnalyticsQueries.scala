@@ -664,4 +664,75 @@ object AnalyticsQueries {
         max(col("n_bins")).as("n_bins"), sum(col("term_micro")).as("psi_micro"))
       .orderBy(asc_nulls_first("event_type"))
   }
+
+  /** KMV (k-minimum-values, the theta-sketch core) audience-overlap
+    * estimates between every pair of event types: Jaccard ≈
+    * |common points below θ| / k, union ≈ (k−1)/θ, intersection =
+    * their product — the set-operation sketch HLL cannot provide
+    * (HLL unions but never intersects). Unlike the HLL/GK sketches
+    * this one is ORACLE-CHECKED: the k minimum md5-points of a set are
+    * a deterministic function of its members, so both engines build
+    * bit-identical sketches (seed-free md5 → top-15-hex-chars 60-bit
+    * integers; when a pair's union carries fewer than k points the
+    * sketch degenerates to the exact count, by construction).
+    *
+    * Scale: ONE data-sized exchange (distinct (type, user)); the
+    * per-type k-smallest runs two-phase (local top-k per 32-way hash
+    * bucket, re-rank the ≤32k survivors — qLangId's recipe, and the
+    * bucket phase cannot change the k smallest, so the Spark-only
+    * bucketing never diverges from the direct oracle); everything
+    * pairwise operates on sketch rows (|types|·k), tiny at any corpus
+    * size. The types×types pair grid is a schema-bounded broadcast
+    * cross join, declared in PlanAuditSpec's dimensionGridBroadcasts.
+    */
+  val KmvK = 64
+  def qOverlapKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = KmvK
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"),
+        conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))),
+          1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val phase1 = pts
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("event_type"), pmod(hash(col("h")), lit(32)))
+          .orderBy(col("h").asc)))
+      .filter(col("prn") <= K)
+    val sk = phase1
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("h").asc)))
+      .filter(col("rn") <= K)
+      .select(col("event_type"), col("h"))
+    val types = sk.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("t1"))
+      .crossJoin(broadcast(types.select(col("event_type").as("t2"))))
+      .filter(col("t1") < col("t2"))
+    val pooled = pairs
+      .select(col("t1"), col("t2"),
+        explode(array(col("t1"), col("t2"))).as("mt"))
+      .join(sk, col("mt") === col("event_type"))
+      .groupBy(col("t1"), col("t2"), col("h"))
+      .agg(max(when(col("mt") === col("t1"), 1).otherwise(0)).as("in_a"),
+        max(when(col("mt") === col("t2"), 1).otherwise(0)).as("in_b"))
+    val kept = pooled
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("t1", "t2").orderBy(col("h").asc)))
+      .filter(col("rn") <= K)
+    val twoPow60 = 1152921504606846976.0 // 2^60, exact double
+    val unionEst = when(col("k_used") < K, col("k_used").cast("double"))
+      .otherwise(lit((K - 1).toDouble) /
+        (col("theta").cast("double") / lit(twoPow60)))
+    val jac = col("n_common").cast("double") / col("k_used")
+    kept.groupBy("t1", "t2")
+      .agg(count(lit(1)).as("k_used"),
+        max(col("h")).as("theta"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1).otherwise(0))
+          .as("n_common"))
+      .select(col("t1"), col("t2"), col("k_used"), col("n_common"),
+        (round(jac, 6) + lit(0.0)).as("jaccard_est"),
+        (round(unionEst, 6) + lit(0.0)).as("union_est"),
+        (round(jac * unionEst, 6) + lit(0.0)).as("inter_est"))
+      .orderBy(asc_nulls_first("t1"), asc_nulls_first("t2"))
+  }
 }

@@ -100,6 +100,36 @@ object BehaviorQueries {
       .orderBy(asc_nulls_first("cohort_day"), asc_nulls_first("day_offset"))
   }
 
+  /** Cohort lifetime-value matrix: users grouped by first-touch ISO
+    * week, purchase revenue summed per (cohort week × age-in-weeks)
+    * cell — the LTV curve read along each cohort row, the revenue
+    * companion to qRetention's active-user counts. Week age is exact
+    * integer algebra: both week starts are Mondays, so the day
+    * difference is an exact multiple of 7 and the division truncates
+    * nothing (no float months_between); revenue sums in integer cents.
+    *
+    * Scale: the cohort map is one user_id aggregate; purchases join it
+    * on the same user_id hashing (co-partitioned, no extra exchange
+    * shape), then collapse straight to the (weeks × ages) grid —
+    * everything after the join is map-side combinable into a few
+    * hundred cells regardless of corpus size.
+    */
+  def qCohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val cohorts = ev.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cw"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("w"),
+        round(col("value") * 100).cast("long").as("cents"))
+    purchases.join(cohorts, "user_id")
+      .groupBy(col("cw").as("cohort_week"),
+        (datediff(col("w"), col("cw")) / 7).cast("int").as("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"),
+        (round(sum(col("cents")).cast("double") / 100.0, 6) + lit(0.0))
+          .as("revenue"))
+      .orderBy(asc_nulls_first("cohort_week"), asc_nulls_first("age_weeks"))
+  }
+
   /** Per-user event-transition matrix (first-order Markov statistics):
     * for each (from, to) event-type pair, the transition count and the
     * conditional probability P(to | from) — the behavioral model behind

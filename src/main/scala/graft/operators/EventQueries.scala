@@ -174,10 +174,16 @@ object EventQueries {
     * orders of magnitude smaller than the log, which is exactly the side
     * you want re-shuffled. No global sort; per-user state is bounded.
     */
-  def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
+  def qScd2(spark: SparkSession, sfDir: String): DataFrame =
+    scd2From(Tables.events(spark, sfDir))
+
+  /** DataFrame-core SCD2 build — graft.ScaleSmoke drives this on
+    * replicated user spaces.
+    */
+  def scd2From(events: DataFrame): DataFrame = {
     val byTime = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)
-    val runs = Tables.events(spark, sfDir)
+    val runs = events
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("chg",
         when(lag(col("event_type"), 1).over(byTime).isNull ||
@@ -212,10 +218,14 @@ object EventQueries {
     * a single exchange; decimal(38,0) accumulation cannot overflow below
     * ~10^24 cent-micros per user (≫ any real stream).
     */
-  def qTimeWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+  def qTimeWeighted(spark: SparkSession, sfDir: String): DataFrame =
+    timeWeightedFrom(Tables.events(spark, sfDir))
+
+  /** DataFrame-core time-weighted average — ScaleSmoke entry point. */
+  def timeWeightedFrom(events: DataFrame): DataFrame = {
     val byTime = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)
-    Tables.events(spark, sfDir)
+    events
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("next_us", lead(col("us"), 1).over(byTime))

@@ -469,6 +469,41 @@ object StatsQueries {
       .orderBy(asc_nulls_first("c_mktsegment"))
   }
 
+  /** Mutual information between event type and hour-of-day — the
+    * dependence screen behind "is behavior time-of-day-specific":
+    * MI = Σ (n_xy/N)·ln(n_xy·N/(n_x·n_y)) over the contingency grid,
+    * emitted per cell in exact micro-nats (each term rounded to an
+    * integer BEFORE any summation — q_drift_psi's recipe, making any
+    * downstream total order-independent). Complements q_contingency's
+    * chi-square-style expected counts with the information-theoretic
+    * form.
+    *
+    * Scale: one data shuffle to the (types × 24) grid with map-side
+    * combine; all three marginal windows (type, hour, grand total) run
+    * over the post-agg ≤|types|·24-row grid — nothing after the first
+    * exchange scales with the data.
+    */
+  def qMutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = Tables.events(spark, sfDir)
+      .select(col("event_type"), hour(col("ts")).as("hour"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"))
+    val nx = sum(col("n")).over(Window.partitionBy("event_type"))
+    val ny = sum(col("n")).over(Window.partitionBy("hour"))
+    val nTot = sum(col("n")).over(Window.partitionBy())
+    grid
+      .withColumn("n_type", nx)
+      .withColumn("n_hour", ny)
+      .withColumn("tot", nTot)
+      .select(col("event_type"), col("hour"), col("n"),
+        col("n_type"), col("n_hour"),
+        round((col("n").cast("double") / col("tot")) *
+          log(col("n").cast("double") * col("tot") /
+            (col("n_type").cast("double") * col("n_hour"))) * 1000000, 0)
+          .cast("long").as("mi_term_micro"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("hour"))
+  }
+
   /** Benford first-significant-digit audit of order totals per order
     * priority — the classic fabricated-data screen: natural
     * multi-magnitude amounts follow P(d) = log10(1+1/d); a flat or

@@ -220,6 +220,49 @@ object EventStreams {
       }
   }
 
+  case class CusumCarry(sPos: Double, sNeg: Double)
+  case class CusumOut(user_id: Long, event_id: Long, value: Double,
+      s_pos: Double, s_neg: Double, alarm: Boolean)
+
+  /** Streaming CUSUM changepoint detector per user: the Page (1954)
+    * sequential drift alarm S⁺ ← max(0, S⁺ + (x−μ−κ)),
+    * S⁻ ← max(0, S⁻ − (x−μ+κ)), alarm when either side crosses h, then
+    * reset both — inherently recursive (each step depends on the
+    * clamped previous), so it has no batch SQL form; this is the
+    * stateful-streaming twin of q_drift_psi's batch two-window gate.
+    * O(1) state per user (two doubles), sharded with the shuffle;
+    * rows process in (ts, event_id) order per micro-batch, so on a
+    * time-ordered replay the emitted sequence equals the sequential
+    * fold exactly (StreamingSmokeSpec proves bit-equality, the EWMA
+    * recipe). μ/κ/h are fixed detector constants: κ the half-shift
+    * declared worth detecting, h the accumulated-evidence threshold.
+    */
+  val CusumTarget = 500.0  // μ: in-control mean of `value`
+  val CusumSlack = 50.0    // κ: allowance (half the shift to detect)
+  val CusumThreshold = 500.0 // h: alarm when S exceeds this
+  def cusumState(spark: SparkSession, events: DataFrame): Dataset[CusumOut] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[EwmaEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumCarry, CusumOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[EwmaEvent], state: GroupState[CusumCarry]) =>
+          val ordered = batch.toSeq.sortBy(e => (e.tsUs, e.event_id))
+          var carry = state.getOption.getOrElse(CusumCarry(0.0, 0.0))
+          val out = ordered.map { e =>
+            val sPos = math.max(0.0, carry.sPos + (e.value - CusumTarget - CusumSlack))
+            val sNeg = math.max(0.0, carry.sNeg - (e.value - CusumTarget + CusumSlack))
+            val alarm = sPos > CusumThreshold || sNeg > CusumThreshold
+            carry = if (alarm) CusumCarry(0.0, 0.0) else CusumCarry(sPos, sNeg)
+            CusumOut(uid, e.event_id, e.value,
+              math.rint(sPos * 1e6) / 1e6, math.rint(sNeg * 1e6) / 1e6, alarm)
+          }
+          state.update(carry)
+          out.iterator
+      }
+  }
+
   case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
       event_id: Long, event_type: String) {
     def tsUs: Long = ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L

@@ -282,6 +282,24 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("readability: covers all docs, syllables >= words, flesch formula holds") {
+    import spark.implicits._
+    val out = q("q_readability")
+    assert(out.count() == nDocs)
+    // every word contributes >= 1 syllable (the floor), and a sentence
+    // needs at least one word
+    val bad = out.filter($"n_syllables" < $"n_words" ||
+      $"n_sentences" < 1 || $"n_words" < 1).count()
+    assert(bad == 0)
+    // the emitted score is the formula over the emitted counts
+    val mism = out.filter(
+      abs($"flesch" - (lit(206.835)
+        - lit(1.015) * ($"n_words".cast("double") / $"n_sentences")
+        - lit(84.6) * ($"n_syllables".cast("double") / $"n_words"))) > 1e-5)
+      .count()
+    assert(mism == 0)
+  }
+
   test("lang id: confusion matrix counts every classified doc exactly once") {
     import spark.implicits._
     val total = q("q_lang_id").agg(sum($"n_docs")).as[Long].head()

@@ -343,6 +343,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(toyOut(2L) - math.log(4.0)) < 1e-6)
   }
 
+  test("kmv overlap: jaccard/union estimates track the exact sets within bound") {
+    import spark.implicits._
+    val exact = {
+      val s = Tables.events(spark, sfDir)
+        .select($"event_type", $"user_id").distinct()
+      s.as("a").join(s.as("b"),
+          $"a.user_id" === $"b.user_id" &&
+            $"a.event_type" < $"b.event_type")
+        .groupBy($"a.event_type".as("t1"), $"b.event_type".as("t2"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(s.groupBy($"event_type".as("t1")).agg(count(lit(1)).as("na")), "t1")
+        .join(s.groupBy($"event_type".as("t2")).agg(count(lit(1)).as("nb")), "t2")
+        .select($"t1", $"t2", $"n_inter",
+          ($"na" + $"nb" - $"n_inter").as("n_union"))
+    }
+    val out = q("q_overlap_kmv")
+    assert(out.count() > 0)
+    // KMV Jaccard se <= sqrt(J(1-J)/k) <= 1/(2*sqrt(64)) = 0.0625; 4x slack
+    val bad = out.join(exact, Seq("t1", "t2"))
+      .filter(
+        abs($"jaccard_est" - $"n_inter".cast("double") / $"n_union") > 0.25 ||
+          abs($"union_est" - $"n_union") > $"n_union" * 0.4)
+      .count()
+    assert(bad == 0)
+    // when a union fits inside the sketch, the estimate is exact
+    val mism = out.join(exact, Seq("t1", "t2"))
+      .filter($"k_used" < AnalyticsQueries.KmvK &&
+        ($"union_est" =!= $"n_union".cast("double") ||
+         $"n_common" =!= $"n_inter"))
+      .count()
+    assert(mism == 0)
+  }
+
   test("drift psi: zero for identical halves, positive for a planted shift") {
     import spark.implicits._
     import java.sql.Timestamp

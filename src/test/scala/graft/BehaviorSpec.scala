@@ -95,6 +95,22 @@ class BehaviorSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("cohort ltv: ages non-negative, revenue conserves total purchase value") {
+    import spark.implicits._
+    val out = q("q_cohort_ltv").cache()
+    assert(out.filter($"age_weeks" < 0 || $"n_buyers" < 1).count() == 0)
+    // cell revenues sum to the corpus purchase total (cents-exact)
+    val total = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .agg(sum(round($"value" * 100).cast("long"))).as[Long].head()
+    val cells = out.agg(sum(round($"revenue" * 100).cast("long")))
+      .as[Long].head()
+    assert(cells == total, s"cell revenue $cells != purchase total $total")
+    // some purchases land in the cohort's own first week
+    assert(out.filter($"age_weeks" === 0).count() > 0)
+    out.unpersist()
+  }
+
   test("cooccur: pairs canonical (p1 < p2), counts bounded by order count") {
     import spark.implicits._
     val co = q("q_cooccur").cache()

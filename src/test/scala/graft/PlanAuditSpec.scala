@@ -54,7 +54,10 @@ class PlanAuditSpec extends AnyFunSuite {
   private val dimensionGridBroadcasts = Set("q_resample",
     // probe×centroid cross join: the centroid table is nLists rows
     // (corpus-size-independent) — the probe side must stream
-    "ann_ivf_topk")
+    "ann_ivf_topk",
+    // event-type × event-type pair grid (|types|² rows, schema-bounded);
+    // everything data-sized happened before, in the sketch build
+    "q_overlap_kmv")
 
   private def flatten(plan: SparkPlan): Seq[SparkPlan] = plan match {
     case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)

@@ -83,6 +83,22 @@ class StatsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("mutual info: cells conserve N, marginals consistent, MI non-negative") {
+    import spark.implicits._
+    val out = q("q_mutual_info").cache()
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(out.agg(sum($"n")).as[Long].head() == nEvents)
+    // each type's cells sum to its marginal
+    val bad = out.groupBy("event_type", "n_type")
+      .agg(sum($"n").as("s")).filter($"s" =!= $"n_type").count()
+    assert(bad == 0)
+    // MI >= 0 up to the per-cell half-micro-nat rounding slack
+    val cells = out.count()
+    val miMicro = out.agg(sum($"mi_term_micro")).as[Long].head()
+    assert(miMicro >= -cells, s"MI $miMicro micro-nats below rounding slack")
+    out.unpersist()
+  }
+
   test("qCorr digit-group split is row-identical to the DECIMAL(38,0) comparator") {
     // the docstring's claimed equivalence proof: same rows, same doubles,
     // bit for bit — both forms assemble the identical exact integer sums

@@ -279,6 +279,39 @@ class StreamingSmokeSpec extends AnyFunSuite {
     assert(mism == 0, s"$mism events diverge from the sequential recursion")
   }
 
+  test("streaming cusum equals the sequential clamped fold on the ordered replay") {
+    import spark.implicits._
+    EventStreams.runToMemory(
+      EventStreams.cusumState(spark,
+        EventStreams.fileSource(spark, inputDir)).toDF(),
+      "cusum_smoke", OutputMode.Update())
+    val streamed = spark.table("cusum_smoke")
+      .select($"event_id", $"s_pos", $"s_neg", $"alarm").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    val (mu, k, h) = (EventStreams.CusumTarget, EventStreams.CusumSlack,
+      EventStreams.CusumThreshold)
+    val rows = Tables.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      var (p, n) = (0.0, 0.0)
+      es.sortBy(e => (e._2, e._3)).toSeq.map { case (_, _, id, v) =>
+        val sPos = math.max(0.0, p + (v - mu - k))
+        val sNeg = math.max(0.0, n - (v - mu + k))
+        val alarm = sPos > h || sNeg > h
+        if (alarm) { p = 0.0; n = 0.0 } else { p = sPos; n = sNeg }
+        id -> ((math.rint(sPos * 1e6) / 1e6, math.rint(sNeg * 1e6) / 1e6, alarm))
+      }
+    }
+    assert(streamed.size == rows.length, "one emission per event expected")
+    val mism = expected.count { case (id, e) => streamed(id) != e }
+    assert(mism == 0, s"$mism events diverge from the sequential CUSUM fold")
+    // the detector is live on this fixture: at least one alarm fires
+    assert(expected.exists(_._2._3), "fixture never crosses the CUSUM threshold")
+  }
+
   test("streaming anomaly moments converge to the batch moment sums exactly") {
     import spark.implicits._
     EventStreams.runToMemory(
