@@ -84,6 +84,8 @@ object SparkEntry {
     "q_funnel"          -> (BehaviorQueries.qFunnel _),
     "q_retention"       -> (BehaviorQueries.qRetention _),
     "q_cohort_ltv"      -> (BehaviorQueries.qCohortLtv _),
+    "q_churn"           -> (BehaviorQueries.qChurn _),
+    "q_collocations"    -> (AdvancedTextQueries.qCollocations _),
     "q_rolling_active"  -> (BehaviorQueries.qRollingActive _),
     "q_transitions"     -> (BehaviorQueries.qTransitions _),
     "q_cooccur"         -> (BehaviorQueries.qCooccur _),
@@ -1396,6 +1398,50 @@ object SparkEntry {
         |FROM act a JOIN cohorts c ON a.user_id = c.user_id
         |GROUP BY c.cohort_day, day_offset
         |ORDER BY cohort_day NULLS FIRST, day_offset NULLS FIRST""".stripMargin,
+    "q_churn" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events),
+        |ch AS (
+        |  SELECT a.week, count(*) AS n_active,
+        |    CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_churned
+        |  FROM uw a LEFT JOIN uw b
+        |    ON a.user_id = b.user_id AND b.week = a.week + 7
+        |  GROUP BY a.week),
+        |t AS (SELECT ch.*, max(week) OVER () AS maxw FROM ch)
+        |SELECT week, n_active, n_churned,
+        |  round(CAST(n_churned AS DOUBLE) / n_active, 6) + 0.0 AS churn_rate
+        |FROM t WHERE week < maxw
+        |ORDER BY week NULLS FIRST""".stripMargin,
+    "q_collocations" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '')) AS w,
+        |    generate_subscripts(
+        |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                  x -> x <> ''), 1) AS pos
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, w,
+        |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tok),
+        |bi AS (
+        |  SELECT w AS w1, w2, count(*) AS n_ab
+        |  FROM g WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        |uni AS (SELECT w AS u, count(*) AS n_u FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_tokens FROM tok),
+        |top AS (
+        |  SELECT w1, w2, n_ab FROM bi WHERE n_ab >= 5
+        |  ORDER BY n_ab DESC, w1 ASC, w2 ASC LIMIT 50)
+        |SELECT t.w1, t.w2, t.n_ab, a.n_u AS n_a, b.n_u AS n_b,
+        |  CAST(round(ln(CAST(t.n_ab AS DOUBLE) * n_tokens /
+        |    (CAST(a.n_u AS DOUBLE) * b.n_u)) * 1000000, 0) AS BIGINT)
+        |    AS pmi_micro
+        |FROM top t JOIN uni a ON t.w1 = a.u JOIN uni b ON t.w2 = b.u, tot
+        |ORDER BY t.n_ab DESC, t.w1 NULLS FIRST, t.w2 NULLS FIRST""".stripMargin,
     "q_cohort_ltv" ->
       """WITH c AS (
         |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw

@@ -500,6 +500,41 @@ object AdvancedTextQueries {
       .orderBy(asc_nulls_first("lang"))
   }
 
+  /** PMI-ranked bigram collocations — the phrase-mining step that
+    * promotes "new york"-style adjacent pairs into vocabulary units:
+    * top-50 bigrams by count (n_ab ≥ 5, deterministic (count desc,
+    * words asc) tie-break), scored PMI = ln(n_ab·N/(n_a·n_b)) in
+    * micro-nats (q_drift_psi's rounding recipe). Ranking is by exact
+    * integer counts — the float PMI never decides which rows survive,
+    * so no last-ulp divergence can flip the cut.
+    *
+    * Scale: ONE doc-position exchange feeds both the bigram lead() and
+    * the unigram counts; the corpus total re-enters as a 1-row scalar
+    * broadcast over the post-limit 50 rows (q_tfidf's declared shape);
+    * unigram joins attach to the 50 survivors, not the vocabulary.
+    */
+  def qCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val byPos = Window.partitionBy("doc_id").orderBy(col("pos").asc)
+    val bi = pos.withColumn("w2", lead(col("w"), 1).over(byPos))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w").as("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val uni = pos.groupBy(col("w").as("u")).agg(count(lit(1)).as("n_u"))
+    val tot = pos.agg(count(lit(1)).as("n_tokens"))
+    val top = bi.filter(col("n_ab") >= 5)
+      .orderBy(col("n_ab").desc, col("w1").asc, col("w2").asc).limit(50)
+    top
+      .join(uni.select(col("u").as("w1"), col("n_u").as("n_a")), "w1")
+      .join(uni.select(col("u").as("w2"), col("n_u").as("n_b")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        round(log(col("n_ab").cast("double") * col("n_tokens") /
+          (col("n_a").cast("double") * col("n_b"))) * 1000000, 0)
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("n_ab").desc, asc_nulls_first("w1"), asc_nulls_first("w2"))
+  }
+
   /** Per-document Flesch reading-ease score — the readability signal
     * next to q_text_quality's ratio features: 206.835 − 1.015·(words/
     * sentences) − 84.6·(syllables/words). Sentences are letter-bearing

@@ -130,6 +130,37 @@ object BehaviorQueries {
       .orderBy(asc_nulls_first("cohort_week"), asc_nulls_first("age_weeks"))
   }
 
+  /** Weekly churn: per ISO week, the distinct active users and the
+    * fraction of them absent the following week — the retention
+    * complement read forward (qRetention counts who stays, this counts
+    * who leaves). A (user, week) can match at most one (user, week+7)
+    * row, so the left join cannot fan out; the final week (no next
+    * week to churn into) is excluded via a window max over the tiny
+    * per-week grid.
+    *
+    * Scale: distinct (user, week) is the ONE data-sized exchange; the
+    * self left-join re-uses the same user hashing; everything after
+    * collapses to |weeks| rows.
+    */
+  def qChurn(spark: SparkSession, sfDir: String): DataFrame = {
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    val nxt = uw.select(col("user_id").as("b_user"), col("week").as("b_week"))
+    val ch = uw.join(nxt,
+        col("user_id") === col("b_user") &&
+          col("b_week") === date_add(col("week"), 7), "left")
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("b_user").isNull, 1).otherwise(0)).as("n_churned"))
+    ch.withColumn("maxw", max(col("week")).over(Window.partitionBy()))
+      .filter(col("week") < col("maxw"))
+      .select(col("week"), col("n_active"), col("n_churned"),
+        (round(col("n_churned").cast("double") / col("n_active"), 6)
+          + lit(0.0)).as("churn_rate"))
+      .orderBy(asc_nulls_first("week"))
+  }
+
   /** Per-user event-transition matrix (first-order Markov statistics):
     * for each (from, to) event-type pair, the transition count and the
     * conditional probability P(to | from) — the behavioral model behind

@@ -220,6 +220,51 @@ object EventStreams {
       }
   }
 
+  case class HoltCarry(level: Double, trend: Double)
+  case class HoltOut(user_id: Long, event_id: Long, value: Double,
+      level: Double, trend: Double, forecast: Double)
+
+  /** Streaming Holt double-exponential smoother per user: level ←
+    * α·x + (1−α)·(level+trend), trend ← β·(level−level₋₁) + (1−β)·trend
+    * — EWMA plus a trend term, the one-step forecaster (forecast =
+    * level + trend) behind capacity alerts. Like EWMA/CUSUM the
+    * recursion has no bounded-lag batch form once the trend feeds back;
+    * O(1) state (two doubles) per user, sharded with the shuffle,
+    * (ts, event_id)-ordered per batch, so an ordered replay reproduces
+    * the sequential fold bit-for-bit (StreamingSmokeSpec). Seeds:
+    * level₀ = x₀, trend₀ = 0 (the renormalized-EWMA convention at n=1).
+    */
+  val HoltAlpha = 0.3
+  val HoltBeta = 0.1
+  def holtState(spark: SparkSession, events: DataFrame): Dataset[HoltOut] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[EwmaEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HoltCarry, HoltOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[EwmaEvent], state: GroupState[HoltCarry]) =>
+          val ordered = batch.toSeq.sortBy(e => (e.tsUs, e.event_id))
+          var carry = state.getOption
+          val out = ordered.map { e =>
+            val next = carry match {
+              case Some(HoltCarry(l, b)) =>
+                val l2 = HoltAlpha * e.value + (1.0 - HoltAlpha) * (l + b)
+                val b2 = HoltBeta * (l2 - l) + (1.0 - HoltBeta) * b
+                HoltCarry(l2, b2)
+              case None => HoltCarry(e.value, 0.0)
+            }
+            carry = Some(next)
+            HoltOut(uid, e.event_id, e.value,
+              math.rint(next.level * 1e6) / 1e6,
+              math.rint(next.trend * 1e6) / 1e6,
+              math.rint((next.level + next.trend) * 1e6) / 1e6)
+          }
+          carry.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class CusumCarry(sPos: Double, sNeg: Double)
   case class CusumOut(user_id: Long, event_id: Long, value: Double,
       s_pos: Double, s_neg: Double, alarm: Boolean)

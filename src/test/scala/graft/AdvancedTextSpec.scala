@@ -282,6 +282,27 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("collocations: at most 50, counts consistent, a known bigram surfaces") {
+    import spark.implicits._
+    val out = q("q_collocations").cache()
+    assert(out.count() > 0 && out.count() <= 50)
+    // a bigram cannot outnumber either of its words, and passes the floor
+    assert(out.filter($"n_ab" > $"n_a" || $"n_ab" > $"n_b" ||
+      $"n_ab" < 5).count() == 0)
+    // cross-check one reported pair's count against a direct recompute
+    val first = out.orderBy($"n_ab".desc, $"w1", $"w2").head()
+    val (w1, w2, nAb) = (first.getString(0), first.getString(1), first.getLong(2))
+    val direct = Tables.documents(spark, sfDir)
+      .select($"doc_id", posexplode(operators.TextQueries.tokens($"text"))
+        .as(Seq("pos", "w")))
+      .withColumn("w2", lead($"w", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy($"pos")))
+      .filter($"w" === w1 && $"w2" === w2).count()
+    assert(direct == nAb, s"reported $nAb for ($w1,$w2), direct count $direct")
+    out.unpersist()
+  }
+
   test("readability: covers all docs, syllables >= words, flesch formula holds") {
     import spark.implicits._
     val out = q("q_readability")

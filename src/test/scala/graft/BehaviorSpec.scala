@@ -111,6 +111,20 @@ class BehaviorSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("churn: rates in [0,1], churned bounded by active, weeks strictly pre-final") {
+    import spark.implicits._
+    val out = q("q_churn").cache()
+    assert(out.count() > 0)
+    assert(out.filter($"n_churned" > $"n_active" || $"churn_rate" < 0 ||
+      $"churn_rate" > 1).count() == 0)
+    // the final observed week is excluded (it has no next week)
+    val maxAll = Tables.events(spark, sfDir)
+      .select(to_date(date_trunc("week", $"ts")).as("w"))
+      .agg(max($"w")).head().getDate(0)
+    assert(out.filter($"week" >= maxAll).count() == 0)
+    out.unpersist()
+  }
+
   test("cooccur: pairs canonical (p1 < p2), counts bounded by order count") {
     import spark.implicits._
     val co = q("q_cooccur").cache()

@@ -43,7 +43,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_idle_rich",
     // (n_docs, n_clustered) 1-row aggregates differenced into the
     // singleton-cluster row of the size histogram
-    "q_cluster_sizes")
+    "q_cluster_sizes",
+    // corpus token total N entering the PMI of the post-limit 50
+    // collocations — 1 row at any scale, q_tfidf's shape
+    "q_collocations")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —

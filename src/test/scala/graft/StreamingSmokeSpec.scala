@@ -279,6 +279,41 @@ class StreamingSmokeSpec extends AnyFunSuite {
     assert(mism == 0, s"$mism events diverge from the sequential recursion")
   }
 
+  test("streaming holt equals the sequential level/trend fold on the ordered replay") {
+    import spark.implicits._
+    EventStreams.runToMemory(
+      EventStreams.holtState(spark,
+        EventStreams.fileSource(spark, inputDir)).toDF(),
+      "holt_smoke", OutputMode.Update())
+    val streamed = spark.table("holt_smoke")
+      .select($"event_id", $"level", $"trend", $"forecast").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val (a, b) = (EventStreams.HoltAlpha, EventStreams.HoltBeta)
+    val rows = Tables.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      var carry = Option.empty[(Double, Double)]
+      es.sortBy(e => (e._2, e._3)).toSeq.map { case (_, _, id, v) =>
+        val next = carry match {
+          case Some((l, t)) =>
+            val l2 = a * v + (1.0 - a) * (l + t)
+            (l2, b * (l2 - l) + (1.0 - b) * t)
+          case None => (v, 0.0)
+        }
+        carry = Some(next)
+        id -> ((math.rint(next._1 * 1e6) / 1e6, math.rint(next._2 * 1e6) / 1e6,
+          math.rint((next._1 + next._2) * 1e6) / 1e6))
+      }
+    }
+    assert(streamed.size == rows.length, "one emission per event expected")
+    val mism = expected.count { case (id, e) => streamed(id) != e }
+    assert(mism == 0, s"$mism events diverge from the sequential Holt fold")
+  }
+
   test("streaming cusum equals the sequential clamped fold on the ordered replay") {
     import spark.implicits._
     EventStreams.runToMemory(
