@@ -186,7 +186,13 @@ object ScaleSmoke {
       "scd2_history" -> (k => EventQueries.scd2From(replicatedEvents(k))),
       // one lead window + one keyed agg, single exchange; output rows
       // = distinct multi-event users, linear in replicas
-      "time_weighted" -> (k => EventQueries.timeWeightedFrom(replicatedEvents(k))))
+      "time_weighted" -> (k => EventQueries.timeWeightedFrom(replicatedEvents(k))),
+      // explode + bigram lead + unigram agg off one doc-position
+      // exchange; output pinned at 50, time tracks token volume
+      "collocations_top50" -> (k => AdvancedTextQueries.collocationsFrom(replicated(k))),
+      // distinct (type,user) exchange + two-phase per-type k-smallest;
+      // pair math on |types|·k sketch rows — output pinned at pairs
+      "overlap_kmv" -> (k => AnalyticsQueries.overlapKmvFrom(replicatedEvents(k))))
 
     val sb = new StringBuilder
     sb.append("# Operator scaling smoke (corpus replicated with disjoint token/user spaces)\n\n")

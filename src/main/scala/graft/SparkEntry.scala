@@ -109,6 +109,7 @@ object SparkEntry {
     "q_text_stats"      -> (TextQueries.qTextStats _),
     "q_pipeline"        -> (TextQueries.qPipeline _),
     "q_tfidf"           -> (TextQueries.qTfidf _),
+    "q_keywords"        -> (TextQueries.qKeywords _),
     "q_median"          -> (StatsQueries.qMedian _),
     "q_percentiles"     -> (StatsQueries.qPercentiles _),
     "q_mode"            -> (StatsQueries.qMode _),
@@ -2218,6 +2219,26 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE word <> '' GROUP BY word
         |ORDER BY df DESC, word ASC LIMIT 50""".stripMargin,
+    "q_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                         x -> x <> '')) AS w
+        |    FROM documents) t
+        |  GROUP BY doc_id, w),
+        |wd AS (
+        |  SELECT doc_id, w, tf,
+        |    CAST(count(*) OVER (PARTITION BY w) AS BIGINT) AS df
+        |  FROM tf),
+        |r AS (
+        |  SELECT doc_id, w, tf, df,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf DESC, df ASC, w ASC) AS rank
+        |  FROM wd)
+        |SELECT doc_id, rank, w AS term, tf, df
+        |FROM r WHERE rank <= 3
+        |ORDER BY doc_id NULLS FIRST, rank NULLS FIRST""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

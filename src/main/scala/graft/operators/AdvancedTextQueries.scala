@@ -513,8 +513,12 @@ object AdvancedTextQueries {
     * broadcast over the post-limit 50 rows (q_tfidf's declared shape);
     * unigram joins attach to the 50 survivors, not the vocabulary.
     */
-  def qCollocations(spark: SparkSession, sfDir: String): DataFrame = {
-    val pos = Tables.documents(spark, sfDir)
+  def qCollocations(spark: SparkSession, sfDir: String): DataFrame =
+    collocationsFrom(Tables.documents(spark, sfDir))
+
+  /** DataFrame-core collocation mining — ScaleSmoke entry point. */
+  def collocationsFrom(docs: DataFrame): DataFrame = {
+    val pos = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
     val byPos = Window.partitionBy("doc_id").orderBy(col("pos").asc)
     val bi = pos.withColumn("w2", lead(col("w"), 1).over(byPos))

@@ -686,9 +686,13 @@ object AnalyticsQueries {
     * cross join, declared in PlanAuditSpec's dimensionGridBroadcasts.
     */
   val KmvK = 64
-  def qOverlapKmv(spark: SparkSession, sfDir: String): DataFrame = {
+  def qOverlapKmv(spark: SparkSession, sfDir: String): DataFrame =
+    overlapKmvFrom(Tables.events(spark, sfDir))
+
+  /** DataFrame-core KMV overlap — ScaleSmoke entry point. */
+  def overlapKmvFrom(events: DataFrame): DataFrame = {
     val K = KmvK
-    val pts = Tables.events(spark, sfDir)
+    val pts = events
       .select(col("event_type"), col("user_id")).distinct()
       .select(col("event_type"),
         conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))),

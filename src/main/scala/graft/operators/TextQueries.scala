@@ -506,6 +506,33 @@ object TextQueries {
       .limit(50)
   }
 
+  /** Per-document keyword extraction: top-3 terms per doc ranked
+    * (tf desc, df asc, term asc) — frequent in THIS document, rare
+    * across the corpus, the tf-idf intent with an ALL-INTEGER ranking:
+    * no float score ever decides which terms survive, so the cut is
+    * immune to last-ulp cross-engine drift (contrast q_tfidf, which
+    * reports the float idf but also ranks by exact df).
+    *
+    * Scale: two exchanges of the (doc, term) grid — never the corpus
+    * text: tf collapses the explode immediately (map-side combine); df
+    * is a window over the same grid re-keyed by term; the per-doc
+    * top-3 window is bounded by each doc's own vocabulary.
+    */
+  def qKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("w")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("w").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("w").as("term"),
+        col("tf"), col("df"))
+      .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("rank"))
+  }
+
   /** The fixed retrieval query q_bm25 scores the corpus against. */
   val Bm25Terms: Seq[String] = Seq("query", "join", "stream")
 

@@ -303,6 +303,26 @@ class AdvancedTextSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("keywords: 3 per doc (or doc vocab), tf bounded by doc length, df >= 1") {
+    import spark.implicits._
+    val out = q("q_keywords").cache()
+    // every doc contributes min(3, |vocab|) rows, ranks dense 1..k
+    val perDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("k"), max($"rank").as("maxr"))
+    assert(perDoc.filter($"k" =!= $"maxr" || $"k" > 3).count() == 0)
+    assert(perDoc.count() == nDocs)
+    assert(out.filter($"tf" < 1 || $"df" < 1).count() == 0)
+    // rank-1 term: no other term in the doc has a strictly higher tf
+    val tfAll = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(operators.TextQueries.tokens($"text")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf_all"))
+      .groupBy("doc_id").agg(max($"tf_all").as("tf_max"))
+    val bad = out.filter($"rank" === 1).join(tfAll, "doc_id")
+      .filter($"tf" =!= $"tf_max").count()
+    assert(bad == 0)
+    out.unpersist()
+  }
+
   test("readability: covers all docs, syllables >= words, flesch formula holds") {
     import spark.implicits._
     val out = q("q_readability")
