@@ -1433,7 +1433,7 @@ object SparkEntry {
         |  SELECT w AS w1, w2, count(*) AS n_ab
         |  FROM g WHERE w2 IS NOT NULL GROUP BY 1, 2),
         |uni AS (SELECT w AS u, count(*) AS n_u FROM tok GROUP BY 1),
-        |tot AS (SELECT count(*) AS n_tokens FROM tok),
+        |tot AS (SELECT CAST(sum(n_u) AS BIGINT) AS n_tokens FROM uni),
         |top AS (
         |  SELECT w1, w2, n_ab FROM bi WHERE n_ab >= 5
         |  ORDER BY n_ab DESC, w1 ASC, w2 ASC LIMIT 50)

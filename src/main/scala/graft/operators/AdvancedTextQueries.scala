@@ -525,7 +525,9 @@ object AdvancedTextQueries {
       .filter(col("w2").isNotNull)
       .groupBy(col("w").as("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
     val uni = pos.groupBy(col("w").as("u")).agg(count(lit(1)).as("n_u"))
-    val tot = pos.agg(count(lit(1)).as("n_tokens"))
+    // N = Σ unigram counts — read off the vocab-sized frame instead of
+    // a third corpus scan+explode
+    val tot = uni.agg(sum(col("n_u")).as("n_tokens"))
     val top = bi.filter(col("n_ab") >= 5)
       .orderBy(col("n_ab").desc, col("w1").asc, col("w2").asc).limit(50)
     top
