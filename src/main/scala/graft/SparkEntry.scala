@@ -55,6 +55,7 @@ object SparkEntry {
     "q_sample_stratified" -> (TextQueries.qSampleStratified _),
     "q_split_train"     -> (TextQueries.qSplitTrain _),
     "q_dq_report"       -> (ValidationQueries.qDqReport _),
+    "q_quality_gate"    -> (ValidationQueries.qQualityGate _),
     "q_profile"         -> (ValidationQueries.qProfile _),
     "q_repetition"      -> (AdvancedTextQueries.qRepetition _),
     "q_resample"        -> (EventQueries.qResample _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_pipeline"        -> (TextQueries.qPipeline _),
     "q_tfidf"           -> (TextQueries.qTfidf _),
     "q_keywords"        -> (TextQueries.qKeywords _),
+    "q_pii_count"       -> (TextQueries.qPiiCount _),
     "q_median"          -> (StatsQueries.qMedian _),
     "q_percentiles"     -> (StatsQueries.qPercentiles _),
     "q_mode"            -> (StatsQueries.qMode _),
@@ -1061,6 +1063,43 @@ object SparkEntry {
         |  CAST(nd AS BIGINT) AS n_distinct,
         |  round(CAST(np AS DOUBLE) / a.n, 6) + 0.0 AS completeness
         |FROM l, a ORDER BY column_name NULLS FIRST""".stripMargin,
+    "q_quality_gate" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tok,
+        |    len(list_distinct(toks)) AS n_distinct,
+        |    len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS n_stop,
+        |    min(doc_id) OVER (PARTITION BY text) AS min_doc
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                      x -> x <> '') AS toks
+        |        FROM documents) t),
+        |s AS (
+        |  SELECT count(*) AS s0,
+        |    CAST(sum(CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s1,
+        |    CAST(sum(CASE WHEN n_tok >= 10 AND n_stop * 2 <= n_tok
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(sum(CASE WHEN n_tok >= 10 AND n_stop * 2 <= n_tok
+        |      AND n_distinct * 10 >= n_tok * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s3,
+        |    CAST(sum(CASE WHEN n_tok >= 10 AND n_stop * 2 <= n_tok
+        |      AND n_distinct * 10 >= n_tok * 3 AND min_doc = doc_id
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS s4
+        |  FROM f)
+        |SELECT * FROM (
+        |  SELECT 0 AS stage_id, 'all_docs' AS stage, s0 AS n_pass,
+        |    CAST(NULL AS BIGINT) AS dropped,
+        |    round(CAST(s0 AS DOUBLE) / s0, 6) + 0.0 AS pass_rate FROM s
+        |  UNION ALL SELECT 1, 'min_length', s1, s0 - s1,
+        |    round(CAST(s1 AS DOUBLE) / s0, 6) + 0.0 FROM s
+        |  UNION ALL SELECT 2, 'stopword_ratio', s2, s1 - s2,
+        |    round(CAST(s2 AS DOUBLE) / s0, 6) + 0.0 FROM s
+        |  UNION ALL SELECT 3, 'lexical_diversity', s3, s2 - s3,
+        |    round(CAST(s3 AS DOUBLE) / s0, 6) + 0.0 FROM s
+        |  UNION ALL SELECT 4, 'canonical_dedup', s4, s3 - s4,
+        |    round(CAST(s4 AS DOUBLE) / s0, 6) + 0.0 FROM s) u
+        |ORDER BY stage_id NULLS FIRST""".stripMargin,
     "q_dq_report" ->
       """WITH a AS (
         |  SELECT count(*) AS n,
@@ -2086,6 +2125,47 @@ object SparkEntry {
       """SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_dups
         |FROM documents GROUP BY sha256(text)
         |ORDER BY canonical_doc_id NULLS FIRST""".stripMargin,
+    "q_pii_count" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com or 10.' || CAST(doc_id % 200 AS VARCHAR)
+        |      || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+        |      || ' tel +1 (555) 01' || CAST(doc_id % 10 AS VARCHAR)
+        |      || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT
+        |    len(regexp_extract_all(t,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS c_email,
+        |    len(regexp_extract_all(regexp_replace(t,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>',
+        |      'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS c_ip,
+        |    len(regexp_extract_all(regexp_replace(regexp_replace(t,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>',
+        |      'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |      '\+?[0-9][0-9 ()+._-]{5,}[0-9]')) AS c_num
+        |  FROM aug),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN c_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_email,
+        |    CAST(sum(c_email) AS BIGINT) AS m_email,
+        |    CAST(sum(CASE WHEN c_ip > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_ip,
+        |    CAST(sum(c_ip) AS BIGINT) AS m_ip,
+        |    CAST(sum(CASE WHEN c_num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_num,
+        |    CAST(sum(c_num) AS BIGINT) AS m_num
+        |  FROM c)
+        |SELECT * FROM (
+        |  SELECT 'email' AS pattern, d_email AS n_docs, m_email AS n_matches
+        |    FROM s
+        |  UNION ALL SELECT 'ipv4', d_ip, m_ip FROM s
+        |  UNION ALL SELECT 'number', d_num, m_num FROM s) u
+        |ORDER BY pattern NULLS FIRST""".stripMargin,
     "q_redact_pii" ->
       """WITH aug AS (
         |  SELECT doc_id,

@@ -400,6 +400,52 @@ object TextQueries {
       .orderBy(asc_nulls_first("doc_id"))
   }
 
+  /** PII exposure report — the observability side of [[qRedactPii]]:
+    * per pattern class (email, IPv4, free-form number), how many
+    * documents are affected and how many total spans exist. Counts run
+    * over the SAME progressive redaction order the redactor applies
+    * (emails counted on raw text, IPs on email-redacted text, numbers
+    * on IP-redacted text), so `n_matches` is exactly the number of
+    * replacements qRedactPii performs per class — the two queries
+    * reconcile. Same deterministic doc_id-derived augmentation.
+    *
+    * Scale: narrow scan-only projection of three match counts per doc,
+    * collapsed to one row of sums (map-side combine), stack()-pivoted
+    * to 3 rows — no shuffle of text.
+    */
+  def qPiiCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val digits = "\\+?[0-9][0-9 ()+._-]{5,}[0-9]"
+    val aug = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail.example.com or 10."),
+      col("doc_id") % 200, lit(".0."), col("doc_id") % 250,
+      lit(" tel +1 (555) 01"), col("doc_id") % 10, lit("-"),
+      col("doc_id") % 9000 + 1000)
+    val t1 = regexp_replace(aug, email, "<EMAIL>")
+    val t2 = regexp_replace(t1, ip, "<IP>")
+    def cnt(t: Column, p: String): Column =
+      size(regexp_extract_all(t, lit(p), lit(0)))
+    Tables.documents(spark, sfDir)
+      .select(cnt(aug, email).as("c_email"), cnt(t1, ip).as("c_ip"),
+        cnt(t2, digits).as("c_num"))
+      .agg(
+        sum(when(col("c_email") > 0, 1L).otherwise(0L)).as("d_email"),
+        sum(col("c_email").cast("long")).as("m_email"),
+        sum(when(col("c_ip") > 0, 1L).otherwise(0L)).as("d_ip"),
+        sum(col("c_ip").cast("long")).as("m_ip"),
+        sum(when(col("c_num") > 0, 1L).otherwise(0L)).as("d_num"),
+        sum(col("c_num").cast("long")).as("m_num"))
+      .select(expr(
+        """stack(3,
+          |  'email',  d_email, m_email,
+          |  'ipv4',   d_ip,    m_ip,
+          |  'number', d_num,   m_num)
+          |  AS (pattern, n_docs, n_matches)""".stripMargin))
+      .orderBy(asc_nulls_first("pattern"))
+  }
+
   /** Overlapping chunking: `size`-token windows starting every
     * `stride` tokens (stride < size ⇒ consecutive chunks share
     * size − stride tokens — the context-overlap shape LLM tokenizer

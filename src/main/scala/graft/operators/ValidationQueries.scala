@@ -56,6 +56,64 @@ object ValidationQueries {
       "priority_format" ->
         sum(when(col("o_orderpriority").rlike("^[1-5]-"), 1L).otherwise(0L))))
 
+  /** Corpus filter-chain observability: the stage-by-stage survivor
+    * funnel a pretraining pipeline publishes next to its output —
+    * all docs → length gate (≥10 tokens) → stopword gate (ratio ≤ 0.5,
+    * compared as the integer cross-product 2·n_stop ≤ n_tok so no
+    * float boundary exists) → lexical-diversity gate (type-token ratio
+    * ≥ 0.3, again cross-multiplied 10·n_distinct ≥ 3·n_tok) →
+    * canonical-dedup gate (doc is its text's min-doc_id
+    * representative). Gates are CUMULATIVE (each ANDs the previous),
+    * so n_pass is non-increasing and per-stage `dropped` attributes
+    * loss to exactly one gate — the number a pipeline owner actually
+    * debugs with.
+    *
+    * Scale: one scan computes every per-doc flag (narrow column
+    * algebra); the dedup flag adds the single text-keyed window
+    * exchange; the funnel collapses to one row of sums (map-side
+    * combine) and unpivots to 5 rows driver-free via stack().
+    */
+  def qQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextQueries.tokens(col("text"))
+    val flagged = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        size(toks).as("n_tok"),
+        size(array_distinct(toks)).as("n_distinct"),
+        size(filter(toks, t => t === "the" || t === "a")).as("n_stop"))
+      .withColumn("min_doc",
+        min(col("doc_id")).over(Window.partitionBy("text")))
+      .select(
+        when(col("n_tok") >= 10, 1L).otherwise(0L).as("p1"),
+        when(col("n_tok") >= 10 &&
+          col("n_stop") * 2 <= col("n_tok"), 1L).otherwise(0L).as("p2"),
+        when(col("n_tok") >= 10 &&
+          col("n_stop") * 2 <= col("n_tok") &&
+          col("n_distinct") * 10 >= col("n_tok") * 3, 1L).otherwise(0L)
+          .as("p3"),
+        when(col("n_tok") >= 10 &&
+          col("n_stop") * 2 <= col("n_tok") &&
+          col("n_distinct") * 10 >= col("n_tok") * 3 &&
+          col("min_doc") === col("doc_id"), 1L).otherwise(0L).as("p4"))
+    flagged
+      .agg(count(lit(1)).as("s0"), sum(col("p1")).as("s1"),
+        sum(col("p2")).as("s2"), sum(col("p3")).as("s3"),
+        sum(col("p4")).as("s4"))
+      .select(expr(
+        """stack(5,
+          |  0, 'all_docs',        s0, CAST(NULL AS BIGINT),
+          |  1, 'min_length',      s1, s0 - s1,
+          |  2, 'stopword_ratio',  s2, s1 - s2,
+          |  3, 'lexical_diversity', s3, s2 - s3,
+          |  4, 'canonical_dedup', s4, s3 - s4)
+          |  AS (stage_id, stage, n_pass, dropped)""".stripMargin),
+        col("s0"))
+      .select(col("stage_id"), col("stage"), col("n_pass"), col("dropped"),
+        (round(col("n_pass").cast("double") / col("s0"), 6) + lit(0.0))
+          .as("pass_rate"))
+      .orderBy(asc_nulls_first("stage_id"))
+  }
+
   /** Column profile — the DISCOVERY side of data quality (qDqReport is
     * the assertion side): per column of `orders`, null count, exact
     * distinct count, and completeness ratio, in long format. What a

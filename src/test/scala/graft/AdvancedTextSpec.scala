@@ -264,6 +264,25 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(out(4L) == "plain words only here")
   }
 
+  test("pii count reconciles with the redactor's actual replacements") {
+    import spark.implicits._
+    val counts = q("q_pii_count")
+      .as[(String, Long, Long)].collect()
+      .map { case (p, _, m) => p -> m }.toMap
+    // count each placeholder in the redacted corpus: the report's
+    // n_matches per class must equal the replacements performed
+    val red = q("q_redact_pii")
+      .select(
+        sum(size(split($"redacted", "<EMAIL>")) - 1).as("e"),
+        sum(size(split($"redacted", "<IP>")) - 1).as("i"),
+        sum(size(split($"redacted", "<NUMBER>")) - 1).as("n"))
+      .as[(Long, Long, Long)].head()
+    assert(counts("email") == red._1, s"email ${counts("email")} != ${red._1}")
+    assert(counts("ipv4") == red._2, s"ipv4 ${counts("ipv4")} != ${red._2}")
+    assert(counts("number") == red._3, s"number ${counts("number")} != ${red._3}")
+    assert(counts.values.forall(_ > 0), "augmented corpus must exercise every class")
+  }
+
   test("hash sampling: deterministic and ~10% of the corpus") {
     import spark.implicits._
     val s = q("q_sample_hash")

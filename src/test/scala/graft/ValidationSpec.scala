@@ -167,6 +167,23 @@ class ValidationSpec extends AnyFunSuite {
       s"unexpected verdicts: $failed")
   }
 
+  test("q_quality_gate: funnel monotone, drops reconcile, dedup stage matches canonical") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_quality_gate")(spark, sfDir).cache()
+    assert(out.count() == 5)
+    val rows = out.orderBy($"stage_id").collect()
+    // stage 0 counts the corpus; survivors never increase
+    assert(rows(0).getLong(2) ==
+      Tables.documents(spark, sfDir).count())
+    val passes = rows.map(_.getLong(2))
+    assert(passes.zip(passes.tail).forall { case (a, b) => b <= a })
+    // dropped at stage i equals the survivor difference from stage i-1
+    rows.tail.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(3) == passes(i) - r.getLong(2))
+    }
+    out.unpersist()
+  }
+
   test("q_cluster_sizes: histogram accounts for every document exactly once") {
     import spark.implicits._
     val out = SparkEntry.queries("q_cluster_sizes")(spark, sfDir).cache()
