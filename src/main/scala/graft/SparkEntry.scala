@@ -56,6 +56,8 @@ object SparkEntry {
     "q_split_train"     -> (TextQueries.qSplitTrain _),
     "q_dq_report"       -> (ValidationQueries.qDqReport _),
     "q_quality_gate"    -> (ValidationQueries.qQualityGate _),
+    "q_kanon"           -> (ValidationQueries.qKanon _),
+    "q_decayed_sum"     -> (EventQueries.qDecayedSum _),
     "q_profile"         -> (ValidationQueries.qProfile _),
     "q_repetition"      -> (AdvancedTextQueries.qRepetition _),
     "q_resample"        -> (EventQueries.qResample _),
@@ -1063,6 +1065,43 @@ object SparkEntry {
         |  CAST(nd AS BIGINT) AS n_distinct,
         |  round(CAST(np AS DOUBLE) / a.n, 6) + 0.0 AS completeness
         |FROM l, a ORDER BY column_name NULLS FIRST""".stripMargin,
+    "q_kanon" ->
+      """WITH grid AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |    count(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT c_mktsegment,
+        |  count(*) AS n_cells,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_cells,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_exposed,
+        |  CAST(sum(n) AS BIGINT) AS n_customers,
+        |  round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE) /
+        |    sum(n), 6) + 0.0 AS exposure_rate
+        |FROM grid GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    "q_decayed_sum" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT max(day) AS anchor FROM ev),
+        |t AS (
+        |  SELECT user_id,
+        |    CAST(round(CAST(cents AS DOUBLE) * 1000000.0 /
+        |      CAST(CAST(1 AS BIGINT) <<
+        |        least(CAST(floor(date_diff('day', day, anchor) / 7) AS INT),
+        |          62)
+        |        AS DOUBLE), 0) AS BIGINT) AS term_micro
+        |  FROM ev, a)
+        |SELECT user_id, count(*) AS n_purchases,
+        |  CAST(sum(term_micro) AS BIGINT) AS decayed_micro_cents,
+        |  round(CAST(sum(term_micro) AS DOUBLE) / 100000000.0, 6) + 0.0
+        |    AS decayed_dollars
+        |FROM t GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
     "q_quality_gate" ->
       """WITH f AS (
         |  SELECT doc_id,

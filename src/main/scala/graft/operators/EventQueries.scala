@@ -159,6 +159,46 @@ object EventQueries {
       .orderBy(asc_nulls_first("user_id"), asc_nulls_first("event_id"))
   }
 
+  /** Recency-decayed spend per user: Σ cents·2^(−age_weeks) — the
+    * half-life-weighted LTV feature a ranking/training pipeline
+    * derives from raw purchase logs. The weight is a POWER OF TWO, so
+    * cents·2^(−k) is an exact exponent shift (no transcendental, no
+    * cross-engine pow); each term is then rounded to integer
+    * micro-cents BEFORE summation (q_lm_score's recipe) and the sum
+    * runs in decimal(38,0) — order-independent and bit-identical
+    * across engines. Age anchors to the corpus max day via a 1-row
+    * broadcast (no driver round-trip); ages cap at 62 to keep the
+    * shift in a long.
+    *
+    * Scale: scan → narrow projection → one user_id aggregate with
+    * map-side combine; the anchor is the only non-data-sized input.
+    */
+  def qDecayedSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val anchor = ev.agg(max(col("day")).as("anchor"))
+    ev.crossJoin(broadcast(anchor))
+      // explicit floor: DuckDB CAST(DOUBLE AS INT) rounds-to-nearest
+      // while Spark's cast truncates — floor() agrees everywhere
+      .withColumn("age_w",
+        least(floor(datediff(col("anchor"), col("day")) / 7).cast("int"),
+          lit(62)))
+      .withColumn("term_micro",
+        round(col("cents").cast("double") * 1000000.0 /
+          expr("shiftleft(CAST(1 AS BIGINT), age_w)").cast("double"), 0)
+          .cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("term_micro").cast("decimal(38,0)")).as("micro"))
+      .select(col("user_id"), col("n_purchases"),
+        col("micro").cast("long").as("decayed_micro_cents"),
+        (round(col("micro").cast("double") / 100000000.0, 6) + lit(0.0))
+          .as("decayed_dollars"))
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
   /** Type-2 slowly-changing-dimension history build: collapse each
     * user's event stream into versioned runs of `event_type` with
     * [valid_from, valid_to) intervals — the warehouse-dimension shape a

@@ -114,6 +114,37 @@ object ValidationQueries {
       .orderBy(asc_nulls_first("stage_id"))
   }
 
+  /** k-anonymity audit over the customer quasi-identifiers
+    * (mktsegment, nationkey, 1000-unit balance bucket): per segment,
+    * how many QI cells exist, how many hold fewer than k=5 members,
+    * and how many customers sit in those re-identifiable cells — the
+    * privacy gate a dataset passes before its demographics ship. The
+    * balance bucket floors an exact integer division, so cell
+    * membership has no float boundary.
+    *
+    * Scale: one exchange to the QI grid (map-side combine), one tiny
+    * per-segment rollup of the grid — grid cardinality is
+    * |segments|·|nations|·|buckets|, schema-bounded, never data-sized.
+    */
+  def qKanon(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 5
+    val grid = Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("n"))
+    grid.groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_risky_cells"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_exposed"),
+        sum(col("n")).as("n_customers"))
+      .select(col("c_mktsegment"), col("n_cells"), col("n_risky_cells"),
+        col("n_exposed"), col("n_customers"),
+        (round(col("n_exposed").cast("double") / col("n_customers"), 6)
+          + lit(0.0)).as("exposure_rate"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
+
   /** Column profile — the DISCOVERY side of data quality (qDqReport is
     * the assertion side): per column of `orders`, null count, exact
     * distinct count, and completeness ratio, in long format. What a

@@ -46,7 +46,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cluster_sizes",
     // corpus token total N entering the PMI of the post-limit 50
     // collocations — 1 row at any scale, q_tfidf's shape
-    "q_collocations")
+    "q_collocations",
+    // corpus max-day anchor entering the age computation — 1 row
+    "q_decayed_sum")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —

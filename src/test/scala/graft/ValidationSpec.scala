@@ -184,6 +184,35 @@ class ValidationSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q_kanon: cells cover all customers; risky members below k") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_kanon")(spark, sfDir).cache()
+    assert(out.agg(sum($"n_customers")).as[Long].head() ==
+      Tables.customer(spark, sfDir).count())
+    // exposed <= risky_cells * (k-1): each risky cell holds < 5 members
+    assert(out.filter($"n_exposed" > $"n_risky_cells" * 4 ||
+      $"n_risky_cells" > $"n_cells").count() == 0)
+    out.unpersist()
+  }
+
+  test("q_decayed_sum: bounded by raw spend, anchored week is undecayed") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_decayed_sum")(spark, sfDir).cache()
+    val raw = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .groupBy("user_id")
+      .agg(sum(round($"value" * 100).cast("long")).as("raw_cents"),
+        count(lit(1)).as("n_raw"))
+    // decay never increases spend, and counts match the raw purchases
+    val bad = out.join(raw, "user_id")
+      .filter($"decayed_micro_cents" > $"raw_cents" * 1000000L ||
+        $"n_purchases" =!= $"n_raw")
+      .count()
+    assert(bad == 0)
+    assert(out.count() == raw.count())
+    out.unpersist()
+  }
+
   test("q_cluster_sizes: histogram accounts for every document exactly once") {
     import spark.implicits._
     val out = SparkEntry.queries("q_cluster_sizes")(spark, sfDir).cache()
