@@ -192,6 +192,12 @@ object SparkEntry {
     "ann_quant_topk"    -> ((s: SparkSession, d: String) =>
       QuantizedKnn.approxTopK(s, d, 5)),
     "udaf_demo"         -> (CoreQueries.udafDemo _),
+    "q_setsim_prefix"   -> (SetSimJoin.qSetsimPrefix _),
+    "q_dup_ngram_frac"  -> (AdvancedTextQueries.qDupNgramFrac _),
+    "q_bigram_lm"       -> (AdvancedTextQueries.qBigramLm _),
+    "q_autocorr"        -> (TimeSeriesQueries.qAutocorr _),
+    "q_seasonal"        -> (TimeSeriesQueries.qSeasonal _),
+    "q_changepoint"     -> (TimeSeriesQueries.qChangepoint _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -2815,5 +2821,148 @@ object SparkEntry {
         |SELECT lang, profile_lang AS guess, count(*) AS n_docs
         |FROM guessed WHERE rn = 1 GROUP BY lang, profile_lang
         |ORDER BY lang NULLS FIRST, guess NULLS FIRST""".stripMargin,
+    // Brute-force all-pairs Jaccard over word-bigram shingle sets: the
+    // ground truth the prefix-filtered join must reproduce exactly
+    // (integer threshold 3o >= n1+n2 <=> J >= 1/2 — no float cut).
+    "q_setsim_prefix" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(ts, i, i + 1), ' ') AS s
+        |  FROM t, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        |  WHERE len(ts) >= 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |o AS (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_id_1, doc_id_2, n_common,
+        |  round(CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common), 6) AS jaccard
+        |FROM o JOIN sz za ON doc_id_1 = za.doc_id JOIN sz zb ON doc_id_2 = zb.doc_id
+        |WHERE n_common * 3 >= za.n + zb.n
+        |ORDER BY doc_id_1 NULLS FIRST, doc_id_2 NULLS FIRST""".stripMargin,
+    "q_dup_ngram_frac" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(list_slice(ts, i, i + 4), ' ') AS ng
+        |  FROM t, unnest(generate_series(1, len(ts) - 4)) AS u(i)
+        |  WHERE len(ts) >= 5),
+        |dfreq AS (SELECT ng, count(DISTINCT doc_id) AS df FROM g GROUP BY ng)
+        |SELECT g.doc_id, count(*) AS n_ngrams,
+        |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_frac
+        |FROM g JOIN dfreq d ON g.ng = d.ng
+        |GROUP BY g.doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
+    // Add-one-smoothed bigram LM: per-bigram surprisal rounded to
+    // integer micro-nats BEFORE the per-doc sum (q_lm_score's recipe).
+    "q_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM t, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        |  WHERE len(ts) >= 2),
+        |vocab AS (
+        |  SELECT lang, count(*) AS v FROM (
+        |    SELECT DISTINCT lang, w FROM (
+        |      SELECT lang, w1 AS w FROM bg
+        |      UNION ALL SELECT lang, w2 AS w FROM bg) q) qq
+        |  GROUP BY lang),
+        |ctx AS (SELECT lang, w1, count(*) AS n_ctx FROM bg GROUP BY lang, w1),
+        |model AS (
+        |  SELECT m.lang, m.w1, m.w2,
+        |    CAST(round(-ln(CAST(m.n_bg + 1 AS DOUBLE) / (c.n_ctx + vv.v))
+        |      * 1000000.0, 0) AS BIGINT) AS su
+        |  FROM (SELECT lang, w1, w2, count(*) AS n_bg FROM bg
+        |        GROUP BY lang, w1, w2) m
+        |  JOIN ctx c ON m.lang = c.lang AND m.w1 = c.w1
+        |  JOIN vocab vv ON m.lang = vv.lang)
+        |SELECT b.doc_id, b.lang, count(*) AS n_bigrams,
+        |  round(CAST(sum(mo.su) AS DOUBLE) / count(*) / 1000000.0, 6)
+        |    AS avg_surprisal
+        |FROM bg b JOIN model mo
+        |  ON b.lang = mo.lang AND b.w1 = mo.w1 AND b.w2 = mo.w2
+        |GROUP BY b.doc_id, b.lang
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    // Pearson over (x_t, x_{t-k}) with exact integer moment sums; the
+    // only float step is the final rounded division (q_corr's recipe).
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS lag, c AS y,
+        |    lag(c, 1) OVER w1 AS x FROM daily
+        |    WINDOW w1 AS (PARTITION BY event_type ORDER BY d)
+        |  UNION ALL
+        |  SELECT event_type, CAST(2 AS BIGINT) AS lag, c AS y,
+        |    lag(c, 2) OVER w2 AS x FROM daily
+        |    WINDOW w2 AS (PARTITION BY event_type ORDER BY d)
+        |  UNION ALL
+        |  SELECT event_type, CAST(3 AS BIGINT) AS lag, c AS y,
+        |    lag(c, 3) OVER w3 AS x FROM daily
+        |    WINDOW w3 AS (PARTITION BY event_type ORDER BY d))
+        |SELECT event_type, lag, count(*) AS n_pairs,
+        |  round(
+        |    CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE) /
+        |    (sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)) *
+        |     sqrt(CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE))), 6)
+        |    AS autocorr
+        |FROM lagged WHERE x IS NOT NULL
+        |GROUP BY event_type, lag
+        |ORDER BY event_type NULLS FIRST, lag NULLS FIRST""".stripMargin,
+    // Weekday = epoch-days mod 7 (0 = Thursday) — integer date
+    // arithmetic on both sides, no ISO/locale first-day ambiguity.
+    "q_seasonal" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bydow AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS dow,
+        |    count(*) AS n_days, CAST(sum(c) AS BIGINT) AS n_events
+        |  FROM daily GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS n_total
+        |        FROM bydow GROUP BY 1)
+        |SELECT b.event_type, b.dow, b.n_days, b.n_events,
+        |  round(CAST(b.n_events AS DOUBLE) / b.n_days, 6) AS avg_daily,
+        |  round(CAST(b.n_events AS DOUBLE) / t.n_total, 6) AS volume_share
+        |FROM bydow b JOIN tot t ON b.event_type = t.event_type
+        |ORDER BY b.event_type NULLS FIRST, dow NULLS FIRST""".stripMargin,
+    // n·CUSUM_d = n·S_d − d·T stays exact-integer; argmax by
+    // (|cusum| desc, date asc) — no float ever decides the winner.
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT event_type, d,
+        |    CAST(count(*) OVER w_all * sum(c) OVER w_ord
+        |         - row_number() OVER w_ord * sum(c) OVER w_all AS BIGINT)
+        |      AS cusum_scaled
+        |  FROM daily
+        |  WINDOW
+        |    w_ord AS (PARTITION BY event_type ORDER BY d
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w_all AS (PARTITION BY event_type)),
+        |rk AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY event_type
+        |    ORDER BY abs(cusum_scaled) DESC, d ASC) AS r
+        |  FROM scored)
+        |SELECT event_type, d AS change_day, cusum_scaled,
+        |  CASE WHEN cusum_scaled < 0 THEN 'rise'
+        |       WHEN cusum_scaled > 0 THEN 'drop'
+        |       ELSE 'flat' END AS direction
+        |FROM rk WHERE r = 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
   )
 }

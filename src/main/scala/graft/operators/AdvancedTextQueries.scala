@@ -990,4 +990,99 @@ object AdvancedTextQueries {
           .as("jaccard"))
       .orderBy(asc_nulls_first("source_1"), asc_nulls_first("source_2"))
   }
+
+  /** Cross-document duplicated-5-gram fraction — the Gopher-family
+    * "duplicate n-gram" quality signal at CORPUS granularity: per
+    * document, the fraction of its 5-gram positions whose 5-gram also
+    * occurs in at least one OTHER document. Exact duplicates score 1.0,
+    * template/boilerplate-heavy docs score high, organic text low —
+    * the per-doc number a curation pipeline thresholds on (the within-
+    * doc complement is qRepetition).
+    *
+    * Determinism: counts are exact integers; the fraction is one
+    * rounded division.
+    *
+    * Scale: the tfidf shape — aggregate the position stream to
+    * (5-gram, doc-frequency) first (vocabulary-bounded, map-side
+    * combinable via the distinct-docs pre-fold), then join the model
+    * back to the position stream on the 5-gram key. One token-stream
+    * exchange; at 100 TB key the join on sha2(ngram) so shuffles carry
+    * 32-byte keys, never 5-word strings (q_dedup_exact_hash's recipe).
+    */
+  def qDupNgramFrac(spark: SparkSession, sfDir: String): DataFrame =
+    dupNgramFracFrom(Tables.documents(spark, sfDir))
+
+  /** Frame-parameterized body of [[qDupNgramFrac]] (ScaleSmoke entry). */
+  def dupNgramFracFrom(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ts")) - 4),
+          i => concat_ws(" ", slice(col("ts"), i, lit(5))))).as("ng"))
+    // doc-frequency per 5-gram: distinct-docs pre-fold, then count —
+    // both aggregates combine map-side; rows are 5-gram-vocab-bounded
+    val dfreq = grams.distinct()
+      .groupBy("ng").agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "ng")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_dup"),
+        (round(col("n_dup").cast("double") / col("n_ngrams"), 6) + lit(0.0))
+          .as("dup_frac"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  /** Per-document average bigram surprisal under an add-one-smoothed
+    * per-language bigram LM estimated from the corpus itself — the
+    * next-order refinement of [[qLmScore]]'s unigram model and the
+    * fluency signal a perplexity-filtered corpus build uses:
+    * P(w2 | w1) = (c(w1,w2) + 1) / (ctx(w1) + V), with ctx(w1) the
+    * bigram-context count and V the language's unigram vocabulary, so
+    * the smoothed distribution sums to 1 over seen + unseen
+    * continuations.
+    *
+    * Determinism: qLmScore's micro-nat recipe — each bigram's
+    * -ln(p) is rounded to integer micro-nats (one IEEE log/div/mul
+    * from exact integer counts, identical across engines), the per-doc
+    * total is an exact integer sum, and the average divides two exact
+    * integers once.
+    *
+    * Scale: the model is a (lang × bigram-vocab) aggregate — bounded by
+    * vocabulary, not corpus; V and ctx re-enter by joining model-sized
+    * frames; scoring joins the model to the bigram stream on
+    * (lang, bigram). One bigram-stream exchange, no driver state.
+    */
+  def qBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigrams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // lang vocab V from the unigram view of the same stream (plus each
+    // doc's final token, which never opens a bigram — counting distinct
+    // w1 ∪ w2 types keeps V the full unigram vocabulary)
+    val vocab = bigrams.select(col("lang"), col("w1").as("w"))
+      .union(bigrams.select(col("lang"), col("w2").as("w")))
+      .distinct()
+      .groupBy("lang").agg(count(lit(1)).as("v"))
+    val ctx = bigrams.groupBy("lang", "w1").agg(count(lit(1)).as("n_ctx"))
+    val model = bigrams.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("n_bg"))
+      .join(ctx, Seq("lang", "w1"))
+      .join(broadcast(vocab), "lang")
+      .withColumn("su_micronats",
+        round(-log((col("n_bg") + lit(1)).cast("double") /
+          (col("n_ctx") + col("v"))) * 1000000.0, 0).cast("long"))
+    bigrams.join(model, Seq("lang", "w1", "w2"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("su_micronats")).as("total_su"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        (round(col("total_su").cast("double") / col("n_bigrams") / 1000000.0, 6)
+          + lit(0.0)).as("avg_surprisal"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Prefix-filtered set-similarity self-join (PPJoin-style, Xiao et al.,
+  * "Efficient Similarity Joins for Near Duplicate Detection", WWW 2008 —
+  * public literature): find all document pairs whose word-bigram shingle
+  * sets have Jaccard >= tau WITHOUT the all-pairs join and WITHOUT the
+  * df-cap approximation `ngramJaccardPairs` accepts.
+  *
+  * The filter: order every document's shingles by a single global total
+  * order (df asc, shingle asc — rarest first), keep only the first
+  * `|x| - ceil(tau*|x|) + 1` as the document's PREFIX. The PPJoin prefix
+  * lemma guarantees any pair with J >= tau shares at least one prefix
+  * shingle, so the candidate set (pairs sharing a prefix shingle) has no
+  * false negatives; an exact verification join then computes the true
+  * overlap for candidates only.
+  *
+  * Determinism: the survival test is pure integer arithmetic — for
+  * tau = 1/2, J >= tau iff 3*overlap >= |x| + |y| — so no float compare
+  * ever decides membership; the reported jaccard is one rounded division
+  * of exact integers.
+  *
+  * Scale: three bounded exchanges. (1) shingle df — vocabulary-bounded
+  * aggregate; (2) the prefix self-join touches only prefix shingles
+  * (rarest-first ordering makes hot shingles land in almost no prefix,
+  * the opposite of the hot-shingle blowup a plain shingle equi-join
+  * suffers); (3) verification joins shingle sets of CANDIDATE pairs
+  * only — cost proportional to candidates, not n^2. No broadcast of
+  * anything data-sized, no driver state. This is the exact-answer scale
+  * path next to MinHashLsh's approximate one (reference corpus analogue:
+  * `/root/reference/main/pg-*.txt` near-dup detection).
+  */
+object SetSimJoin {
+
+  import TextQueries.tokens
+
+  /** Word-bigram shingle set per doc: (doc_id, s) distinct rows. */
+  private def shingles(docs: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    docs
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1)))))
+          .as("s"))
+  }
+
+  /** All doc pairs with word-bigram-shingle Jaccard >= 1/2, found via
+    * the prefix filter and verified exactly.
+    */
+  def qSetsimPrefix(spark: SparkSession, sfDir: String): DataFrame =
+    setsimPrefixFrom(Tables.documents(spark, sfDir))
+
+  /** DataFrame-core form over any (doc_id, text) frame — ScaleSmoke
+    * entry point. tau is fixed at 1/2 so the verify compare stays
+    * integer (3*o >= n1+n2).
+    */
+  def setsimPrefixFrom(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+
+    // Global total order: (df asc, shingle asc). The order key is the
+    // (df, s) pair itself — no global rank assignment, so no
+    // single-partition window at any scale.
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+
+    // Per doc: sort shingles rarest-first, keep the tau=1/2 prefix
+    // |x| - ceil(|x|/2) + 1 = floor(|x|/2) + 1.
+    val ordered = sh.join(dfreq, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("sorted"),
+        count(lit(1)).as("n"))
+    val prefixes = ordered
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("sorted"), lit(1), (col("n") / lit(2) + lit(1)).cast("int")))
+          .as("p"))
+      .select(col("doc_id"), col("n"), col("p.s").as("s"))
+
+    // Candidates: pairs sharing a prefix shingle (no false negatives by
+    // the prefix lemma); distinct to collapse multi-shingle agreement.
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .distinct()
+
+    // Exact verification, candidate-bounded: attach doc_id_1's full
+    // shingle set, then inner-join doc_id_2's on the shingle.
+    val sh1 = sh.select(col("doc_id").as("d1"), col("s"))
+    val sh2 = sh.select(col("doc_id").as("d2"), col("s").as("s2"))
+    val verified = cand
+      .join(sh1, col("doc_id_1") === col("d1"))
+      .join(sh2, col("doc_id_2") === col("d2") && col("s") === col("s2"))
+      .groupBy("doc_id_1", "doc_id_2", "n1", "n2")
+      .agg(count(lit(1)).as("n_common"))
+      // tau = 1/2 as integers: o/(n1+n2-o) >= 1/2  <=>  3o >= n1+n2
+      .filter(col("n_common") * 3 >= col("n1") + col("n2"))
+
+    verified.select(
+      col("doc_id_1"), col("doc_id_2"), col("n_common"),
+      (round(col("n_common").cast("double") /
+        (col("n1") + col("n2") - col("n_common")), 6) + lit(0.0)).as("jaccard"))
+      .orderBy(asc_nulls_first("doc_id_1"), asc_nulls_first("doc_id_2"))
+  }
+}

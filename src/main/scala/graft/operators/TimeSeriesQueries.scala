@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch time-series diagnostics over the events stream: lag-k
+  * autocorrelation, day-of-week seasonal profile, and CUSUM
+  * changepoint location. The reference has no time dimension at all
+  * (its rows are string pairs, `/root/reference/mr/worker.go:17-20`);
+  * these are the engine-native extensions a metrics/monitoring user
+  * runs over the same corpus the streaming operators watch live.
+  *
+  * All three reduce the raw stream to per-(type, day) integer counts
+  * first — one map-side-combinable aggregate over the event scan — and
+  * run the statistics on the tiny per-type daily series (n_days rows
+  * per type at ANY corpus scale: 100 TB of events still folds to
+  * |types| × |days| rows before any window executes). The windows
+  * partition by event_type, so parallelism is type-bounded — correct
+  * here because the frame they run over is already days-bounded, not
+  * corpus-bounded.
+  */
+object TimeSeriesQueries {
+
+  /** Per-(event_type, day) event counts — the shared series. */
+  private def daily(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Lag-k autocorrelation (k = 1, 2, 3) of each type's daily-count
+    * series, Pearson over the (x_t, x_{t-k}) pairs of the observed
+    * series in date order.
+    *
+    * Determinism: the five moment sums are summed as DECIMAL(38,0) over
+    * exact integer counts (explicit overflow instead of silent wrap —
+    * q_gini's convention; counts would need ~1e9 events/day before
+    * long products wrap), the Pearson numerator/denominator are exact
+    * integer expressions, and one rounded double division ends it.
+    */
+  def qAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("d")
+    // window lags first, generator second — Spark disallows a window
+    // expression and a generator in one SELECT
+    val lagged = daily(spark, sfDir)
+      .select(col("event_type"), col("d"), col("c"),
+        lag(col("c"), 1).over(w).as("x1"),
+        lag(col("c"), 2).over(w).as("x2"),
+        lag(col("c"), 3).over(w).as("x3"))
+      .select(col("event_type"), col("c"),
+        explode(array(
+          struct(lit(1).as("lag"), col("x1").as("x")),
+          struct(lit(2).as("lag"), col("x2").as("x")),
+          struct(lit(3).as("lag"), col("x3").as("x")))).as("p"))
+      .select(col("event_type"), col("p.lag").cast("long").as("lag"),
+        col("c").cast("decimal(38,0)").as("y"), col("p.x").cast("decimal(38,0)").as("x"))
+      .filter(col("x").isNotNull)
+    lagged.groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        (round(
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6) + lit(0.0)).as("autocorr"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("lag"))
+  }
+
+  /** Day-of-week seasonal profile per event type: average daily count
+    * and share of the type's volume per weekday. Weekday is computed as
+    * epoch-days mod 7 (0 = Thursday 1970-01-01) — pure integer date
+    * arithmetic, identical across engines, no locale/ISO-vs-US
+    * first-day ambiguity.
+    */
+  def qSeasonal(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDow = daily(spark, sfDir)
+      .groupBy(col("event_type"),
+        pmod(datediff(col("d"), lit("1970-01-01")), lit(7)).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("n_events"))
+    val totals = byDow.groupBy(col("event_type").as("t_type"))
+      .agg(sum(col("n_events")).as("n_total"))
+    byDow.join(broadcast(totals), col("event_type") === col("t_type"))
+      .select(col("event_type"), col("dow"), col("n_days"), col("n_events"),
+        (round(col("n_events").cast("double") / col("n_days"), 6) + lit(0.0))
+          .as("avg_daily"),
+        (round(col("n_events").cast("double") / col("n_total"), 6) + lit(0.0))
+          .as("volume_share"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("dow"))
+  }
+
+  /** CUSUM changepoint per event type: the day d* maximizing
+    * |CUSUM_d| = |Σ_{i<=d}(c_i - mean)| over the daily series — the
+    * classic single-changepoint location estimate for a level shift.
+    *
+    * Determinism: the mean never materializes as a float. With S_d the
+    * prefix sum, T the total and n the day count, n·CUSUM_d =
+    * n·S_d − d·T is an EXACT integer; the argmax compares those scaled
+    * integers (magnitude desc, then date asc for ties). cusum_scaled
+    * wraps long only past ~3·10^17 events per type-month — q_gini's
+    * documented-bound convention. Sign < 0 means the later regime runs
+    * HIGHER than the mean (a rise at d*), > 0 a drop.
+    */
+  def qChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val wOrd = Window.partitionBy("event_type").orderBy("d")
+    val wAll = Window.partitionBy("event_type")
+    val scored = daily(spark, sfDir)
+      .withColumn("s", sum(col("c")).over(wOrd))
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("t", sum(col("c")).over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("cusum_scaled", col("n") * col("s") - col("i") * col("t"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(abs(col("cusum_scaled")).desc, col("d").asc)))
+    scored.filter(col("rk") === 1)
+      .select(col("event_type"), col("d").as("change_day"),
+        col("cusum_scaled"),
+        when(col("cusum_scaled") < 0, lit("rise"))
+          .when(col("cusum_scaled") > 0, lit("drop"))
+          .otherwise(lit("flat")).as("direction"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the batch time-series diagnostics (autocorrelation,
+  * day-of-week seasonality, CUSUM changepoint), the prefix-filtered
+  * set-similarity join, and the round's corpus-signal queries
+  * (duplicated-ngram fraction, bigram LM).
+  */
+class TimeSeriesSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("setsim prefix filter loses no pair vs the brute-force join") {
+    import spark.implicits._
+    // ground truth: all-pairs shingle join, no prefix filter
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), operators.TextQueries.tokens(col("text")).as("ts"))
+      .filter(size($"ts") >= 2)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size($"ts") - 1),
+          i => concat_ws(" ", element_at($"ts", i), element_at($"ts", i + 1)))))
+        .as("s"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = sh.as("a").join(sh.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("o"))
+      .join(sz.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+      .join(sz.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+      .filter($"o" * 3 >= $"n1" + $"n2")
+      .select($"d1", $"d2", $"o").as[(Long, Long, Long)].collect().toSet
+    val pref = q("q_setsim_prefix")
+      .select($"doc_id_1", $"doc_id_2", $"n_common")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pref == brute)
+    assert(pref.nonEmpty) // fixture has exact dup pairs -> J = 1
+  }
+
+  test("setsim jaccard bounds and symmetry of the pair key") {
+    import spark.implicits._
+    val out = q("q_setsim_prefix")
+    assert(out.filter($"jaccard" < 0.5 - 1e-9 || $"jaccard" > 1.0 + 1e-9).count() == 0)
+    assert(out.filter($"doc_id_1" >= $"doc_id_2").count() == 0)
+  }
+
+  test("dup-ngram fraction: bounds hold and exact duplicates score 1.0") {
+    import spark.implicits._
+    val out = q("q_dup_ngram_frac")
+    assert(out.filter($"n_dup" > $"n_ngrams" || $"n_dup" < 0).count() == 0)
+    assert(out.filter($"dup_frac" < 0.0 || $"dup_frac" > 1.0).count() == 0)
+    // every member of a byte-exact duplicate group shares ALL its
+    // 5-grams with its twin, so dup_frac must be exactly 1.0
+    val dupGroups = q("q_dedup_exact").filter($"n_dups" >= 2)
+    if (dupGroups.count() > 0) {
+      val dupIds = Tables.documents(spark, sfDir)
+        .groupBy("text").agg(collect_list($"doc_id").as("ids"), count(lit(1)).as("n"))
+        .filter($"n" >= 2).select(explode($"ids").as("doc_id"))
+      val offenders = out.join(dupIds, "doc_id").filter($"dup_frac" < 1.0)
+      assert(offenders.count() == 0)
+    }
+  }
+
+  test("bigram LM: n_bigrams = tokens - 1; scores positive; dup texts tie") {
+    import spark.implicits._
+    val out = q("q_bigram_lm")
+    val expected = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        (size(operators.TextQueries.tokens($"text")) - 1).cast("long").as("exp_n"))
+      .filter($"exp_n" >= 1)
+    assert(out.join(expected, "doc_id").filter($"n_bigrams" =!= $"exp_n").count() == 0)
+    assert(out.filter($"avg_surprisal" <= 0.0).count() == 0)
+    // byte-identical texts must score identically
+    val joined = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      .join(out.select($"doc_id", $"avg_surprisal"), "doc_id")
+      .groupBy("text").agg(countDistinct($"avg_surprisal").as("n_scores"))
+    assert(joined.filter($"n_scores" > 1).count() == 0)
+  }
+
+  test("autocorr: |r| <= 1 and n_pairs = n_days - lag per type") {
+    import spark.implicits._
+    val out = q("q_autocorr")
+    assert(out.count() > 0)
+    assert(out.filter(abs($"autocorr") > 1.0 + 1e-6).count() == 0)
+    val days = Tables.events(spark, sfDir)
+      .groupBy($"event_type").agg(countDistinct(to_date($"ts")).as("n_days"))
+    val bad = out.join(days, "event_type")
+      .filter($"n_pairs" =!= $"n_days" - $"lag")
+    assert(bad.count() == 0)
+  }
+
+  test("seasonal: volume shares sum to ~1 and day counts cover the span") {
+    import spark.implicits._
+    val out = q("q_seasonal")
+    val shares = out.groupBy("event_type").agg(sum($"volume_share").as("s"))
+    assert(shares.filter(abs($"s" - 1.0) > 1e-4).count() == 0)
+    val days = out.groupBy("event_type").agg(sum($"n_days").as("nd"))
+    val expected = Tables.events(spark, sfDir)
+      .groupBy($"event_type").agg(countDistinct(to_date($"ts")).as("exp_nd"))
+    assert(days.join(expected, "event_type").filter($"nd" =!= $"exp_nd").count() == 0)
+    assert(out.filter($"dow" < 0 || $"dow" > 6).count() == 0)
+  }
+
+  test("changepoint: one row per type; scaled CUSUM matches a driver recompute") {
+    import spark.implicits._
+    val out = q("q_changepoint")
+    val types = Tables.events(spark, sfDir).select("event_type").distinct().count()
+    assert(out.count() == types)
+    // recompute the argmax on the collected (tiny) daily series
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(_._1).map { case (t, rows) =>
+        val sorted = rows.sortBy(_._2.toString)
+        val series = sorted.map(_._3)
+        val n = series.length.toLong
+        val total = series.sum
+        val best = series.scanLeft(0L)(_ + _).drop(1).zipWithIndex
+          .map { case (s, i0) => (n * s - (i0 + 1) * total, i0) }
+          .minBy { case (cu, i0) => (-math.abs(cu), i0) }
+        t -> (sorted(best._2)._2.toString, best._1)
+      }
+    val got = out.select($"event_type", $"change_day".cast("string"), $"cusum_scaled")
+      .as[(String, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == daily)
+  }
+}
