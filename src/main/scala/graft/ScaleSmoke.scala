@@ -192,7 +192,23 @@ object ScaleSmoke {
       "collocations_top50" -> (k => AdvancedTextQueries.collocationsFrom(replicated(k))),
       // distinct (type,user) exchange + two-phase per-type k-smallest;
       // pair math on |types|·k sketch rows — output pinned at pairs
-      "overlap_kmv" -> (k => AnalyticsQueries.overlapKmvFrom(replicatedEvents(k))))
+      "overlap_kmv" -> (k => AnalyticsQueries.overlapKmvFrom(replicatedEvents(k))),
+      // PPJoin prefix filter: disjoint replicas keep each replica's
+      // dup pairs internal, so output pairs AND candidate volume must
+      // grow linearly in k — superlinear time here means the prefix
+      // pruning stopped working (rarest-first ordering broken)
+      "setsim_prefix" -> (k => SetSimJoin.setsimPrefixFrom(replicated(k))),
+      // tfidf shape: 5-gram df agg + join-back; replicas keep the base
+      // corpus's dup structure so dup_frac distribution is scale-stable
+      // while the 5-gram vocabulary grows ~k
+      "dup_ngram_frac" -> (k => AdvancedTextQueries.dupNgramFracFrom(replicated(k))),
+      // (lang × bigram-vocab) model agg + one bigram-stream join; the
+      // disjoint replicas are the worst case — model rows grow k·|V²|
+      "bigram_lm" -> (k => AdvancedTextQueries.bigramLmFrom(
+        replicated(k).withColumn("lang",
+          // deterministic 5-way lang spread so the per-lang model path
+          // (not one giant lang) is what scales
+          concat(lit("l"), pmod(col("doc_id"), lit(5)).cast("string"))))))
 
     val sb = new StringBuilder
     sb.append("# Operator scaling smoke (corpus replicated with disjoint token/user spaces)\n\n")

@@ -198,6 +198,9 @@ object SparkEntry {
     "q_autocorr"        -> (TimeSeriesQueries.qAutocorr _),
     "q_seasonal"        -> (TimeSeriesQueries.qSeasonal _),
     "q_changepoint"     -> (TimeSeriesQueries.qChangepoint _),
+    "q_clustering_coef" -> (AnalyticsQueries.qClusteringCoef _),
+    "q_conversion_lag"  -> (BehaviorQueries.qConversionLag _),
+    "q_ngram_novelty"   -> (AdvancedTextQueries.qNgramNovelty _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -2964,5 +2967,79 @@ object SparkEntry {
         |       ELSE 'flat' END AS direction
         |FROM rk WHERE r = 1
         |ORDER BY event_type NULLS FIRST""".stripMargin,
+    // q_triangles' enumeration extended with degrees; zero-triangle
+    // nodes of degree >= 2 kept via the left join.
+    "q_clustering_coef" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |und AS (SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) q
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM und e1
+        |  JOIN und e2 ON e2.u = e1.v
+        |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |n AS (SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+        |      UNION ALL SELECT c AS node FROM tri),
+        |tcount AS (SELECT node, count(*) AS n_triangles FROM n GROUP BY node)
+        |SELECT d.node, d.deg,
+        |  CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  round(CAST(COALESCE(t.n_triangles, 0) AS DOUBLE) * 2.0 /
+        |    (d.deg * (d.deg - 1)), 6) + 0.0 AS clustering_coef
+        |FROM deg d LEFT JOIN tcount t ON d.node = t.node
+        |WHERE d.deg >= 2
+        |ORDER BY d.node NULLS FIRST""".stripMargin,
+    // exact-rank median/p90 (q_median's recipe) over integer-micro lags
+    "q_conversion_lag" ->
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |fp AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+        |  GROUP BY e.user_id),
+        |conv AS (
+        |  SELECT su.user_id, CAST(su.signup_ts AS DATE) AS cohort_day,
+        |    epoch_us(fp.purchase_ts) - epoch_us(su.signup_ts) AS lag_us
+        |  FROM su JOIN fp ON su.user_id = fp.user_id),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY cohort_day
+        |      ORDER BY lag_us ASC, user_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY cohort_day) AS n
+        |  FROM conv)
+        |SELECT cohort_day, max(n) AS n_converted,
+        |  round(avg(CASE WHEN rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |            THEN lag_us END) / 3600000000.0, 6) + 0.0
+        |    AS median_lag_hours,
+        |  round(CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_us END)
+        |    AS DOUBLE) / 3600000000.0, 6) + 0.0 AS p90_lag_hours
+        |FROM ranked GROUP BY cohort_day
+        |ORDER BY cohort_day NULLS FIRST""".stripMargin,
+    "q_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(list_slice(ts, i, i + 4), ' ') AS ng
+        |  FROM t, unnest(generate_series(1, len(ts) - 4)) AS u(i)
+        |  WHERE len(ts) >= 5),
+        |firstdoc AS (SELECT ng, min(doc_id) AS first_doc FROM g GROUP BY ng)
+        |SELECT g.doc_id, count(*) AS n_ngrams,
+        |  CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_seen,
+        |  round(CAST(count(*) - sum(CASE WHEN f.first_doc < g.doc_id
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) + 0.0
+        |    AS novelty_frac
+        |FROM g JOIN firstdoc f ON g.ng = f.ng
+        |GROUP BY g.doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
   )
 }

@@ -1034,6 +1034,43 @@ object AdvancedTextQueries {
       .orderBy(asc_nulls_first("doc_id"))
   }
 
+  /** Per-document 5-gram NOVELTY against the doc_id-ordered corpus
+    * prefix: the fraction of a doc's 5-gram positions whose 5-gram
+    * first appears in THIS doc (first_doc = doc_id) rather than any
+    * earlier one — the marginal-information curve a corpus owner reads
+    * to decide when additional crawl stops adding content
+    * (qDupNgramFrac's order-aware companion: that one asks "duplicated
+    * anywhere", this one "already seen before me").
+    *
+    * Determinism: first_doc is an exact integer min; the fraction is
+    * one rounded division.
+    *
+    * Scale: same tfidf shape as qDupNgramFrac — the (5-gram → min
+    * doc_id) model is vocabulary-bounded and map-side combinable
+    * (min combines), joined back to the position stream once.
+    */
+  def qNgramNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    ngramNoveltyFrom(Tables.documents(spark, sfDir))
+
+  /** Frame-parameterized body of [[qNgramNovelty]] (ScaleSmoke entry). */
+  def ngramNoveltyFrom(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ts")) - 4),
+          i => concat_ws(" ", slice(col("ts"), i, lit(5))))).as("ng"))
+    val first = grams.groupBy("ng").agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "ng")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_seen"),
+        (round((col("n_ngrams") - col("n_seen")).cast("double") / col("n_ngrams"), 6)
+          + lit(0.0)).as("novelty_frac"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
   /** Per-document average bigram surprisal under an add-one-smoothed
     * per-language bigram LM estimated from the corpus itself — the
     * next-order refinement of [[qLmScore]]'s unigram model and the
@@ -1054,8 +1091,14 @@ object AdvancedTextQueries {
     * frames; scoring joins the model to the bigram stream on
     * (lang, bigram). One bigram-stream exchange, no driver state.
     */
-  def qBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
-    val bigrams = Tables.documents(spark, sfDir)
+  def qBigramLm(spark: SparkSession, sfDir: String): DataFrame =
+    bigramLmFrom(Tables.documents(spark, sfDir))
+
+  /** Frame-parameterized body of [[qBigramLm]] over any
+    * (doc_id, lang, text) frame (ScaleSmoke entry point).
+    */
+  def bigramLmFrom(docs: DataFrame): DataFrame = {
+    val bigrams = docs
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), col("lang"),

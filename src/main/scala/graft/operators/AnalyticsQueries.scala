@@ -514,6 +514,38 @@ object AnalyticsQueries {
     GraphOps.triangleCounts(und)
   }
 
+  /** Local clustering coefficient per node of the same co-purchase
+    * graph: 2·triangles / (deg·(deg−1)) for every node of degree ≥ 2 —
+    * how close each part's neighborhood is to a clique, the per-node
+    * refinement of q_triangles' raw counts. Nodes in no triangle
+    * surface with coefficient 0 (left join, not dropped) — those
+    * structural holes are the interesting rows for a recommender.
+    *
+    * Determinism: triangles and degrees are exact integers; the
+    * coefficient is one rounded division.
+    *
+    * Scale: degrees are one map-combinable agg over the edge list; the
+    * triangle side reuses [[GraphOps.triangleCounts]]'s degree-ordered
+    * orientation (wedge join bounded O(m^1.5)); the final join moves
+    * node-count rows only.
+    */
+  def qClusteringCoef(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = BehaviorQueries.cooccurPairCounts(Tables.lineitem(spark, sfDir))
+      .filter(col("n_orders") >= PagerankMinCooccur)
+      .select(col("p1").as("u"), col("p2").as("v"))
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = GraphOps.triangleCounts(und)
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        (round(coalesce(col("n_triangles"), lit(0L)).cast("double") * 2.0 /
+          (col("deg") * (col("deg") - 1)), 6) + lit(0.0)).as("clustering_coef"))
+      .orderBy(asc_nulls_first("node"))
+  }
+
   /** Misra-Gries candidate set size. 128 counters ⇒ every token with
     * frequency > n/129 of the corpus survives the sketch, so a
     * ≥ n/100 threshold has NO false negatives to recover.

@@ -348,4 +348,50 @@ object BehaviorQueries {
         (col("us") - col("click_us")).as("gap_us"))
       .orderBy(asc_nulls_first("user_id"), asc_nulls_first("purchase_id"))
   }
+
+  /** Signup→first-purchase conversion latency per signup-day cohort:
+    * converted users, median and p90 lag in hours — the
+    * time-to-convert distribution next to q_funnel's step counts and
+    * q_attribution's per-purchase gaps.
+    *
+    * Determinism: the exact-rank recipe of q_median — median is the
+    * average of the one/two middle rows, p90 the nearest-rank
+    * ceil(0.9n) row, both selected by integer rank over
+    * (lag asc, user_id asc); lags are exact integer micros, and the
+    * micros→hours division happens once on the selected rows.
+    *
+    * Scale: two map-combinable per-user min-aggregates + one
+    * co-partitioned user join; the rank window partitions by cohort
+    * day over CONVERTED-USER rows (already collapsed from the event
+    * stream), and the final frame is |cohorts| rows.
+    */
+  def qConversionLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .filter(col("ts") >= col("signup_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("purchase_ts"))
+    val conv = signup.join(firstPurchase, "user_id")
+      .select(col("user_id"), to_date(col("signup_ts")).as("cohort_day"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("signup_ts")))
+          .as("lag_us"))
+    val ranked = conv
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cohort_day")
+          .orderBy(col("lag_us").asc, col("user_id").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("cohort_day")))
+    val isMedian = col("rn") === expr("(n + 1) DIV 2") ||
+      col("rn") === expr("n DIV 2 + 1")
+    val isP90 = col("rn") === expr("(9 * n + 9) DIV 10")
+    ranked.groupBy("cohort_day")
+      .agg(
+        max(col("n")).as("n_converted"),
+        (round(avg(when(isMedian, col("lag_us"))) / 3600000000.0, 6) + lit(0.0))
+          .as("median_lag_hours"),
+        (round(max(when(isP90, col("lag_us"))).cast("double") / 3600000000.0, 6)
+          + lit(0.0)).as("p90_lag_hours"))
+      .orderBy(asc_nulls_first("cohort_day"))
+  }
 }

@@ -103,6 +103,47 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.filter($"dow" < 0 || $"dow" > 6).count() == 0)
   }
 
+  test("clustering coef: bounds, degree-2 floor, triangle consistency") {
+    import spark.implicits._
+    val out = q("q_clustering_coef")
+    assert(out.count() > 0)
+    assert(out.filter($"clustering_coef" < 0.0 || $"clustering_coef" > 1.0).count() == 0)
+    assert(out.filter($"deg" < 2).count() == 0)
+    // zero triangles <=> zero coefficient
+    assert(out.filter($"n_triangles" === 0 && $"clustering_coef" =!= 0.0).count() == 0)
+    assert(out.filter($"n_triangles" > 0 && $"clustering_coef" <= 0.0).count() == 0)
+    // per-node triangles can never exceed deg-choose-2 (the coef <= 1 bound, exactly)
+    assert(out.filter($"n_triangles" * 2 > $"deg" * ($"deg" - 1)).count() == 0)
+  }
+
+  test("conversion lag: p90 >= median >= 0 and converters exist") {
+    import spark.implicits._
+    val out = q("q_conversion_lag")
+    assert(out.count() > 0)
+    assert(out.filter($"median_lag_hours" < 0.0).count() == 0)
+    assert(out.filter($"p90_lag_hours" < $"median_lag_hours" - 1e-9).count() == 0)
+    assert(out.filter($"n_converted" < 1).count() == 0)
+  }
+
+  test("ngram novelty: bounds; the first doc is fully novel; seen+novel reconcile") {
+    import spark.implicits._
+    val out = q("q_ngram_novelty")
+    assert(out.filter($"novelty_frac" < 0.0 || $"novelty_frac" > 1.0).count() == 0)
+    assert(out.filter($"n_seen" > $"n_ngrams").count() == 0)
+    val firstId = out.agg(min($"doc_id")).as[Long].head()
+    val firstRow = out.filter($"doc_id" === firstId).head()
+    assert(firstRow.getAs[Long]("n_seen") == 0L &&
+      firstRow.getAs[Double]("novelty_frac") == 1.0)
+    // a later byte-exact duplicate of an earlier doc has novelty 0
+    val dupPair = Tables.documents(spark, sfDir)
+      .groupBy("text").agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+      .filter($"lo" < $"hi").select($"hi").as[Long].collect()
+    if (dupPair.nonEmpty) {
+      val later = out.filter($"doc_id".isin(dupPair.toSeq: _*))
+      assert(later.filter($"novelty_frac" =!= 0.0).count() == 0)
+    }
+  }
+
   test("changepoint: one row per type; scaled CUSUM matches a driver recompute") {
     import spark.implicits._
     val out = q("q_changepoint")
