@@ -201,6 +201,13 @@ object SparkEntry {
     "q_clustering_coef" -> (AnalyticsQueries.qClusteringCoef _),
     "q_conversion_lag"  -> (BehaviorQueries.qConversionLag _),
     "q_ngram_novelty"   -> (AdvancedTextQueries.qNgramNovelty _),
+    "q_class_balance"   -> (MlEvalQueries.qClassBalance _),
+    "q_embed_var"       -> (MlEvalQueries.qEmbedVar _),
+    "q_split_group"     -> (MlEvalQueries.qSplitGroup _),
+    "q_knn_confusion"   -> (MlEvalQueries.qKnnConfusion _),
+    "q_cum_distinct"    -> (MlEvalQueries.qCumDistinct _),
+    "q_outlier_iqr"     -> (MlEvalQueries.qOutlierIqr _),
+    "q_degree_dist"     -> (MlEvalQueries.qDegreeDist _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -3041,5 +3048,131 @@ object SparkEntry {
         |    AS novelty_frac
         |FROM g JOIN firstdoc f ON g.ng = f.ng
         |GROUP BY g.doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_class_balance" ->
+      """WITH pl AS (SELECT label, count(*) AS n_vecs FROM embeddings
+        |  GROUP BY label),
+        |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total,
+        |  count(*) AS k_labels, max(n_vecs) AS max_n FROM pl)
+        |SELECT label, n_vecs,
+        |  round(CAST(n_vecs AS DOUBLE) / n_total, 6) + 0.0 AS frac,
+        |  round(CAST(n_total AS DOUBLE) / CAST(k_labels * n_vecs AS DOUBLE), 6)
+        |    + 0.0 AS class_weight,
+        |  n_vecs = max_n AS is_majority
+        |FROM pl CROSS JOIN t ORDER BY label NULLS FIRST""".stripMargin,
+    "q_embed_var" ->
+      """WITH pos AS (SELECT unnest(range(1, 65)) AS dim),
+        |e AS (
+        |  SELECT CAST(dim AS INT) AS dim,
+        |    CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000, 0) AS BIGINT)
+        |      AS q
+        |  FROM embeddings CROSS JOIN pos),
+        |a AS (
+        |  SELECT dim, count(*) AS n_vecs, CAST(sum(q) AS BIGINT) AS s,
+        |    CAST(sum(q * q) AS BIGINT) AS ss
+        |  FROM e GROUP BY dim)
+        |SELECT dim, n_vecs,
+        |  round(CAST(s AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1e6), 6) + 0.0
+        |    AS mean,
+        |  round(CAST(ss AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1e12)
+        |    - (CAST(s AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1e6))
+        |    * (CAST(s AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1e6)), 6) + 0.0
+        |    AS variance
+        |FROM a ORDER BY dim NULLS FIRST""".stripMargin,
+    "q_split_group" ->
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  min(source) AS min_source
+        |FROM (
+        |  SELECT source, n_chars,
+        |    CAST('0x' || substring(md5('gsplit:' || source), 1, 4) AS BIGINT)
+        |      % 100 AS b
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY split NULLS FIRST""".stripMargin,
+    "q_knn_confusion" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |), pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+        |    round(list_dot_product(p.v, c.v) /
+        |      (sqrt(list_dot_product(p.v, p.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))), 6) + 0.0 AS cosine
+        |  FROM e p JOIN e c ON p.vec_id % 100 = 0 AND c.vec_id <> p.vec_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM pairs
+        |), votes AS (
+        |  SELECT probe_id, l.label, count(*) AS votes
+        |  FROM ranked r JOIN e l ON r.vec_id = l.vec_id
+        |  WHERE r.rank <= 5 GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT probe_id, label AS pred_label,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY votes DESC, label ASC) AS rn
+        |  FROM votes
+        |), conf AS (
+        |  SELECT t.label AS true_label, p.pred_label, count(*) AS n_probes
+        |  FROM pred p JOIN e t ON p.probe_id = t.vec_id
+        |  WHERE p.rn = 1 GROUP BY 1, 2)
+        |SELECT true_label, pred_label, n_probes,
+        |  round(CAST(n_probes AS DOUBLE) /
+        |    sum(n_probes) OVER (PARTITION BY true_label), 6) + 0.0 AS rate
+        |FROM conf
+        |ORDER BY true_label NULLS FIRST, pred_label NULLS FIRST""".stripMargin,
+    "q_cum_distinct" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT day, count(*) AS n_new_users FROM fd GROUP BY day)
+        |SELECT day, n_new_users,
+        |  CAST(sum(n_new_users) OVER (ORDER BY day ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM d ORDER BY day NULLS FIRST""".stripMargin,
+    "q_outlier_iqr" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC, event_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |quart AS (
+        |  SELECT event_type, max(n) AS n, min(value) AS q1, max(value) AS q3
+        |  FROM ranked
+        |  WHERE rn = CAST(ceil(n * 0.25) AS BIGINT)
+        |     OR rn = CAST(ceil(n * 0.75) AS BIGINT)
+        |  GROUP BY event_type),
+        |f AS (
+        |  SELECT event_type, n, q1, q3,
+        |    q1 - (q3 - q1) * 1.5 AS lo_fence,
+        |    q3 + (q3 - q1) * 1.5 AS hi_fence
+        |  FROM quart)
+        |SELECT e.event_type, CAST(max(f.n) AS BIGINT) AS n_events,
+        |  round(max(f.q1), 6) + 0.0 AS q1,
+        |  round(max(f.q3), 6) + 0.0 AS q3,
+        |  round(max(f.lo_fence), 6) + 0.0 AS lo_fence,
+        |  round(max(f.hi_fence), 6) + 0.0 AS hi_fence,
+        |  CAST(sum(CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN f ON e.event_type = f.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type NULLS FIRST""".stripMargin,
+    "q_degree_dist" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |und AS (SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT node, count(*) AS degree FROM (
+        |    SELECT p1 AS node FROM und UNION ALL SELECT p2 FROM und) t
+        |  GROUP BY node)
+        |SELECT degree, count(*) AS n_nodes, min(node) AS min_node
+        |FROM deg GROUP BY degree ORDER BY degree NULLS FIRST""".stripMargin,
   )
 }

@@ -1,0 +1,235 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation and dataset-curation operators a training pipeline
+  * runs AFTER the corpus ops (dedup/quality/split) and BEFORE or AFTER
+  * training: label-balance accounting, per-feature variance screening,
+  * leakage-safe grouped splits, a kNN confusion matrix, cumulative
+  * corpus growth, and robust IQR outlier fences. The reference has no
+  * analytics surface (its one aggregation shape is `reducef` over
+  * sorted keys, /root/reference/mr/worker.go:173-207); these extend the
+  * engine along the north-star LLM-pipeline axis.
+  *
+  * Determinism contract (same as the rest of the inventory): exact
+  * integer/long arithmetic wherever sums cross rows (quantized 1e-6
+  * grid for float features — long sums are partitioning-independent),
+  * 6-dp rounding + `+ 0.0` IEEE −0.0 normalization on every emitted
+  * double, full ORDER BY.
+  */
+object MlEvalQueries {
+
+  /** Class-balance report over the labeled embedding set: per-label
+    * count, corpus fraction, and the inverse-frequency reweighting
+    * factor n_total / (k · n_label) — the standard "balanced" class
+    * weight handed to a loss function. The majority-class flag makes
+    * the baseline-accuracy row self-evident.
+    *
+    * Scale: one map-combinable count per label (k rows out of n), a
+    * 1-row global count joined back by broadcast. Nothing here grows
+    * with the corpus except the single pass.
+    */
+  def qClassBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val perLabel = emb.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    val totals = perLabel.agg(
+      sum(col("n_vecs")).as("n_total"),
+      count(lit(1)).as("k_labels"),
+      max(col("n_vecs")).as("max_n"))
+    perLabel.join(broadcast(totals))
+      .select(col("label"), col("n_vecs"),
+        (round(col("n_vecs").cast("double") / col("n_total"), 6) + lit(0.0))
+          .as("frac"),
+        (round(col("n_total").cast("double") /
+          (col("k_labels") * col("n_vecs")).cast("double"), 6) + lit(0.0))
+          .as("class_weight"),
+        (col("n_vecs") === col("max_n")).as("is_majority"))
+      .orderBy(asc_nulls_first("label"))
+  }
+
+  /** Per-dimension feature screening over the embedding matrix: mean
+    * and (population) variance of every dimension — the first look a
+    * feature pipeline takes before whitening/PCA (dead dims have ~0
+    * variance; un-centered dims skew quantizers).
+    *
+    * Determinism: each float quantizes to the exact 1e-6 integer grid
+    * BEFORE summing, so Σq and Σq² are exact longs (order-independent
+    * across partitions); mean and variance then derive from those two
+    * longs with the identical double expression in both engines.
+    * Bounds: |v| ≤ 1 ⇒ q² ≤ 1e12; Σq² stays under 2^63 up to ~9.2M
+    * vectors — past that, widen the accumulators to DECIMAL(38,0)
+    * (same pattern as q_gini's rank-weighted sum).
+    *
+    * Scale: posexplode is a narrow ×64 fan-out; the one shuffle groups
+    * 64 cells with map-side partial aggregation — at 100 TB the reduce
+    * side sees 64 rows per partition, nothing else.
+    */
+  def qEmbedVar(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select((col("pos") + 1).as("dim"),
+        round(col("v").cast("double") * 1000000, 0).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("q")).as("s"), sum(col("q") * col("q")).as("ss"))
+      .select(col("dim"), col("n_vecs"),
+        (round(col("s").cast("double") /
+          (col("n_vecs").cast("double") * lit(1e6)), 6) + lit(0.0)).as("mean"),
+        (round(
+          col("ss").cast("double") / (col("n_vecs").cast("double") * lit(1e12))
+            - (col("s").cast("double") / (col("n_vecs").cast("double") * lit(1e6)))
+            * (col("s").cast("double") / (col("n_vecs").cast("double") * lit(1e6))),
+          6) + lit(0.0)).as("variance"))
+      .orderBy(asc_nulls_first("dim"))
+
+  /** GROUP-aware train/val/test split: the whole `source` moves as a
+    * unit (hash of the source, not the doc), so near-identical docs
+    * from one crawl/site can never straddle the train/test boundary —
+    * the leakage mode a per-doc split (q_split_train) cannot prevent.
+    * Same seed-free md5 keying as every sampling op, so membership is
+    * reproducible across runs, engines, and retries.
+    *
+    * Scale: the split key is a scalar expression on a column the row
+    * already carries — zero extra shuffles beyond the report's own
+    * aggregation; the distinct-source count rides the same exchange.
+    */
+  def qSplitGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = (conv(substring(md5(concat(lit("gsplit:"), col("source"))), 1, 4),
+      16, 10).cast("long") % 100).as("b")
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"), b)
+      .select(
+        when(col("b") < 80, "train").when(col("b") < 90, "val")
+          .otherwise("test").as("split"),
+        col("source"), col("doc_id"), col("n_chars"))
+      .groupBy("split")
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("source")).as("min_source"))
+      .orderBy(asc_nulls_first("split"))
+  }
+
+  /** kNN confusion matrix over the labeled embeddings: every probe
+    * (vec_id % 100 = 0) is classified by the majority label of its 5
+    * exact nearest neighbors, and the (true, predicted) grid with
+    * row-normalized rates is the standard end-of-pipeline quality
+    * report for a weak-labeling run. Builds on the proven blocked
+    * grid top-k (SimilarityQueries.blockedTopKFrom — no probe
+    * broadcast, no n² task); everything after the top-k moves
+    * k·|probes| rows at most.
+    */
+  def qKnnConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), SimilarityQueries.asDoubles(col("embedding")).as("vec"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val labels = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val nn = SimilarityQueries.blockedTopKFrom(emb, k = 5)
+    val votes = nn.join(labels, Seq("vec_id"))
+      .groupBy(col("probe_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("votes").desc, col("label").asc)
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("label").as("pred_label"))
+    val wTrue = Window.partitionBy("true_label")
+    pred
+      .join(labels.select(col("vec_id").as("probe_id"),
+        col("label").as("true_label")), Seq("probe_id"))
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_probes"))
+      .withColumn("rate",
+        round(col("n_probes").cast("double") /
+          sum(col("n_probes")).over(wTrue), 6) + lit(0.0))
+      .orderBy(asc_nulls_first("true_label"), asc_nulls_first("pred_label"))
+  }
+
+  /** Cumulative distinct users by day — corpus/audience growth, the
+    * curve every dashboard opens with. Naive cumulative COUNT(DISTINCT)
+    * re-scans history per day; this is the linear form: a user counts
+    * on exactly their FIRST day (one groupBy(user) min), daily new-user
+    * counts then cumulative-sum over the (tiny) day axis.
+    *
+    * Scale: one shuffle on user_id (map-combinable min), one on day;
+    * the running-sum window orders the |days| rows — hundreds, not
+    * data-sized — so the unpartitioned frame is safe by construction.
+    */
+  def qCumDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val firstDay = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id").agg(min(col("day")).as("first_day"))
+    val w = Window.orderBy(asc_nulls_first("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDay.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new_users"))
+      .withColumn("cum_users", sum(col("n_new_users")).over(w))
+      .orderBy(asc_nulls_first("day"))
+  }
+
+  /** Robust outlier fences per event type — Tukey's rule: values
+    * outside [q1 − 1.5·IQR, q3 + 1.5·IQR]. Quartiles are EXACT
+    * (type-1: the value at rank ⌈p·n⌉ under the total order
+    * (value, event_id)), so both engines pick the identical element —
+    * no interpolation, no approx-percentile drift. The third classic
+    * anomaly detector next to q_anomaly (z-score) and q_anomaly_mad
+    * (MAD); IQR is the one that survives fat tails AND a 50%-corrupt
+    * mean.
+    *
+    * Scale: one rank window per event_type (the same exchange the
+    * final agg needs anyway) + a broadcast of the |types| fence rows
+    * back over the stream. At 100 TB swap the exact rank for the GK
+    * sketch (approx_percentile) exactly as q_anomaly_mad documents.
+    */
+  def qOutlierIqr(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    val ranked = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val quart = ranked
+      .filter(col("rn") === ceil(col("n") * 0.25) ||
+        col("rn") === ceil(col("n") * 0.75))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        min(col("value")).as("q1"), max(col("value")).as("q3"))
+      .withColumn("lo_fence", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi_fence", col("q3") + (col("q3") - col("q1")) * 1.5)
+    ev.join(broadcast(quart), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_events"),
+        (round(max(col("q1")), 6) + lit(0.0)).as("q1"),
+        (round(max(col("q3")), 6) + lit(0.0)).as("q3"),
+        (round(max(col("lo_fence")), 6) + lit(0.0)).as("lo_fence"),
+        (round(max(col("hi_fence")), 6) + lit(0.0)).as("hi_fence"),
+        sum(when(col("value") < col("lo_fence") ||
+          col("value") > col("hi_fence"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  /** Degree distribution of the co-purchase graph (same edge set as
+    * q_pagerank / q_triangles: parts co-occurring in ≥ 2 orders) —
+    * the one-shot structural fingerprint (power-law vs flat) that
+    * decides whether skew handling is needed before any per-node
+    * graph work.
+    *
+    * Scale: degrees are one map-combinable agg over the symmetrized
+    * edge list; the histogram is a second agg over |nodes| rows. No
+    * joins at all past the shared pair-generation.
+    */
+  def qDegreeDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = BehaviorQueries.cooccurPairCounts(Tables.lineitem(spark, sfDir))
+      .filter(col("n_orders") >= AnalyticsQueries.PagerankMinCooccur)
+    val deg = und.select(col("p1").as("node"))
+      .unionAll(und.select(col("p2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.groupBy("degree")
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .orderBy(asc_nulls_first("degree"))
+  }
+}

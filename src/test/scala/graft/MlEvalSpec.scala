@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{AnalyticsQueries, BehaviorQueries, MlEvalQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the model-eval / curation operators — each
+  * test asserts a conservation law the operator must satisfy on ANY
+  * input (fractions sum to 1, splits partition, degrees sum to 2m),
+  * not a golden value of this fixture.
+  */
+class MlEvalSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  test("q_class_balance: fractions sum to 1, weights invert frequency, majority is max") {
+    val out = MlEvalQueries.qClassBalance(spark, sfDir).collect()
+    val nTotal = Tables.embeddings(spark, sfDir).count()
+    val k = out.length
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == nTotal)
+    val fracSum = out.map(_.getAs[Double]("frac")).sum
+    assert(math.abs(fracSum - 1.0) < 1e-4, s"fractions sum to $fracSum")
+    // class_weight = n_total / (k * n): reconstruct and compare at 6 dp
+    out.foreach { r =>
+      val expected = nTotal.toDouble / (k * r.getAs[Long]("n_vecs"))
+      assert(math.abs(r.getAs[Double]("class_weight") - expected) < 1e-5)
+    }
+    val maxN = out.map(_.getAs[Long]("n_vecs")).max
+    assert(out.filter(_.getAs[Boolean]("is_majority"))
+      .forall(_.getAs[Long]("n_vecs") == maxN))
+    assert(out.exists(_.getAs[Boolean]("is_majority")))
+  }
+
+  test("q_embed_var: 64 dims, nonnegative variance, full row coverage") {
+    val out = MlEvalQueries.qEmbedVar(spark, sfDir).collect()
+    assert(out.length == 64)
+    val nTotal = Tables.embeddings(spark, sfDir).count()
+    assert(out.forall(_.getAs[Long]("n_vecs") == nTotal))
+    assert(out.forall(_.getAs[Double]("variance") >= 0.0))
+  }
+
+  test("q_split_group: every source lands in exactly one split; docs conserved") {
+    val out = MlEvalQueries.qSplitGroup(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // a grouped split is leakage-safe iff per-split distinct sources
+    // sum to the corpus' distinct sources (no source straddles)
+    assert(out.map(_.getAs[Long]("n_sources")).sum ==
+      docs.select("source").distinct().count())
+    assert(out.map(_.getAs[Long]("n_chars")).sum ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+  }
+
+  test("q_knn_confusion: probes conserved, rates row-normalize to 1") {
+    val out = MlEvalQueries.qKnnConfusion(spark, sfDir).collect()
+    val nProbes = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 100 === 0).count()
+    assert(out.map(_.getAs[Long]("n_probes")).sum == nProbes)
+    out.groupBy(_.getAs[Int]("true_label")).foreach { case (_, rows) =>
+      val s = rows.map(_.getAs[Double]("rate")).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"row rates sum to $s")
+    }
+  }
+
+  test("q_cum_distinct: monotone running sum reaching the exact distinct-user count") {
+    val out = MlEvalQueries.qCumDistinct(spark, sfDir).collect()
+    val distinctUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_new_users")).sum == distinctUsers)
+    assert(out.last.getAs[Long]("cum_users") == distinctUsers)
+    val cums = out.map(_.getAs[Long]("cum_users"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+  }
+
+  test("q_outlier_iqr: fences bracket the quartiles and outliers are a strict minority") {
+    val out = MlEvalQueries.qOutlierIqr(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q1, q3) = (r.getAs[Double]("q1"), r.getAs[Double]("q3"))
+      assert(r.getAs[Double]("lo_fence") <= q1 && q1 <= q3 &&
+        q3 <= r.getAs[Double]("hi_fence"))
+      // by construction ≥ 50% of values lie inside [q1, q3] ⊂ fences
+      assert(r.getAs[Long]("n_outliers") * 2 < r.getAs[Long]("n_events"))
+    }
+  }
+
+  test("q_degree_dist: handshake lemma — degrees sum to twice the edge count") {
+    val out = MlEvalQueries.qDegreeDist(spark, sfDir).collect()
+    val m = BehaviorQueries.cooccurPairCounts(Tables.lineitem(spark, sfDir))
+      .filter(col("n_orders") >= AnalyticsQueries.PagerankMinCooccur)
+      .count()
+    val degSum = out.map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_nodes")).sum
+    assert(degSum == 2 * m, s"degree sum $degSum != 2m = ${2 * m}")
+  }
+}
