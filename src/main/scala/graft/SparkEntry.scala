@@ -208,6 +208,9 @@ object SparkEntry {
     "q_cum_distinct"    -> (MlEvalQueries.qCumDistinct _),
     "q_outlier_iqr"     -> (MlEvalQueries.qOutlierIqr _),
     "q_degree_dist"     -> (MlEvalQueries.qDegreeDist _),
+    "q_prf"             -> (MlEvalQueries.qPrf _),
+    "q_assoc_rules"     -> (BehaviorQueries.qAssocRules _),
+    "q_weighted_median" -> (StatsQueries.qWeightedMedian _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -3174,5 +3177,94 @@ object SparkEntry {
         |  GROUP BY node)
         |SELECT degree, count(*) AS n_nodes, min(node) AS min_node
         |FROM deg GROUP BY degree ORDER BY degree NULLS FIRST""".stripMargin,
+    "q_prf" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |), pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+        |    round(list_dot_product(p.v, c.v) /
+        |      (sqrt(list_dot_product(p.v, p.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))), 6) + 0.0 AS cosine
+        |  FROM e p JOIN e c ON p.vec_id % 100 = 0 AND c.vec_id <> p.vec_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM pairs
+        |), votes AS (
+        |  SELECT probe_id, l.label, count(*) AS votes
+        |  FROM ranked r JOIN e l ON r.vec_id = l.vec_id
+        |  WHERE r.rank <= 5 GROUP BY 1, 2
+        |), pv AS (
+        |  SELECT probe_id, label AS pred_label,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY votes DESC, label ASC) AS rn
+        |  FROM votes
+        |), pred AS (
+        |  SELECT p.probe_id, p.pred_label, t.label AS true_label
+        |  FROM pv p JOIN e t ON p.probe_id = t.vec_id WHERE p.rn = 1
+        |), bt AS (SELECT true_label AS label, count(*) AS n_true
+        |  FROM pred GROUP BY 1),
+        |bp AS (SELECT pred_label AS label, count(*) AS n_pred
+        |  FROM pred GROUP BY 1),
+        |tp AS (SELECT true_label AS label, count(*) AS tp FROM pred
+        |  WHERE pred_label = true_label GROUP BY 1)
+        |SELECT coalesce(bt.label, bp.label) AS label,
+        |  coalesce(n_true, 0) AS n_true,
+        |  coalesce(n_pred, 0) AS n_pred,
+        |  coalesce(tp.tp, 0) AS tp,
+        |  (CASE WHEN coalesce(n_pred, 0) = 0 THEN 0.0
+        |    ELSE round(CAST(coalesce(tp.tp, 0) AS DOUBLE) / n_pred, 6) END)
+        |    + 0.0 AS precision,
+        |  (CASE WHEN coalesce(n_true, 0) = 0 THEN 0.0
+        |    ELSE round(CAST(coalesce(tp.tp, 0) AS DOUBLE) / n_true, 6) END)
+        |    + 0.0 AS recall,
+        |  round(CAST(coalesce(tp.tp, 0) AS DOUBLE) * 2 /
+        |    (coalesce(n_pred, 0) + coalesce(n_true, 0)), 6) + 0.0 AS f1
+        |FROM bt FULL JOIN bp ON bt.label = bp.label
+        |LEFT JOIN tp ON coalesce(bt.label, bp.label) = tp.label
+        |ORDER BY label NULLS FIRST""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pc AS (SELECT l_partkey AS part, count(*) AS n_part FROM li
+        |  GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders_total FROM li),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_both
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |directed AS (
+        |  SELECT p1 AS antecedent, p2 AS consequent, n_both FROM pairs
+        |  UNION ALL
+        |  SELECT p2, p1, n_both FROM pairs)
+        |SELECT antecedent, consequent, n_both,
+        |  a.n_part AS n_ante, c.n_part AS n_cons,
+        |  round(CAST(n_both AS DOUBLE) / a.n_part, 6) + 0.0 AS confidence,
+        |  round(CAST(n_both AS DOUBLE) * n_orders_total /
+        |    (a.n_part * c.n_part), 6) + 0.0 AS lift
+        |FROM directed d
+        |JOIN pc a ON d.antecedent = a.part
+        |JOIN pc c ON d.consequent = c.part
+        |CROSS JOIN tot
+        |ORDER BY antecedent NULLS FIRST, consequent NULLS FIRST""".stripMargin,
+    "q_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    CAST(l_quantity AS BIGINT) AS wt
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    sum(wt) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_wt,
+        |    sum(wt) OVER (PARTITION BY l_returnflag) AS total_wt
+        |  FROM li)
+        |SELECT l_returnflag, CAST(max(total_wt) AS BIGINT) AS total_units,
+        |  count(*) AS n_at_or_above,
+        |  min(l_extendedprice) AS weighted_median_price
+        |FROM c WHERE cum_wt * 2 >= total_wt
+        |GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""".stripMargin,
   )
 }

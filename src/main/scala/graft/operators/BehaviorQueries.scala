@@ -394,4 +394,44 @@ object BehaviorQueries {
           + lit(0.0)).as("p90_lag_hours"))
       .orderBy(asc_nulls_first("cohort_day"))
   }
+
+  /** Association rules over the co-purchase pairs: for every directed
+    * rule a→b on parts co-occurring in ≥ 2 orders, confidence
+    * n_ab/n_a and lift n_ab·N/(n_a·n_b) — the recommender metrics on
+    * top of q_cooccur's raw counts (lift > 1 = genuinely associated,
+    * not just both popular). All inputs are exact integer counts; the
+    * two ratios are the only floats and round at 6 dp.
+    *
+    * Scale: reuses the bounded pair generation (≤ C(7,2) pairs/order,
+    * FIXTURES.md), one per-part count agg, and a 1-row total broadcast;
+    * the rule join moves |pairs| rows keyed by part — map-combinable
+    * all the way, nothing quadratic.
+    */
+  def qAssocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val partCounts = li.groupBy(col("l_partkey").as("part"))
+      .agg(count(lit(1)).as("n_part"))
+    val totals = li.agg(countDistinct(col("l_orderkey")).as("n_orders_total"))
+    val pairs = cooccurPairCounts(Tables.lineitem(spark, sfDir))
+      .filter(col("n_orders") >= 2)
+    val directed = pairs
+      .select(col("p1").as("antecedent"), col("p2").as("consequent"),
+        col("n_orders").as("n_both"))
+      .unionAll(pairs.select(col("p2").as("antecedent"),
+        col("p1").as("consequent"), col("n_orders").as("n_both")))
+    directed
+      .join(partCounts.select(col("part").as("antecedent"),
+        col("n_part").as("n_ante")), Seq("antecedent"))
+      .join(partCounts.select(col("part").as("consequent"),
+        col("n_part").as("n_cons")), Seq("consequent"))
+      .crossJoin(broadcast(totals))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("n_ante"), col("n_cons"),
+        (round(col("n_both").cast("double") / col("n_ante"), 6) + lit(0.0))
+          .as("confidence"),
+        (round(col("n_both").cast("double") * col("n_orders_total") /
+          (col("n_ante") * col("n_cons")), 6) + lit(0.0)).as("lift"))
+      .orderBy(asc_nulls_first("antecedent"), asc_nulls_first("consequent"))
+  }
 }

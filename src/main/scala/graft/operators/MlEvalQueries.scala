@@ -123,6 +123,20 @@ object MlEvalQueries {
     * k·|probes| rows at most.
     */
   def qKnnConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val wTrue = Window.partitionBy("true_label")
+    knnPredictions(spark, sfDir)
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_probes"))
+      .withColumn("rate",
+        round(col("n_probes").cast("double") /
+          sum(col("n_probes")).over(wTrue), 6) + lit(0.0))
+      .orderBy(asc_nulls_first("true_label"), asc_nulls_first("pred_label"))
+  }
+
+  /** (probe_id, pred_label, true_label) for every probe — the shared
+    * kNN(5) majority-vote labeling both qKnnConfusion and qPrf read.
+    */
+  private def knnPredictions(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), SimilarityQueries.asDoubles(col("embedding")).as("vec"))
       .repartition(spark.sparkContext.defaultParallelism)
@@ -133,19 +147,46 @@ object MlEvalQueries {
       .agg(count(lit(1)).as("votes"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("votes").desc, col("label").asc)
-    val pred = votes.withColumn("rn", row_number().over(w))
+    votes.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("probe_id"), col("label").as("pred_label"))
-    val wTrue = Window.partitionBy("true_label")
-    pred
       .join(labels.select(col("vec_id").as("probe_id"),
         col("label").as("true_label")), Seq("probe_id"))
-      .groupBy(col("true_label"), col("pred_label"))
-      .agg(count(lit(1)).as("n_probes"))
-      .withColumn("rate",
-        round(col("n_probes").cast("double") /
-          sum(col("n_probes")).over(wTrue), 6) + lit(0.0))
-      .orderBy(asc_nulls_first("true_label"), asc_nulls_first("pred_label"))
+  }
+
+  /** Per-class precision / recall / F1 of the kNN weak labeler — the
+    * table a curation run reads before trusting propagated labels.
+    * Everything derives from exact integer counts: precision = tp/pred,
+    * recall = tp/true, and F1 uses the algebraic identity
+    * 2·tp/(pred+true) (= harmonic mean) so no float sum ever feeds a
+    * denominator; classes predicted never or seen never surface with
+    * zero rows, not dropped (full outer join over the label axis).
+    */
+  def qPrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = knnPredictions(spark, sfDir)
+    val byTrue = pred.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_true"))
+    val byPred = pred.groupBy(col("pred_label").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val tp = pred.filter(col("pred_label") === col("true_label"))
+      .groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("tp"))
+    byTrue.join(byPred, Seq("label"), "full")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+        (when(col("n_pred") === 0, 0.0).otherwise(
+          round(col("tp").cast("double") / col("n_pred"), 6)) + lit(0.0))
+          .as("precision"),
+        (when(col("n_true") === 0, 0.0).otherwise(
+          round(col("tp").cast("double") / col("n_true"), 6)) + lit(0.0))
+          .as("recall"),
+        (round(col("tp").cast("double") * 2 /
+          (col("n_pred") + col("n_true")), 6) + lit(0.0)).as("f1"))
+      .orderBy(asc_nulls_first("label"))
   }
 
   /** Cumulative distinct users by day — corpus/audience growth, the

@@ -546,4 +546,39 @@ object StatsQueries {
             expected * col("total"), 6) + lit(0.0)).as("chi2_term"))
       .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("digit"))
   }
+
+  /** Weighted (lower) median line price per return flag, weighted by
+    * quantity — "the price at which half the UNITS ship", which a
+    * plain median (half the LINES) misstates whenever cheap items move
+    * in bulk. Exact: weights are integral quantities summed as longs
+    * along the (price, orderkey, linenumber) total order, and the
+    * answer is the first price whose running weight reaches half the
+    * total — both engines walk the identical sequence, no
+    * interpolation.
+    *
+    * Scale: one rank-window per flag (same exchange the final agg
+    * needs); the running sum is sequential per flag by definition —
+    * the 100 TB form partitions the cumulative sum hierarchically
+    * (per-partition subtotals + prefix offsets) or accepts the GK
+    * sketch like q_anomaly_mad documents.
+    */
+  def qWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_quantity").cast("long").as("wt"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("l_returnflag")
+    li.withColumn("cum_wt", sum(col("wt")).over(w))
+      .withColumn("total_wt", sum(col("wt")).over(wAll))
+      .filter(col("cum_wt") * 2 >= col("total_wt"))
+      .groupBy("l_returnflag")
+      .agg(max(col("total_wt")).as("total_units"),
+        count(lit(1)).as("n_at_or_above"),
+        min(col("l_extendedprice")).as("weighted_median_price"))
+      .orderBy(asc_nulls_first("l_returnflag"))
+  }
 }

@@ -83,6 +83,55 @@ class MlEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_prf: probe conservation and agreement with the confusion diagonal") {
+    val prf = MlEvalQueries.qPrf(spark, sfDir).collect()
+    val conf = MlEvalQueries.qKnnConfusion(spark, sfDir).collect()
+    val nProbes = conf.map(_.getAs[Long]("n_probes")).sum
+    assert(prf.map(_.getAs[Long]("n_true")).sum == nProbes)
+    assert(prf.map(_.getAs[Long]("n_pred")).sum == nProbes)
+    // tp per label is exactly the confusion-matrix diagonal
+    val diag = conf.filter(r => r.getAs[Int]("true_label") == r.getAs[Int]("pred_label"))
+      .map(r => r.getAs[Int]("true_label") -> r.getAs[Long]("n_probes")).toMap
+    prf.foreach { r =>
+      assert(r.getAs[Long]("tp") == diag.getOrElse(r.getAs[Int]("label"), 0L))
+      assert(r.getAs[Double]("f1") >= 0.0 && r.getAs[Double]("f1") <= 1.0)
+    }
+  }
+
+  test("q_assoc_rules: lift is symmetric, confidence bounded, identity conf/baseline") {
+    val rules = operators.BehaviorQueries.qAssocRules(spark, sfDir).collect()
+    assert(rules.nonEmpty)
+    val byPair = rules.map(r => (r.getAs[Long]("antecedent"),
+      r.getAs[Long]("consequent")) -> r).toMap
+    rules.foreach { r =>
+      assert(r.getAs[Double]("confidence") > 0.0 &&
+        r.getAs[Double]("confidence") <= 1.0)
+      // reversed rule exists with identical joint count and lift
+      val rev = byPair((r.getAs[Long]("consequent"), r.getAs[Long]("antecedent")))
+      assert(rev.getAs[Long]("n_both") == r.getAs[Long]("n_both"))
+      assert(math.abs(rev.getAs[Double]("lift") - r.getAs[Double]("lift")) < 2e-6)
+    }
+  }
+
+  test("q_weighted_median: half the units lie on each side of the reported price") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val wm = operators.StatsQueries.qWeightedMedian(spark, sfDir).collect()
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long").as("wt"))
+    wm.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val m = r.getAs[Double]("weighted_median_price")
+      val total = r.getAs[Long]("total_units")
+      val below = li.filter(col("l_returnflag") === flag &&
+        col("l_extendedprice") <= m).agg(fsum("wt")).head().getLong(0)
+      val above = li.filter(col("l_returnflag") === flag &&
+        col("l_extendedprice") >= m).agg(fsum("wt")).head().getLong(0)
+      assert(below * 2 >= total, s"$flag: units at or below $m under half")
+      assert(above * 2 >= total, s"$flag: units at or above $m under half")
+    }
+  }
+
   test("q_degree_dist: handshake lemma — degrees sum to twice the edge count") {
     val out = MlEvalQueries.qDegreeDist(spark, sfDir).collect()
     val m = BehaviorQueries.cooccurPairCounts(Tables.lineitem(spark, sfDir))
