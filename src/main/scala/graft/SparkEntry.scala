@@ -211,6 +211,9 @@ object SparkEntry {
     "q_prf"             -> (MlEvalQueries.qPrf _),
     "q_assoc_rules"     -> (BehaviorQueries.qAssocRules _),
     "q_weighted_median" -> (StatsQueries.qWeightedMedian _),
+    "q_ohlc"            -> (TimeSeriesQueries.qOhlc _),
+    "q_cross_corr"      -> (TimeSeriesQueries.qCrossCorr _),
+    "q_join_nullsafe"   -> (JoinQueries.qJoinNullsafe _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -3266,5 +3269,65 @@ object SparkEntry {
         |  min(l_extendedprice) AS weighted_median_price
         |FROM c WHERE cum_wt * 2 >= total_wt
         |GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+    "q_ohlc" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, value,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts ASC, event_id ASC) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, day,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM ev GROUP BY 1, 2
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "q_cross_corr" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) // 1000000 AS hs,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type AS t1, lag_h, hs + lag_h * 3600 AS h_match,
+        |    CAST(c AS DECIMAL(38,0)) AS x
+        |  FROM hourly, unnest(generate_series(-3, 3)) AS u(lag_h)),
+        |b AS (SELECT event_type AS t2, hs AS h_match,
+        |  CAST(c AS DECIMAL(38,0)) AS y FROM hourly),
+        |m AS (
+        |  SELECT t1, t2, lag_h, count(*) AS n_pairs,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM a JOIN b ON a.h_match = b.h_match AND t1 < t2
+        |  GROUP BY 1, 2, 3
+        |  HAVING count(*) >= 2
+        |    AND count(*) * sum(x * x) - sum(x) * sum(x) > 0
+        |    AND count(*) * sum(y * y) - sum(y) * sum(y) > 0)
+        |SELECT t1, t2, lag_h, n_pairs,
+        |  round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6) + 0.0
+        |    AS cross_corr
+        |FROM m
+        |ORDER BY t1 NULLS FIRST, t2 NULLS FIRST, lag_h NULLS FIRST""".stripMargin,
+    "q_join_nullsafe" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    nullif(CAST(c_nationkey AS INT), 3) AS k
+        |  FROM customer),
+        |nat AS (
+        |  SELECT nullif(CAST(n_nationkey AS INT), 3) AS k, n_name
+        |  FROM nation)
+        |SELECT cust.k AS nation_key, n_name,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT c_custkey) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_acctbal
+        |FROM cust JOIN nat ON cust.k IS NOT DISTINCT FROM nat.k
+        |GROUP BY 1, 2
+        |ORDER BY nation_key NULLS FIRST, n_name NULLS FIRST""".stripMargin,
   )
 }

@@ -263,4 +263,34 @@ object JoinQueries {
           .cast("double") / 100.0).as("total_qty"))
       .orderBy(asc_nulls_first("p_brand"))
   }
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * MATCH each other instead of vanishing — the semantics a data-vault
+    * or late-binding dimension join needs when "unknown" is itself a
+    * bucket. Keys are manufactured by nulling out nation 3 on both
+    * sides (the fixture has no null keys), so the null bucket really
+    * exercises the null=null path; the output row with a NULL key is
+    * the proof.
+    *
+    * Scale: Spark plans `<=>` as an ordinary hash join with null-safe
+    * key equality — same exchange as q_join_inner, no BNLJ. The one
+    * caveat at 100 TB: ALL null-keyed rows co-locate in one partition
+    * (null is one key), so a null-heavy corpus needs the same salting
+    * treatment as any hot key (q_salted_join).
+    */
+  def qJoinNullsafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"),
+        nullif(col("c_nationkey").cast("int"), lit(3)).as("k"))
+    val nat = Tables.nation(spark, sfDir)
+      .select(nullif(col("n_nationkey").cast("int"), lit(3)).as("k"),
+        col("n_name"))
+    cust.join(nat, cust("k") <=> nat("k"))
+      .groupBy(cust("k").as("nation_key"), col("n_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("sum_acctbal"))
+      .orderBy(asc_nulls_first("nation_key"), asc_nulls_first("n_name"))
+  }
 }

