@@ -48,7 +48,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // collocations — 1 row at any scale, q_tfidf's shape
     "q_collocations",
     // corpus max-day anchor entering the age computation — 1 row
-    "q_decayed_sum")
+    "q_decayed_sum",
+    // distinct-order total N entering the lift denominator — 1 row at
+    // any scale, q_tfidf's shape
+    "q_assoc_rules",
+    // (n_total, k_labels, max_n) 1-row aggregate entering the
+    // per-label weight computation
+    "q_class_balance")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —
