@@ -214,6 +214,9 @@ object SparkEntry {
     "q_ohlc"            -> (TimeSeriesQueries.qOhlc _),
     "q_cross_corr"      -> (TimeSeriesQueries.qCrossCorr _),
     "q_join_nullsafe"   -> (JoinQueries.qJoinNullsafe _),
+    "q_calibration"     -> (MlEvalQueries.qCalibration _),
+    "q_embed_quantiles" -> (MlEvalQueries.qEmbedQuantiles _),
+    "q_zipf_slope"      -> (AdvancedTextQueries.qZipfSlope _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -3329,5 +3332,88 @@ object SparkEntry {
         |FROM cust JOIN nat ON cust.k IS NOT DISTINCT FROM nat.k
         |GROUP BY 1, 2
         |ORDER BY nation_key NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_calibration" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |), pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+        |    round(list_dot_product(p.v, c.v) /
+        |      (sqrt(list_dot_product(p.v, p.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))), 6) + 0.0 AS cosine
+        |  FROM e p JOIN e c ON p.vec_id % 100 = 0 AND c.vec_id <> p.vec_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM pairs
+        |), votes AS (
+        |  SELECT probe_id, l.label, count(*) AS votes
+        |  FROM ranked r JOIN e l ON r.vec_id = l.vec_id
+        |  WHERE r.rank <= 5 GROUP BY 1, 2
+        |), pv AS (
+        |  SELECT probe_id, label AS pred_label, votes,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY votes DESC, label ASC) AS rn
+        |  FROM votes
+        |), pred AS (
+        |  SELECT p.probe_id, p.pred_label, p.votes, t.label AS true_label
+        |  FROM pv p JOIN e t ON p.probe_id = t.vec_id WHERE p.rn = 1)
+        |SELECT votes,
+        |  round(CAST(votes AS DOUBLE) / 5, 6) + 0.0 AS confidence,
+        |  count(*) AS n_probes,
+        |  CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) + 0.0 AS accuracy
+        |FROM pred GROUP BY votes ORDER BY votes NULLS FIRST""".stripMargin,
+    "q_embed_quantiles" ->
+      """WITH pos AS (SELECT unnest(range(1, 65)) AS dim),
+        |e AS (
+        |  SELECT CAST(dim AS INT) AS dim, vec_id,
+        |    CAST(embedding[dim] AS DOUBLE) AS v
+        |  FROM embeddings CROSS JOIN pos),
+        |r AS (
+        |  SELECT dim, v,
+        |    row_number() OVER (PARTITION BY dim
+        |      ORDER BY v ASC, vec_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY dim) AS n
+        |  FROM e)
+        |SELECT dim, CAST(max(n) AS BIGINT) AS n_vecs,
+        |  round(min(v), 6) + 0.0 AS p05,
+        |  round(max(v), 6) + 0.0 AS p95,
+        |  round((round(max(v), 6) + 0.0) - (round(min(v), 6) + 0.0), 6) + 0.0
+        |    AS clip_range
+        |FROM r WHERE rn = CAST(ceil(n * 0.05) AS BIGINT)
+        |   OR rn = CAST(ceil(n * 0.95) AS BIGINT)
+        |GROUP BY dim ORDER BY dim NULLS FIRST""".stripMargin,
+    "q_zipf_slope" ->
+      """WITH counts AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents) t
+        |  WHERE word <> '' GROUP BY word
+        |  ORDER BY cnt DESC, word ASC LIMIT 500),
+        |pts AS (
+        |  SELECT
+        |    CAST(round(ln(row_number() OVER (ORDER BY cnt DESC, word ASC))
+        |      * 1000000, 0) AS DECIMAL(38,0)) AS x,
+        |    CAST(round(ln(cnt) * 1000000, 0) AS DECIMAL(38,0)) AS y
+        |  FROM counts),
+        |a AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM pts)
+        |SELECT CAST(n AS BIGINT) AS n_tokens,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+        |    AS zipf_slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |    / 1000000.0, 6) + 0.0 AS ln_c_intercept,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS r2
+        |FROM a""".stripMargin,
   )
 }

@@ -1128,4 +1128,57 @@ object AdvancedTextQueries {
           + lit(0.0)).as("avg_surprisal"))
       .orderBy(asc_nulls_first("doc_id"))
   }
+
+  /** Zipf exponent of the corpus: OLS slope of ln(count) on ln(rank)
+    * over the top-500 tokens — natural language sits near −1; a
+    * synthetic/templated corpus (like this fixture) flattens toward 0,
+    * so the slope is a one-number "does this read like language"
+    * fingerprint next to q_entropy and q_repetition.
+    *
+    * Determinism: each point's ln(rank)/ln(count) rounds to EXACT
+    * micro-nat longs first (q_lm_score's recipe — one IEEE log from an
+    * exact integer, then a grid snap), the five OLS moments sum as
+    * DECIMAL(38,0) (q_regression's convention), and two rounded
+    * divisions end it.
+    *
+    * Scale: the corpus folds to its Heaps-law vocabulary in one
+    * map-combinable agg; the top-500 cut is a two-phase TakeOrdered and
+    * everything after runs on ≤ 500 rows.
+    */
+  def qZipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(500)
+    val pts = counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word").asc)))
+      .select(
+        round(log(col("rank").cast("double")) * 1000000.0, 0)
+          .cast("decimal(38,0)").as("x"),
+        round(log(col("cnt").cast("double")) * 1000000.0, 0)
+          .cast("decimal(38,0)").as("y"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    pts.agg(
+      count(lit(1)).cast("decimal(38,0)").as("nd"),
+      sum(col("x")).as("sxd"), sum(col("y")).as("syd"),
+      sum(col("x") * col("y")).as("sxyd"),
+      sum(col("x") * col("x")).as("sxxd"),
+      sum(col("y") * col("y")).as("syyd"))
+      .select(col("nd").cast("double").as("n"),
+        col("sxd").cast("double").as("sx"), col("syd").cast("double").as("sy"),
+        col("sxyd").cast("double").as("sxy"),
+        col("sxxd").cast("double").as("sxx"),
+        col("syyd").cast("double").as("syy"))
+      .select(
+        col("n").cast("long").as("n_tokens"),
+        (round(num / den, 6) + lit(0.0)).as("zipf_slope"),
+        (round((col("sy") - num / den * col("sx")) /
+          col("n") / 1000000.0, 6) + lit(0.0)).as("ln_c_intercept"),
+        (round(num * num /
+          (den * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          + lit(0.0)).as("r2"))
+  }
 }

@@ -133,8 +133,10 @@ object MlEvalQueries {
       .orderBy(asc_nulls_first("true_label"), asc_nulls_first("pred_label"))
   }
 
-  /** (probe_id, pred_label, true_label) for every probe — the shared
-    * kNN(5) majority-vote labeling both qKnnConfusion and qPrf read.
+  /** (probe_id, pred_label, votes, true_label) for every probe — the
+    * shared kNN(5) majority-vote labeling qKnnConfusion, qPrf, and
+    * qCalibration all read; `votes` (1..5) is the winning label's
+    * neighbor count, the labeler's native confidence signal.
     */
   private def knnPredictions(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
@@ -149,9 +151,62 @@ object MlEvalQueries {
       .orderBy(col("votes").desc, col("label").asc)
     votes.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("probe_id"), col("label").as("pred_label"))
+      .select(col("probe_id"), col("label").as("pred_label"), col("votes"))
       .join(labels.select(col("vec_id").as("probe_id"),
         col("label").as("true_label")), Seq("probe_id"))
+  }
+
+  /** Calibration curve of the kNN weak labeler: its native confidence
+    * is the winning vote count (1..5 of 5 neighbors); per vote bucket,
+    * how often is the prediction actually right? A well-calibrated
+    * labeler has accuracy ≈ votes/5 — the gap is what a curation run
+    * reads before setting an accept threshold on propagated labels.
+    * All counts exact; the two ratios are the only floats.
+    */
+  def qCalibration(spark: SparkSession, sfDir: String): DataFrame =
+    knnPredictions(spark, sfDir)
+      .groupBy(col("votes"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("votes"),
+        (round(col("votes").cast("double") / 5, 6) + lit(0.0))
+          .as("confidence"),
+        col("n_probes"), col("n_correct"),
+        (round(col("n_correct").cast("double") / col("n_probes"), 6)
+          + lit(0.0)).as("accuracy"))
+      .orderBy(asc_nulls_first("votes"))
+
+  /** Per-dimension robust clip range of the embedding matrix: exact
+    * type-1 p05/p95 (the value at rank ⌈p·n⌉ under the (v, vec_id)
+    * total order — q_outlier_iqr's recipe) and their spread. The
+    * calibration table an int8 quantizer (QuantizedKnn's scale path)
+    * reads to set per-dim clip bounds that ignore the outlier tails
+    * q_embed_var's variance is blind to.
+    *
+    * Scale: the rank window partitions by dim (64-way) over the same
+    * posexplode q_embed_var uses; at 100 TB swap exact ranks for GK
+    * per q_anomaly_mad's documented note.
+    */
+  def qEmbedQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val expl = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select((col("pos") + 1).as("dim"), col("vec_id"),
+        col("v").cast("double").as("v"))
+    val w = Window.partitionBy("dim")
+      .orderBy(col("v").asc, col("vec_id").asc)
+    expl
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("dim")))
+      .filter(col("rn") === ceil(col("n") * 0.05) ||
+        col("rn") === ceil(col("n") * 0.95))
+      .groupBy("dim")
+      .agg(max(col("n")).as("n_vecs"),
+        (round(min(col("v")), 6) + lit(0.0)).as("p05"),
+        (round(max(col("v")), 6) + lit(0.0)).as("p95"))
+      .withColumn("clip_range",
+        round(col("p95") - col("p05"), 6) + lit(0.0))
+      .orderBy(asc_nulls_first("dim"))
   }
 
   /** Per-class precision / recall / F1 of the kNN weak labeler — the

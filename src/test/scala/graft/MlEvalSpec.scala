@@ -132,6 +132,40 @@ class MlEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_calibration: buckets cover every probe; correct total matches the confusion diagonal") {
+    val cal = MlEvalQueries.qCalibration(spark, sfDir).collect()
+    val conf = MlEvalQueries.qKnnConfusion(spark, sfDir).collect()
+    assert(cal.map(_.getAs[Long]("n_probes")).sum ==
+      conf.map(_.getAs[Long]("n_probes")).sum)
+    val diagTotal = conf
+      .filter(r => r.getAs[Int]("true_label") == r.getAs[Int]("pred_label"))
+      .map(_.getAs[Long]("n_probes")).sum
+    assert(cal.map(_.getAs[Long]("n_correct")).sum == diagTotal)
+    cal.foreach { r =>
+      assert(r.getAs[Long]("votes") >= 1 && r.getAs[Long]("votes") <= 5)
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+  }
+
+  test("q_embed_quantiles: ordered bounds on all 64 dims") {
+    val out = MlEvalQueries.qEmbedQuantiles(spark, sfDir).collect()
+    assert(out.length == 64)
+    out.foreach { r =>
+      assert(r.getAs[Double]("p05") <= r.getAs[Double]("p95"))
+      assert(r.getAs[Double]("clip_range") >= 0.0)
+    }
+  }
+
+  test("q_zipf_slope: non-positive slope with sane fit stats") {
+    val r = operators.AdvancedTextQueries.qZipfSlope(spark, sfDir).head()
+    assert(r.getAs[Long]("n_tokens") > 0)
+    // counts are non-increasing in rank, so the OLS slope cannot be positive
+    assert(r.getAs[Double]("zipf_slope") <= 0.0)
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9)
+  }
+
   test("q_degree_dist: handshake lemma — degrees sum to twice the edge count") {
     val out = MlEvalQueries.qDegreeDist(spark, sfDir).collect()
     val m = BehaviorQueries.cooccurPairCounts(Tables.lineitem(spark, sfDir))
