@@ -115,9 +115,16 @@ object Bench {
       .mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       f""""queries":$qmap,"sf":$sfNum}""")
+    // The final line also inlines the slowest-10 mins — the numbers that
+    // drive perf judgment — since they fit the tail window where the
+    // full map cannot (~4 KB at 180+ queries; bench_full_last.json in
+    // the working tree carries the complete map).
+    val slowestTail = results.sortBy(-_._2).take(10)
+      .map { case (name, min, _) => f""""$name":$min%.3f""" }
+      .mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       f""""median_total":$totalMed%.3f,"queries_count":${results.size},""" +
-      f""""sf":$sfNum}""")
+      f""""slowest":$slowestTail,"sf":$sfNum}""")
     Console.out.flush()
   }
 }
