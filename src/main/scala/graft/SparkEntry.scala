@@ -217,6 +217,8 @@ object SparkEntry {
     "q_calibration"     -> (MlEvalQueries.qCalibration _),
     "q_embed_quantiles" -> (MlEvalQueries.qEmbedQuantiles _),
     "q_zipf_slope"      -> (AdvancedTextQueries.qZipfSlope _),
+    "q_bfs_depth"       -> (AnalyticsQueries.qBfsDepth _),
+    "q_mrr"             -> (MlEvalQueries.qMrr _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -3415,5 +3417,56 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS r2
         |FROM a""".stripMargin,
+    // Depth-capped recursive walk; min(depth) per node = BFS layer as
+    // long as the cap exceeds the source eccentricity (spec-asserted
+    // on the Spark side: the loop converges well under maxIter).
+    "q_bfs_depth" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |und AS (SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING count(*) >= 2),
+        |sym AS (SELECT p1 AS src, p2 AS dst FROM und
+        |  UNION SELECT p2, p1 FROM und),
+        |walk(node, depth) AS (
+        |  SELECT min(src), CAST(0 AS BIGINT) FROM sym
+        |  UNION
+        |  SELECT e.dst, w.depth + 1
+        |  FROM walk w JOIN sym e ON e.src = w.node
+        |  WHERE w.depth < 30),
+        |d AS (SELECT node, min(depth) AS depth FROM walk GROUP BY node)
+        |SELECT depth, count(*) AS n_nodes, min(node) AS min_node
+        |FROM d GROUP BY depth ORDER BY depth NULLS FIRST""".stripMargin,
+    "q_mrr" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |), pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+        |    round(list_dot_product(p.v, c.v) /
+        |      (sqrt(list_dot_product(p.v, p.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))), 6) + 0.0 AS cosine
+        |  FROM e p JOIN e c ON p.vec_id % 100 = 0 AND c.vec_id <> p.vec_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM pairs
+        |), fh AS (
+        |  SELECT r.probe_id, min(r.rank) AS first_hit
+        |  FROM ranked r
+        |  JOIN e n ON r.vec_id = n.vec_id
+        |  JOIN e t ON r.probe_id = t.vec_id
+        |  WHERE r.rank <= 5 AND n.label = t.label
+        |  GROUP BY r.probe_id)
+        |SELECT p.label, count(*) AS n_probes,
+        |  CAST(sum(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(CAST(sum(coalesce(60 // first_hit, 0)) AS DOUBLE) /
+        |    CAST(count(*) * 60 AS DOUBLE), 6) + 0.0 AS mrr
+        |FROM e p LEFT JOIN fh ON p.vec_id = fh.probe_id
+        |WHERE p.vec_id % 100 = 0
+        |GROUP BY p.label ORDER BY p.label NULLS FIRST""".stripMargin,
   )
 }

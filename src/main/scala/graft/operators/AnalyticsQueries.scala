@@ -546,6 +546,25 @@ object AnalyticsQueries {
       .orderBy(asc_nulls_first("node"))
   }
 
+  /** BFS depth histogram of the co-purchase graph from its minimum
+    * node id: how many parts sit 1, 2, 3… co-purchase hops from the
+    * source — the reachability/diameter profile that tells a
+    * recommender how far association chains actually extend. Third
+    * iterative-join algorithm (level-synchronous frontier expansion,
+    * [[GraphOps.bfsDepths]]) next to CC's min-label propagation and
+    * PageRank's fixed point; the oracle walks the same graph with a
+    * depth-capped recursive CTE and takes min(depth) per node.
+    */
+  def qBfsDepth(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = BehaviorQueries.cooccurPairCounts(Tables.lineitem(spark, sfDir))
+      .filter(col("n_orders") >= PagerankMinCooccur)
+      .select(col("p1").as("src"), col("p2").as("dst"))
+    val (labels, _) = GraphOps.bfsDepths(und)
+    labels.groupBy("depth")
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .orderBy(asc_nulls_first("depth"))
+  }
+
   /** Misra-Gries candidate set size. 128 counters ⇒ every token with
     * frequency > n/129 of the corpus survives the sketch, so a
     * ≥ n/100 threshold has NO false negatives to recover.

@@ -218,4 +218,48 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
       .orderBy(desc("n_triangles"), asc_nulls_first("node"))
   }
+
+  /** Single-source BFS: (node, depth) for every vertex reachable from
+    * the graph's minimum vertex id (a deterministic source), depth =
+    * shortest hop count. Level-synchronous frontier expansion — the
+    * third iterative-join algorithm next to min-label CC and fixed-point
+    * PageRank: each round joins ONLY the current frontier (not all
+    * labels) against the edge list, anti-joins away already-visited
+    * nodes, and stops when a frontier comes back empty. One count
+    * action per round, lazy localCheckpoints so no round re-runs the
+    * upstream pair generation.
+    *
+    * Scale: per-round shuffle is O(|frontier|·avg-degree) — the
+    * textbook BFS bound; visited-set lookups are an anti-join on the
+    * accumulated label table, which AQE broadcasts while small. Rounds
+    * = source eccentricity (≤ diameter), `maxIter` bounds adversarial
+    * chains exactly like connectedComponents' cap.
+    */
+  def bfsDepths(edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.agg(min(col("src")).as("node"))
+      .select(col("node"), lit(0L).as("depth"))
+      .localCheckpoint(true)
+    var frontier = labels
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val next = frontier
+        .join(sym, frontier("node") === sym("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(labels, Seq("node"), "left_anti")
+        .select(col("node"), lit(iter + 1L).as("depth"))
+        .localCheckpoint(false)
+      if (next.isEmpty) done = true
+      else {
+        labels = labels.unionAll(next).localCheckpoint(false)
+        frontier = next
+        iter += 1
+      }
+    }
+    (labels, iter)
+  }
 }

@@ -244,6 +244,46 @@ object MlEvalQueries {
       .orderBy(asc_nulls_first("label"))
   }
 
+  /** Mean reciprocal rank of the kNN retrieval per class: at what
+    * depth does the first same-label neighbor appear in each probe's
+    * top-5? The retrieval-side quality metric next to qPrf's
+    * classification metrics (a labeler can vote right while ranking
+    * the evidence low — MRR sees that, accuracy can't). Misses score
+    * 0, not dropped.
+    *
+    * Determinism: 1/rank for rank ∈ 1..5 is EXACT in sixtieths
+    * (60/rank is an integer), so reciprocal ranks sum as longs —
+    * partitioning-independent — and one rounded division by 60·n ends
+    * it.
+    */
+  def qMrr(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), SimilarityQueries.asDoubles(col("embedding")).as("vec"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val labels = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val nn = SimilarityQueries.blockedTopKFrom(emb, k = 5)
+    val firstHit = nn
+      .join(labels, Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("probe_id"),
+        col("label").as("true_label")), Seq("probe_id"))
+      .filter(col("label") === col("true_label"))
+      .groupBy("probe_id")
+      .agg(min(col("rank")).as("first_hit"))
+    labels.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("label"))
+      .join(firstHit, Seq("probe_id"), "left")
+      .select(col("label"),
+        coalesce((lit(60) / col("first_hit")).cast("long"), lit(0L))
+          .as("rr60"),
+        when(col("first_hit").isNotNull, 1L).otherwise(0L).as("hit"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("hit")).as("n_hit"),
+        (round(sum(col("rr60")).cast("double") /
+          (count(lit(1)) * 60).cast("double"), 6) + lit(0.0)).as("mrr"))
+      .orderBy(asc_nulls_first("label"))
+  }
+
   /** Cumulative distinct users by day — corpus/audience growth, the
     * curve every dashboard opens with. Naive cumulative COUNT(DISTINCT)
     * re-scans history per day; this is the linear form: a user counts

@@ -91,4 +91,45 @@ class GraphOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == local.toMap)
   }
+
+  test("bfs: path graph gives one node per depth; cycle splits the layers") {
+    // path 1-2-...-8 from source 1: depth(i) = i - 1
+    val path = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (pd, pRounds) = GraphOps.bfsDepths(path)
+    assert(pd.as[(Long, Long)].collect().toMap ==
+      (1L to 8L).map(i => i -> (i - 1)).toMap)
+    assert(pRounds == 7)
+    // 4-cycle 1-2-3-4-1 from source 1: two depth-1 neighbors, one at 2
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val (cd, _) = GraphOps.bfsDepths(cyc)
+    assert(cd.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+    // disconnected part stays unlabeled
+    val dis = Seq((1L, 2L), (10L, 11L)).toDF("src", "dst")
+    val (dd, _) = GraphOps.bfsDepths(dis)
+    assert(dd.as[(Long, Long)].collect().toMap == Map(1L -> 0, 2L -> 1))
+  }
+
+  test("q_bfs_depth: single source at depth 0; real-graph rounds converge under the cap") {
+    val out = operators.AnalyticsQueries.qBfsDepth(spark, sfDir).collect()
+    assert(out.head.getAs[Long]("depth") == 0L &&
+      out.head.getAs[Long]("n_nodes") == 1L)
+    // depths are contiguous 0..max (BFS layers cannot skip a level)
+    val depths = out.map(_.getAs[Long]("depth"))
+    assert(depths.sameElements(0L to depths.max))
+    assert(depths.max < 30, "oracle depth cap must exceed the eccentricity")
+  }
+
+  test("q_mrr: bounds relate hits and reciprocal ranks") {
+    val out = operators.MlEvalQueries.qMrr(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, hit, mrr) = (r.getAs[Long]("n_probes"), r.getAs[Long]("n_hit"),
+        r.getAs[Double]("mrr"))
+      assert(hit <= n)
+      // each hit contributes between 1/5 and 1 reciprocal rank
+      assert(mrr >= hit.toDouble / (5 * n) - 1e-6)
+      assert(mrr <= hit.toDouble / n + 1e-6)
+    }
+  }
 }
