@@ -219,6 +219,8 @@ object SparkEntry {
     "q_zipf_slope"      -> (AdvancedTextQueries.qZipfSlope _),
     "q_bfs_depth"       -> (AnalyticsQueries.qBfsDepth _),
     "q_mrr"             -> (MlEvalQueries.qMrr _),
+    "q_mannwhitney"     -> (StatsQueries.qMannwhitney _),
+    "q_ks_test"         -> (StatsQueries.qKsTest _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -3468,5 +3470,54 @@ object SparkEntry {
         |FROM e p LEFT JOIN fh ON p.vec_id = fh.probe_id
         |WHERE p.vec_id % 100 = 0
         |GROUP BY p.label ORDER BY p.label NULLS FIRST""".stripMargin,
+    "q_mannwhitney" ->
+      (TwoSampleCte +
+        """,
+        |agg AS (
+        |  SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+        |    CAST(sum(c_b) AS BIGINT) AS n_b,
+        |    CAST(sum(c_a * (2 * (cum_a + cum_b - c_a - c_b)
+        |      + c_a + c_b + 1)) AS BIGINT) AS r1_2s
+        |  FROM cum)
+        |SELECT n_a, n_b,
+        |  r1_2s - n_a * (n_a + 1) AS u_a_x2,
+        |  round(1.0 - CAST(r1_2s - n_a * (n_a + 1) AS DOUBLE) /
+        |    CAST(n_a * n_b AS DOUBLE), 6) + 0.0 AS rank_biserial
+        |FROM agg""").stripMargin,
+    "q_ks_test" ->
+      (TwoSampleCte +
+        """,
+        |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+        |  CAST(sum(c_b) AS BIGINT) AS n_b FROM bv),
+        |scored AS (
+        |  SELECT value, abs(cum_a * n_b - cum_b * n_a) AS gap, n_a, n_b
+        |  FROM cum CROSS JOIN tot),
+        |top AS (SELECT *, row_number() OVER (ORDER BY gap DESC, value ASC)
+        |  AS rk FROM scored)
+        |SELECT n_a, n_b,
+        |  round(CAST(gap AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) + 0.0
+        |    AS d_stat,
+        |  value AS d_at_value
+        |FROM top WHERE rk = 1""").stripMargin,
   )
+
+  /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-
+    * value counts of the click (a) / purchase (b) samples with running
+    * totals along the value axis.
+    */
+  private val TwoSampleCte: String =
+    """WITH ev AS (
+      |  SELECT value,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |bv AS (
+      |  SELECT value, CAST(sum(ia) AS BIGINT) AS c_a,
+      |    CAST(sum(ib) AS BIGINT) AS c_b
+      |  FROM ev GROUP BY value),
+      |cum AS (
+      |  SELECT value, c_a, c_b,
+      |    sum(c_a) OVER w AS cum_a, sum(c_b) OVER w AS cum_b
+      |  FROM bv WINDOW w AS (ORDER BY value ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
 }

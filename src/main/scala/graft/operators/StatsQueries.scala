@@ -581,4 +581,81 @@ object StatsQueries {
         min(col("l_extendedprice")).as("weighted_median_price"))
       .orderBy(asc_nulls_first("l_returnflag"))
   }
+
+  /** Per-value counts of the two samples ('click' = a, 'purchase' = b)
+    * with the running totals the rank tests need: for each distinct
+    * value, c_a/c_b at the value and p (rows strictly below it across
+    * both samples). The corpus folds to |distinct values| rows in one
+    * groupBy BEFORE the ordered window runs, so the running sums
+    * iterate the value axis, not the event stream.
+    */
+  private def twoSampleValueCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("value"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("ia"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("ib"))
+    val byValue = ev.groupBy("value")
+      .agg(sum(col("ia")).as("c_a"), sum(col("ib")).as("c_b"))
+    val wOrd = Window.orderBy(asc_nulls_first("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byValue
+      .withColumn("cum_a", sum(col("c_a")).over(wOrd))
+      .withColumn("cum_b", sum(col("c_b")).over(wOrd))
+      .withColumn("p", col("cum_a") + col("cum_b") - col("c_a") - col("c_b"))
+  }
+
+  /** Mann–Whitney U between click and purchase values — the
+    * nonparametric two-sample location test (does one stream run
+    * higher?) next to the distribution-shape tests (q_contingency's
+    * chi², q_drift_psi). EVERYTHING is exact integers: ties take
+    * average ranks kept doubled (a tie group after p predecessors with
+    * m members contributes m·(2p+m+1) doubled-rank mass, so each a-row
+    * adds 2p+m+1), U₁ is reported doubled (u_a_x2 = R1₂ − 2·Σranks
+    * offset), and the rank-biserial effect size 1 − U1₂/(n_a·n_b) is
+    * the single rounded division.
+    *
+    * Scale: one groupBy(value) fold + one window over the |values|
+    * axis + a 1-row agg; at 100 TB the value axis is the bounded
+    * domain (prices), not the stream.
+    */
+  def qMannwhitney(spark: SparkSession, sfDir: String): DataFrame =
+    twoSampleValueCounts(spark, sfDir)
+      .select(col("c_a"), col("c_b"),
+        (col("c_a") * (lit(2) * col("p") + col("c_a") + col("c_b") + 1))
+          .as("r1_2"))
+      .agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),
+        sum(col("r1_2")).as("r1_2s"))
+      .select(col("n_a"), col("n_b"),
+        (col("r1_2s") - col("n_a") * (col("n_a") + 1)).as("u_a_x2"),
+        (round(lit(1.0) -
+          (col("r1_2s") - col("n_a") * (col("n_a") + 1)).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6) + lit(0.0))
+          .as("rank_biserial"))
+
+  /** Kolmogorov–Smirnov D between the same two samples: the maximum
+    * ECDF gap, located. The scaled gap |cum_a·n_b − cum_b·n_a| is an
+    * EXACT integer at every distinct value, so the argmax (gap desc,
+    * value asc on ties) never compares floats; D divides once at the
+    * end. Complements Mann–Whitney: KS sees shape/spread differences a
+    * location test misses.
+    */
+  def qKsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = twoSampleValueCounts(spark, sfDir)
+    val totals = counts.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    val scored = counts.crossJoin(broadcast(totals))
+      .withColumn("gap",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("gap").desc, col("value").asc)))
+      .filter(col("rk") === 1)
+      .select(col("n_a"), col("n_b"),
+        (round(col("gap").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6) + lit(0.0))
+          .as("d_stat"),
+        col("value").as("d_at_value"))
+  }
 }

@@ -54,7 +54,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_assoc_rules",
     // (n_total, k_labels, max_n) 1-row aggregate entering the
     // per-label weight computation
-    "q_class_balance")
+    "q_class_balance",
+    // (n_a, n_b) sample-size row entering the ECDF gap scaling — 1 row
+    "q_ks_test")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —

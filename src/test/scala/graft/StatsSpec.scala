@@ -302,4 +302,51 @@ class StatsSpec extends AnyFunSuite {
     // p95 = value at rank 95 = 100.0, so the outlier clips to 100.0 exactly
     assert(m == 100.0)
   }
+
+  test("mann-whitney: doubled U matches a local average-rank computation") {
+    import spark.implicits._
+    val r = operators.StatsQueries.qMannwhitney(spark, sfDir).head()
+    val ev = Tables.events(spark, sfDir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val sorted = ev.sortBy(_._2)
+    // doubled average rank per row: for a tie group over ranks
+    // [lo..hi], each member gets lo + hi
+    val n = sorted.length
+    val ranks2 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j + 1 < n && sorted(j + 1)._2 == sorted(i)._2) j += 1
+      val r2 = (i + 1).toLong + (j + 1).toLong
+      (i to j).foreach(k => ranks2(k) = r2)
+      i = j + 1
+    }
+    val nA = sorted.count(_._1 == "click").toLong
+    val r1x2 = sorted.zip(ranks2).filter(_._1._1 == "click").map(_._2).sum
+    val uAx2 = r1x2 - nA * (nA + 1)
+    assert(r.getAs[Long]("n_a") == nA)
+    assert(r.getAs[Long]("u_a_x2") == uAx2)
+    val rb = r.getAs[Double]("rank_biserial")
+    assert(rb >= -1.0 - 1e-9 && rb <= 1.0 + 1e-9)
+  }
+
+  test("ks test: D matches a local ECDF sweep and sits in [0,1]") {
+    import spark.implicits._
+    val r = operators.StatsQueries.qKsTest(spark, sfDir).head()
+    val ev = Tables.events(spark, sfDir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val a = ev.filter(_._1 == "click").map(_._2).sorted
+    val b = ev.filter(_._1 == "purchase").map(_._2).sorted
+    val values = (a ++ b).distinct.sorted
+    val gaps = values.map { v =>
+      val ca = a.count(_ <= v).toLong
+      val cb = b.count(_ <= v).toLong
+      math.abs(ca * b.length - cb * a.length)
+    }
+    val d = gaps.max.toDouble / (a.length.toLong * b.length)
+    assert(math.abs(r.getAs[Double]("d_stat") - d) < 1e-5)
+    assert(r.getAs[Double]("d_stat") >= 0.0 && r.getAs[Double]("d_stat") <= 1.0)
+  }
 }
