@@ -173,6 +173,12 @@ object ScaleSmoke {
       // densifies toward the pair-space ceiling — rounds stay 10, so
       // time must track edge volume, not explode with it
       "pagerank_10" -> (k => AnalyticsQueries.pagerankFrom(replicatedLineitem(k))),
+      // two-sample rank-test fold (q_mannwhitney/q_ks_test): the
+      // ordered window runs over the distinct-VALUE axis, which
+      // disjoint event replication leaves untouched — rows out must
+      // stay ~flat while the scan grows with k
+      "two_sample_fold" -> (k =>
+        StatsQueries.twoSampleValueCountsFrom(replicatedEvents(k))),
       // pair gen + CC + one join + one component window; replicas are
       // disjoint clusters so rounds stay flat and time tracks pair volume
       "dedup_keep_best" -> (k => AdvancedTextQueries.keepBestFrom(replicated(k))),
@@ -412,6 +418,30 @@ object ScaleSmoke {
       val sec = (System.nanoTime() - t0) / 1e9
       require(resolved == n, s"path-$n: only $resolved/$n vertices reached component 0")
       val line = f"| $n | $rounds | $sec%.1f |"
+      println(s"[scale] $line")
+      sb.append(line + "\n")
+    }
+
+    // BFS is level-synchronous: rounds = source eccentricity BY DESIGN
+    // (no pointer-jumping analogue exists — depths must materialize
+    // layer by layer). The honest profile is linear rounds on a path
+    // graph with near-constant per-round cost; real small-world graphs
+    // (co-purchase, near-dup) have single-digit diameters, so the
+    // linear-rounds worst case prices chains, not production graphs.
+    sb.append("\n## BFS at adversarial diameter (path graphs)\n\n")
+    sb.append("Rounds = eccentricity by design (level-synchronous); the row to ")
+    sb.append("watch is seconds per round staying flat as the chain grows.\n\n")
+    sb.append("| vertices | rounds | seconds | sec/round |\n|---|---|---|---|\n")
+    for (n <- Seq(200L, 800L, 3200L)) {
+      val edges = spark.range(0L, n - 1)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val t0 = System.nanoTime()
+      val (labels, rounds) = operators.GraphOps.bfsDepths(edges, maxIter = n.toInt)
+      val reached = labels.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(reached == n, s"bfs-path-$n: only $reached/$n vertices labeled")
+      require(rounds == n - 1, s"bfs-path-$n: $rounds rounds, expected ${n - 1}")
+      val line = f"| $n | $rounds | $sec%.1f | ${sec / rounds}%.3f |"
       println(s"[scale] $line")
       sb.append(line + "\n")
     }

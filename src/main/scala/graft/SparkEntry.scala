@@ -221,6 +221,8 @@ object SparkEntry {
     "q_mrr"             -> (MlEvalQueries.qMrr _),
     "q_mannwhitney"     -> (StatsQueries.qMannwhitney _),
     "q_ks_test"         -> (StatsQueries.qKsTest _),
+    "q_seasonal_decompose" -> (TimeSeriesQueries.qSeasonalDecompose _),
+    "q_new_returning"   -> (TimeSeriesQueries.qNewReturning _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -3499,6 +3501,47 @@ object SparkEntry {
         |    AS d_stat,
         |  value AS d_at_value
         |FROM top WHERE rk = 1""").stripMargin,
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT event_type, d, c,
+        |    round(avg(c) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) + 0.0 AS trend,
+        |    CAST(datediff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS dow
+        |  FROM daily),
+        |det AS (
+        |  SELECT *, CAST(round((c - trend) * 1000000, 0) AS BIGINT)
+        |    AS det_micro
+        |  FROM tr),
+        |seas AS (
+        |  SELECT event_type, dow,
+        |    CAST(floor(CAST(sum(det_micro) AS DOUBLE) / count(*)) AS BIGINT)
+        |      / 1000000.0 + 0.0 AS seasonal
+        |  FROM det GROUP BY 1, 2)
+        |SELECT det.event_type, det.d AS day, det.c AS n_events,
+        |  det.trend, seas.seasonal,
+        |  round(det.c - det.trend - seas.seasonal, 6) + 0.0 AS residual
+        |FROM det JOIN seas
+        |  ON det.event_type = seas.event_type AND det.dow = seas.dow
+        |ORDER BY det.event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "q_new_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fd AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+        |g AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_returning
+        |  FROM ud JOIN fd USING (user_id) GROUP BY day)
+        |SELECT day, n_new, n_returning,
+        |  n_new + n_returning AS n_active,
+        |  round(CAST(n_returning AS DOUBLE) /
+        |    CAST(n_new + n_returning AS DOUBLE), 6) + 0.0 AS returning_share
+        |FROM g ORDER BY day NULLS FIRST""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

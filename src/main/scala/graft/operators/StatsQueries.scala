@@ -589,9 +589,16 @@ object StatsQueries {
     * groupBy BEFORE the ordered window runs, so the running sums
     * iterate the value axis, not the event stream.
     */
-  private def twoSampleValueCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  private def twoSampleValueCounts(spark: SparkSession, sfDir: String): DataFrame =
+    twoSampleValueCountsFrom(Tables.events(spark, sfDir))
+
+  /** DataFrame-core form — ScaleSmoke replicates the event stream
+    * through this to show the window's frame is the value DOMAIN (near
+    * scale-invariant on replicated data), not the stream.
+    */
+  def twoSampleValueCountsFrom(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(spark, sfDir)
+    val ev = events
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("value"),
         when(col("event_type") === "click", 1L).otherwise(0L).as("ia"),

@@ -207,4 +207,79 @@ object TimeSeriesQueries {
       .orderBy(asc_nulls_first("t1"), asc_nulls_first("t2"),
         asc_nulls_first("lag_h"))
   }
+
+  /** Classical decomposition of each type's daily-count series:
+    * count = trend + seasonal + residual, with trend a centered 7-day
+    * moving average (shrinking frame at the series edges), seasonal
+    * the per-weekday mean of the detrended series (weekday =
+    * epoch-days mod 7, q_seasonal's locale-free convention), residual
+    * the rest. The monitoring view that separates "weekends are slow"
+    * from "something broke".
+    *
+    * Determinism: trend is an exact-integer-sum division (≤7 longs);
+    * it rounds to 6 dp BEFORE detrending, detrended values snap to the
+    * exact 1e-6 micro grid so the seasonal means are long sums
+    * (partitioning-independent), and the residual is arithmetic over
+    * the two already-rounded components.
+    *
+    * Scale: everything runs on the |types|×|days| folded frame; the
+    * weekday model is a ≤ types×7 join back.
+    */
+  def qSeasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    val wTrend = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(-3, 3)
+    val trended = daily(spark, sfDir)
+      .withColumn("trend", round(avg(col("c")).over(wTrend), 6) + lit(0.0))
+      .withColumn("dow",
+        pmod(datediff(col("d"), lit("1970-01-01")), lit(7)).cast("long"))
+      .withColumn("det_micro",
+        round((col("c") - col("trend")) * 1000000, 0).cast("long"))
+    // the mean detrend FLOOR-divides in micro units: an odd Σmicro over
+    // an even day count would land exactly on the 6-dp half boundary,
+    // where Spark (decimal HALF_UP) and DuckDB (binary round) disagree —
+    // floor of the double quotient is deterministic in both (halves are
+    // exactly representable), and the result is exact on the 1e-6 grid
+    // so NO rounding ever runs on the seasonal term
+    val seasonal = trended.groupBy(col("event_type").as("s_type"), col("dow"))
+      .agg(count(lit(1)).as("n_dow"), sum(col("det_micro")).as("s_micro"))
+      .select(col("s_type"), col("dow"),
+        (floor(col("s_micro").cast("double") / col("n_dow")).cast("long")
+          .cast("double") / 1000000.0 + lit(0.0)).as("seasonal"))
+    trended
+      .join(broadcast(seasonal),
+        col("event_type") === col("s_type") &&
+          trended("dow") === seasonal("dow"))
+      .select(col("event_type"), col("d").as("day"), col("c").as("n_events"),
+        col("trend"), col("seasonal"),
+        (round(col("c") - col("trend") - col("seasonal"), 6) + lit(0.0))
+          .as("residual"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+  }
+
+  /** Daily audience split: first-ever-seen users vs returning, with
+    * the returning share — the growth-vs-retention read every DAU
+    * dashboard opens with (q_cum_distinct's derivative, split by
+    * cohort membership). A user is "new" on exactly their first active
+    * day; both counts come from one distinct-day frame joined to the
+    * per-user first day.
+    */
+  def qNewReturning(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firstDay = ud.groupBy("user_id").agg(min(col("day")).as("first_day"))
+    ud.join(firstDay, Seq("user_id"))
+      .groupBy("day")
+      .agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+          .as("n_returning"))
+      .select(col("day"), col("n_new"), col("n_returning"),
+        (col("n_new") + col("n_returning")).as("n_active"),
+        (round(col("n_returning").cast("double") /
+          (col("n_new") + col("n_returning")).cast("double"), 6) + lit(0.0))
+          .as("returning_share"))
+      .orderBy(asc_nulls_first("day"))
+  }
 }

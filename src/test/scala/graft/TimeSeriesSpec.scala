@@ -207,4 +207,35 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_customers")).sum ==
       Tables.customer(spark, sfDir).count())
   }
+
+  test("seasonal decompose: components reassemble the count at 6 dp; events conserved") {
+    val out = operators.TimeSeriesQueries.qSeasonalDecompose(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val recon = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(recon - r.getAs[Long]("n_events")) < 2e-6,
+        s"decomposition identity broken: $recon vs ${r.getAs[Long]("n_events")}")
+    }
+    assert(out.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sfDir).count())
+  }
+
+  test("new vs returning: day one is all-new and daily actives match the distinct frame") {
+    import spark.implicits._
+    val out = operators.TimeSeriesQueries.qNewReturning(spark, sfDir).collect()
+    assert(out.head.getAs[Long]("n_returning") == 0L,
+      "the first day can have no returning users")
+    val totalNew = out.map(_.getAs[Long]("n_new")).sum
+    assert(totalNew == Tables.events(spark, sfDir)
+      .select("user_id").distinct().count())
+    val daily = Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .groupBy("day").count().as[(java.sql.Date, Long)].collect()
+      .map { case (d, n) => d.toString -> n }.toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_active") ==
+        daily(r.getAs[java.sql.Date]("day").toString))
+    }
+  }
 }
