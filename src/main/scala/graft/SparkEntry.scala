@@ -223,6 +223,8 @@ object SparkEntry {
     "q_ks_test"         -> (StatsQueries.qKsTest _),
     "q_seasonal_decompose" -> (TimeSeriesQueries.qSeasonalDecompose _),
     "q_new_returning"   -> (TimeSeriesQueries.qNewReturning _),
+    "q_cramers_v"       -> (StatsQueries.qCramersV _),
+    "q_runs_test"       -> (StatsQueries.qRunsTest _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -3542,6 +3544,66 @@ object SparkEntry {
         |  round(CAST(n_returning AS DOUBLE) /
         |    CAST(n_new + n_returning AS DOUBLE), 6) + 0.0 AS returning_share
         |FROM g ORDER BY day NULLS FIRST""".stripMargin,
+    "q_cramers_v" ->
+      """WITH grid AS (
+        |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+        |    count(*) AS observed
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT segment, priority, observed,
+        |    CAST(sum(observed) OVER (PARTITION BY segment) AS DOUBLE) *
+        |      sum(observed) OVER (PARTITION BY priority) /
+        |      sum(observed) OVER () AS e
+        |  FROM grid),
+        |m AS (
+        |  SELECT CAST(sum(observed) AS BIGINT) AS n,
+        |    count(DISTINCT segment) AS n_rows,
+        |    count(DISTINCT priority) AS n_cols,
+        |    CAST(sum(CAST(round((observed - e) * (observed - e) / e
+        |      * 1000000, 0) AS BIGINT)) AS BIGINT) AS chi2m
+        |  FROM cells)
+        |SELECT n, n_rows, n_cols,
+        |  round(CAST(chi2m AS DOUBLE) / 1000000.0, 6) + 0.0 AS chi2,
+        |  (n_rows - 1) * (n_cols - 1) AS dof,
+        |  round(sqrt(CAST(chi2m AS DOUBLE) / 1000000.0 /
+        |    CAST(n * least(n_rows - 1, n_cols - 1) AS DOUBLE)), 6) + 0.0
+        |    AS cramers_v
+        |FROM m""".stripMargin,
+    "q_runs_test" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, d, c,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY c ASC, d ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily),
+        |med AS (
+        |  SELECT event_type, min(c) AS median_c FROM r
+        |  WHERE rn = (n + 1) // 2 GROUP BY event_type),
+        |signed AS (
+        |  SELECT daily.event_type, d,
+        |    CASE WHEN c > median_c THEN 1 ELSE 0 END AS sign
+        |  FROM daily JOIN med ON daily.event_type = med.event_type
+        |  WHERE c <> median_c),
+        |fl AS (
+        |  SELECT event_type, sign,
+        |    CASE WHEN lag(sign) OVER (PARTITION BY event_type
+        |        ORDER BY d ASC) IS NULL THEN 0
+        |      WHEN lag(sign) OVER (PARTITION BY event_type
+        |        ORDER BY d ASC) <> sign THEN 1
+        |      ELSE 0 END AS flip
+        |  FROM signed)
+        |SELECT event_type,
+        |  CAST(sum(sign) AS BIGINT) AS n_above,
+        |  CAST(sum(1 - sign) AS BIGINT) AS n_below,
+        |  CAST(sum(flip) + 1 AS BIGINT) AS n_runs,
+        |  round(1.0 + CAST(2.0 * sum(sign) * sum(1 - sign) AS DOUBLE) /
+        |    CAST(sum(sign) + sum(1 - sign) AS DOUBLE), 6) + 0.0
+        |    AS expected_runs
+        |FROM fl GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

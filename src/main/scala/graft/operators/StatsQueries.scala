@@ -648,6 +648,89 @@ object StatsQueries {
     * end. Complements Mann–Whitney: KS sees shape/spread differences a
     * location test misses.
     */
+  /** Cramér's V — the one-number effect size on top of q_contingency's
+    * per-cell grid: V = √(χ²/(N·min(R−1, C−1))). The cross-cell χ²
+    * total q_contingency deliberately leaves to the reader (a double
+    * sum is engine-order-dependent) becomes exact here by snapping
+    * each cell's contribution to the 1e-6 micro grid FIRST (one IEEE
+    * expression from exact integers, then a grid snap — q_lm_score's
+    * recipe): micro-longs sum identically under any partitioning, and
+    * χ², dof and V derive from that one exact total.
+    */
+  def qCramersV(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("observed"))
+    val e = (sum(col("observed")).over(Window.partitionBy("segment"))
+        .cast("double") *
+      sum(col("observed")).over(Window.partitionBy("priority")) /
+      sum(col("observed")).over(Window.partitionBy())).as("e")
+    grid.select(col("segment"), col("priority"), col("observed"), e)
+      .select(col("segment"), col("priority"), col("observed"),
+        round((col("observed") - col("e")) * (col("observed") - col("e")) /
+          col("e") * 1000000, 0).cast("long").as("chi2_micro"))
+      .agg(sum(col("observed")).as("n"),
+        countDistinct(col("segment")).as("n_rows"),
+        countDistinct(col("priority")).as("n_cols"),
+        sum(col("chi2_micro")).as("chi2m"))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        (round(col("chi2m").cast("double") / 1000000.0, 6) + lit(0.0))
+          .as("chi2"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+        (round(sqrt(col("chi2m").cast("double") / 1000000.0 /
+          (col("n") * least(col("n_rows") - 1, col("n_cols") - 1))
+            .cast("double")), 6) + lit(0.0)).as("cramers_v"))
+  }
+
+  /** Wald–Wolfowitz runs test per event type: is the daily-count
+    * series RANDOM around its median, or does it trend/cluster? Rows
+    * equal to the (exact lower) median drop per the standard
+    * procedure; a run is a maximal same-sign stretch, so n_runs =
+    * 1 + sign transitions — all exact integers; the expected-runs mean
+    * 1 + 2ab/(a+b) is the single rounded division. Completes the
+    * nonparametric family: location (q_mannwhitney), shape
+    * (q_ks_test), randomness (this).
+    */
+  def qRunsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val wRank = Window.partitionBy("event_type")
+      .orderBy(col("c").asc, col("d").asc)
+    val wAll = Window.partitionBy("event_type")
+    val med = daily
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .groupBy(col("event_type").as("m_type"))
+      .agg(min(col("c")).as("median_c"))
+    val signed = daily.join(med, col("event_type") === col("m_type"))
+      .filter(col("c") =!= col("median_c"))
+      .select(col("event_type"), col("d"),
+        when(col("c") > col("median_c"), 1).otherwise(0).as("sign"))
+    val wOrd = Window.partitionBy("event_type").orderBy(col("d").asc)
+    signed
+      .withColumn("flip",
+        when(lag(col("sign"), 1).over(wOrd).isNull, 0)
+          .when(lag(col("sign"), 1).over(wOrd) =!= col("sign"), 1)
+          .otherwise(0))
+      .groupBy("event_type")
+      .agg(
+        sum(col("sign")).cast("long").as("n_above"),
+        sum(lit(1) - col("sign")).cast("long").as("n_below"),
+        (sum(col("flip")) + 1).cast("long").as("n_runs"))
+      .select(col("event_type"), col("n_above"), col("n_below"),
+        col("n_runs"),
+        (round(lit(1.0) +
+          (lit(2.0) * col("n_above") * col("n_below")).cast("double") /
+            (col("n_above") + col("n_below")).cast("double"), 6) + lit(0.0))
+          .as("expected_runs"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
   def qKsTest(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = twoSampleValueCounts(spark, sfDir)

@@ -331,6 +331,34 @@ class StatsSpec extends AnyFunSuite {
     assert(rb >= -1.0 - 1e-9 && rb <= 1.0 + 1e-9)
   }
 
+  test("cramers v: chi2 total reconciles the contingency cells; V in [0,1]") {
+    val v = operators.StatsQueries.qCramersV(spark, sfDir).head()
+    val cells = q("q_contingency").collect()
+    val chi2FromCells = cells.map(_.getAs[Double]("contribution")).sum
+    // each of the 25 cells rounds at 6 dp independently in the
+    // contingency view and at the micro grid here — drift ≤ cells·1e-6
+    assert(math.abs(v.getAs[Double]("chi2") - chi2FromCells) <
+      cells.length * 1e-6 + 1e-6)
+    assert(v.getAs[Long]("n") == cells.map(_.getAs[Long]("observed")).sum)
+    val cv = v.getAs[Double]("cramers_v")
+    assert(cv >= 0.0 && cv <= 1.0)
+  }
+
+  test("runs test: run count bounded by sign count; rows conserve the off-median days") {
+    import spark.implicits._
+    val out = operators.StatsQueries.qRunsTest(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, b, runs) = (r.getAs[Long]("n_above"), r.getAs[Long]("n_below"),
+        r.getAs[Long]("n_runs"))
+      assert(runs >= 1 && runs <= a + b)
+      // at most one more run than twice the rarer sign's count
+      assert(runs <= 2 * math.min(a, b) + 1)
+      val er = r.getAs[Double]("expected_runs")
+      assert(er >= 1.0 && er <= a + b)
+    }
+  }
+
   test("ks test: D matches a local ECDF sweep and sits in [0,1]") {
     import spark.implicits._
     val r = operators.StatsQueries.qKsTest(spark, sfDir).head()
