@@ -203,6 +203,13 @@ object ScaleSmoke {
       // dup pairs internal, so output pairs AND candidate volume must
       // grow linearly in k — superlinear time here means the prefix
       // pruning stopped working (rarest-first ordering broken)
+      // NOTE: runs on the REDUCED 1/2/4 ladder (opScales below). The
+      // synthetic corpus shares one 31-word vocabulary, so shingle df
+      // grows linearly with corpus size and the prefix-filter candidate
+      // set C(df,2) grows QUADRATICALLY — ~150 s at 1x (sf0.1),
+      // ~10 min at 4x. The claim under test — disjoint replication
+      // keeps the quadratic term per-replica, candidates ~k× — shows
+      // at 4x just as well as 16x, without an hour-long smoke.
       "setsim_prefix" -> (k => SetSimJoin.setsimPrefixFrom(replicated(k))),
       // tfidf shape: 5-gram df agg + join-back; replicas keep the base
       // corpus's dup structure so dup_frac distribution is scale-stable
@@ -225,7 +232,8 @@ object ScaleSmoke {
     // warm pass: first execution of each plan pays one-time codegen/JIT
     // that would otherwise inflate the 1x row and distort the curve
     ops.foreach { case (_, fn) => timeNoop(fn(1)) }
-    for ((name, fn) <- ops; k <- Seq(1, 4, 16)) {
+    val opScales: Map[String, Seq[Int]] = Map("setsim_prefix" -> Seq(1, 2, 4))
+    for ((name, fn) <- ops; k <- opScales.getOrElse(name, Seq(1, 4, 16))) {
       // noop write so the FULL result materializes (a bare count lets
       // Catalyst prune the expensive columns and times a different plan)
       val sec = timeMin(fn(k))

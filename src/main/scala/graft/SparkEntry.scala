@@ -225,6 +225,8 @@ object SparkEntry {
     "q_new_returning"   -> (TimeSeriesQueries.qNewReturning _),
     "q_cramers_v"       -> (StatsQueries.qCramersV _),
     "q_runs_test"       -> (StatsQueries.qRunsTest _),
+    "q_length_buckets"  -> (AdvancedTextQueries.qLengthBuckets _),
+    "q_char_classes"    -> (AdvancedTextQueries.qCharClasses _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -3604,6 +3606,46 @@ object SparkEntry {
         |    CAST(sum(sign) + sum(1 - sign) AS DOUBLE), 6) + 0.0
         |    AS expected_runs
         |FROM fl GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_length_buckets" ->
+      """WITH t AS (
+        |  SELECT CAST(len(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+        |    AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT n_tokens,
+        |    CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT bucket, CAST(1 << bucket AS BIGINT) AS bucket_lo,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM b GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin,
+    "q_char_classes" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT)
+        |      AS letters,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+        |      AS digits,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[ \t\n]', '', 'g')) AS BIGINT)
+        |      AS spaces
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(letters) AS BIGINT) AS letters,
+        |  CAST(sum(digits) AS BIGINT) AS digits,
+        |  CAST(sum(spaces) AS BIGINT) AS spaces,
+        |  CAST(sum(n_chars) - sum(letters) - sum(digits) - sum(spaces)
+        |    AS BIGINT) AS other,
+        |  round(CAST(sum(letters) AS DOUBLE) / sum(n_chars), 6) + 0.0
+        |    AS letter_share,
+        |  round(CAST(sum(spaces) AS DOUBLE) / sum(n_chars), 6) + 0.0
+        |    AS space_share
+        |FROM d GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

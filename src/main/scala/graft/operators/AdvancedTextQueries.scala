@@ -1145,6 +1145,64 @@ object AdvancedTextQueries {
     * map-combinable agg; the top-500 cut is a two-phase TakeOrdered and
     * everything after runs on ≤ 500 rows.
     */
+  /** Token-length histogram in power-of-two buckets: how many docs
+    * carry 2^b..2^(b+1)−1 tokens, with token mass per bucket — the
+    * length-distribution read behind chunking/packing decisions
+    * (q_pack's input profile). The bucket index is length(bin(n))−1:
+    * the binary bit length, EXACT integer arithmetic in both engines —
+    * no floor(log2(n)) float that could sit on a power-of-two ulp
+    * boundary.
+    */
+  def qLengthBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("n_tokens"),
+        (length(bin(col("n_tokens"))) - 1).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .select(col("bucket"),
+        expr("CAST(shiftleft(1L, CAST(bucket AS INT)) AS BIGINT)")
+          .as("bucket_lo"),
+        col("n_docs"), col("total_tokens"), col("min_tokens"),
+        col("max_tokens"))
+      .orderBy(asc_nulls_first("bucket"))
+
+  /** Character-class composition per language: letters / digits /
+    * whitespace / other counts and shares — the char-level hygiene
+    * profile (mojibake, markup bleed, number dumps) that token-level
+    * quality scores can't see. Counts are string-length differences
+    * after class-targeted regexp_replace — exact integers, same regex
+    * class semantics in Java and RE2.
+    */
+  def qCharClasses(spark: SparkSession, sfDir: String): DataFrame = {
+    def classCount(c: Column, cls: String): Column =
+      (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), length(col("text")).cast("long").as("n_chars"),
+        classCount(col("text"), "[a-zA-Z]").as("letters"),
+        classCount(col("text"), "[0-9]").as("digits"),
+        classCount(col("text"), "[ \\t\\n]").as("spaces"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("letters")).as("letters"),
+        sum(col("digits")).as("digits"),
+        sum(col("spaces")).as("spaces"))
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        col("letters"), col("digits"), col("spaces"),
+        (col("total_chars") - col("letters") - col("digits") -
+          col("spaces")).as("other"),
+        (round(col("letters").cast("double") / col("total_chars"), 6)
+          + lit(0.0)).as("letter_share"),
+        (round(col("spaces").cast("double") / col("total_chars"), 6)
+          + lit(0.0)).as("space_share"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
   def qZipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = Tables.documents(spark, sfDir)
       .select(explode(tokens(col("text"))).as("word"))

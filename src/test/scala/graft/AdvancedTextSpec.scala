@@ -554,4 +554,34 @@ class AdvancedTextSpec extends AnyFunSuite {
         $"a.sh" === $"b.sh" && $"a.source" < $"b.source").count()
     assert(common == 1)
   }
+
+  test("q_length_buckets: bucket bounds hold and docs are conserved") {
+    import org.apache.spark.sql.functions.{col, size => fsize}
+    val out = q("q_length_buckets").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (b, lo) = (r.getAs[Long]("bucket"), r.getAs[Long]("bucket_lo"))
+      assert(lo == (1L << b))
+      assert(r.getAs[Long]("min_tokens") >= lo)
+      assert(r.getAs[Long]("max_tokens") < 2 * lo)
+      assert(r.getAs[Long]("total_tokens") >= r.getAs[Long]("n_docs") * lo)
+    }
+    val nonEmptyDocs = Tables.documents(spark, sfDir)
+      .filter(fsize(operators.TextQueries.tokens(col("text"))) > 0).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nonEmptyDocs)
+  }
+
+  test("q_char_classes: classes partition every character") {
+    val out = q("q_char_classes").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val total = r.getAs[Long]("total_chars")
+      assert(r.getAs[Long]("letters") + r.getAs[Long]("digits") +
+        r.getAs[Long]("spaces") + r.getAs[Long]("other") == total)
+      val ls = r.getAs[Double]("letter_share")
+      assert(ls > 0.0 && ls <= 1.0)
+    }
+    assert(out.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sfDir).count())
+  }
 }
