@@ -437,10 +437,15 @@ object ScaleSmoke {
     // (co-purchase, near-dup) have single-digit diameters, so the
     // linear-rounds worst case prices chains, not production graphs.
     sb.append("\n## BFS at adversarial diameter (path graphs)\n\n")
-    sb.append("Rounds = eccentricity by design (level-synchronous); the row to ")
-    sb.append("watch is seconds per round staying flat as the chain grows.\n\n")
+    sb.append("Rounds = eccentricity by design (level-synchronous — no ")
+    sb.append("pointer-jumping analogue exists for exact layers). sec/round ")
+    sb.append("grows with the accumulated-labels anti-join, so a path graph is ")
+    sb.append("quadratic in diameter end-to-end; real small-world graphs have ")
+    sb.append("single-digit eccentricity (the co-purchase graph's q_bfs_depth ")
+    sb.append("runs ~11 rounds), so the ladder stops at 800 — a deep-chain ")
+    sb.append("workload wants the CC operator's pointer jumping, not BFS.\n\n")
     sb.append("| vertices | rounds | seconds | sec/round |\n|---|---|---|---|\n")
-    for (n <- Seq(200L, 800L, 3200L)) {
+    for (n <- Seq(200L, 400L, 800L)) {
       val edges = spark.range(0L, n - 1)
         .select(col("id").as("src"), (col("id") + 1).as("dst"))
       val t0 = System.nanoTime()
