@@ -173,6 +173,21 @@ object ScaleSmoke {
       // densifies toward the pair-space ceiling — rounds stay 10, so
       // time must track edge volume, not explode with it
       "pagerank_10" -> (k => AnalyticsQueries.pagerankFrom(replicatedLineitem(k))),
+      // 5 fixed mutual-recursion rounds on the DIRECTED order→part
+      // bipartite graph; each round is 2 join+aggs over the edge list
+      // plus a 1-row normalizer broadcast — time must track edge
+      // volume linearly, rounds never grow
+      "hits_5" -> (k => GraphOps.hits(
+        replicatedLineitem(k).select(col("l_orderkey").as("src"),
+          col("l_partkey").as("dst")),
+        iters = AnalyticsQueries.HitsIters)._2),
+      // 6 fixed peeling rounds; the edge set only shrinks round-over-
+      // round, so time tracks the FIRST round's degree agg + semi-joins
+      "kcore_6" -> (k => GraphOps.kCore(
+        BehaviorQueries.cooccurPairCounts(replicatedLineitem(k))
+          .filter(col("n_orders") >= AnalyticsQueries.PagerankMinCooccur)
+          .select(col("p1").as("u"), col("p2").as("v")),
+        AnalyticsQueries.KcoreK, AnalyticsQueries.KcoreRounds)),
       // two-sample rank-test fold (q_mannwhitney/q_ks_test): the
       // ordered window runs over the distinct-VALUE axis, which
       // disjoint event replication leaves untouched — rows out must

@@ -229,6 +229,18 @@ object SparkEntry {
     "q_char_classes"    -> (AdvancedTextQueries.qCharClasses _),
     "q_interarrival"    -> (EventQueries.qInterarrival _),
     "q_dup_by_source"   -> (AdvancedTextQueries.qDupBySource _),
+    "q_hits"            -> (AnalyticsQueries.qHits _),
+    "q_kcore"           -> (AnalyticsQueries.qKcore _),
+    "q_stationary"      -> (BehaviorQueries.qStationary _),
+    "q_survival"        -> (BehaviorQueries.qSurvival _),
+    "q_streaks"         -> (BehaviorQueries.qStreaks _),
+    "q_abc"             -> (AnalyticsQueries.qAbc _),
+    "q_auc"             -> (MlEvalQueries.qAuc _),
+    "q_ndcg"            -> (MlEvalQueries.qNdcg _),
+    "q_welch_t"         -> (StatsQueries.qWelchT _),
+    "q_hhi"             -> (StatsQueries.qHhi _),
+    "q_lorenz"          -> (StatsQueries.qLorenz _),
+    "q_bollinger"       -> (TimeSeriesQueries.qBollinger _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -507,6 +519,147 @@ object SparkEntry {
         mergeNext
     }.mkString(",\n")
     head + ",\n" + rounds
+  }
+
+  /** 5 UNROLLED HITS rounds (generated like PagerankSql; the round
+    * count is `AnalyticsQueries.HitsIters`, so the two sides cannot
+    * drift) — the same integer fixed-point algebra `GraphOps.hits`
+    * runs: raw scores sum exact longs, each L1 normalization is
+    * raw·10¹² // Σraw in 128-bit integers.
+    */
+  private val HitsSql: String = {
+    val scale = "1000000000000"
+    val head =
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |h0 AS (SELECT DISTINCT src AS node, CAST($scale AS BIGINT) AS score
+         |       FROM edges)""".stripMargin
+    // every araw/hraw is referenced twice (its normalizer scalar
+    // subquery and the normalized select) — MATERIALIZED stops an
+    // inlining planner from re-expanding the whole chain per
+    // reference, which is exponential in rounds
+    val rounds = (1 to operators.AnalyticsQueries.HitsIters).map { i =>
+      s"""araw$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, CAST(sum(h.score) AS BIGINT) AS raw
+         |  FROM h${i - 1} h JOIN edges e ON h.node = e.src GROUP BY e.dst),
+         |a$i AS MATERIALIZED (
+         |  SELECT node, CAST((CAST(raw AS HUGEINT) * $scale) //
+         |    (SELECT sum(CAST(raw AS HUGEINT)) FROM araw$i) AS BIGINT) AS score
+         |  FROM araw$i),
+         |hraw$i AS MATERIALIZED (
+         |  SELECT e.src AS node, CAST(sum(a.score) AS BIGINT) AS raw
+         |  FROM a$i a JOIN edges e ON a.node = e.dst GROUP BY e.src),
+         |h$i AS MATERIALIZED (
+         |  SELECT node, CAST((CAST(raw AS HUGEINT) * $scale) //
+         |    (SELECT sum(CAST(raw AS HUGEINT)) FROM hraw$i) AS BIGINT) AS score
+         |  FROM hraw$i)""".stripMargin
+    }.mkString(",\n")
+    val k = operators.AnalyticsQueries.HitsIters
+    head + ",\n" + rounds +
+      s""",
+         |hubauth AS (
+         |  SELECT 'hub' AS role, node, score FROM h$k
+         |  UNION ALL
+         |  SELECT 'auth' AS role, node, score FROM a$k),
+         |rk AS (
+         |  SELECT role, node, score, CAST(row_number() OVER (
+         |    PARTITION BY role ORDER BY score DESC, node ASC) AS INT) AS rank
+         |  FROM hubauth)
+         |SELECT role, node, score, rank FROM rk WHERE rank <= 50
+         |ORDER BY role NULLS FIRST, rank NULLS FIRST""".stripMargin
+  }
+
+  /** 20 UNROLLED power-iteration rounds for the event-type Markov
+    * stationary distribution (constant `BehaviorQueries
+    * .StationaryIters` shared with the engine loop) — the same
+    * integer fixed point as HitsSql: per-edge mass x·n div r, L1
+    * renormalization to 10¹² per round in 128-bit integers.
+    */
+  private val StationarySql: String = {
+    val scale = "1000000000000"
+    val head =
+      s"""WITH tr AS MATERIALIZED (
+         |  SELECT event_type AS from_type, next_type AS to_type,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM (
+         |    SELECT event_type, lead(event_type) OVER (
+         |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         |      AS next_type
+         |    FROM events) t
+         |  WHERE next_type IS NOT NULL
+         |  GROUP BY 1, 2),
+         |rowsum AS (
+         |  SELECT from_type, CAST(sum(n) AS BIGINT) AS r
+         |  FROM tr GROUP BY 1),
+         |edges AS MATERIALIZED (
+         |  SELECT t.from_type, t.to_type, t.n, s.r
+         |  FROM tr t JOIN rowsum s USING (from_type)),
+         |nodes AS MATERIALIZED (
+         |  SELECT DISTINCT event_type FROM (
+         |    SELECT from_type AS event_type FROM tr
+         |    UNION ALL SELECT to_type FROM tr) u),
+         |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+         |x0 AS (
+         |  SELECT event_type, CAST($scale // n_nodes AS BIGINT) AS x
+         |  FROM nodes CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to operators.BehaviorQueries.StationaryIters).map { i =>
+      s"""raw$i AS MATERIALIZED (
+         |  SELECT nd.event_type, coalesce(c.raw, 0) AS raw
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.to_type AS event_type,
+         |      CAST(sum(x.x * e.n // e.r) AS BIGINT) AS raw
+         |    FROM x${i - 1} x JOIN edges e ON x.event_type = e.from_type
+         |    GROUP BY e.to_type) c ON c.event_type = nd.event_type),
+         |x$i AS MATERIALIZED (
+         |  SELECT event_type, CAST((CAST(raw AS HUGEINT) * $scale) //
+         |    (SELECT sum(CAST(raw AS HUGEINT)) FROM raw$i) AS BIGINT) AS x
+         |  FROM raw$i)""".stripMargin
+    }.mkString(",\n")
+    val k = operators.BehaviorQueries.StationaryIters
+    head + ",\n" + rounds +
+      s"""
+         |SELECT event_type, x AS stat_fp,
+         |  round(CAST(x AS DOUBLE) / $scale, 6) + 0.0 AS stationary
+         |FROM x$k ORDER BY event_type NULLS FIRST""".stripMargin
+  }
+
+  /** 6 UNROLLED k-core peeling rounds over the thresholded co-purchase
+    * graph (constants `AnalyticsQueries.{KcoreK,KcoreRounds}` shared
+    * with the engine loop): degrees of the surviving subgraph, drop
+    * nodes under k, drop incident edges, repeat.
+    */
+  private val KcoreSql: String = {
+    val k = operators.AnalyticsQueries.KcoreK
+    val head =
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e0 AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM pairs
+        |       GROUP BY p1, p2 HAVING count(*) >= 2)""".stripMargin
+    // each e_i is referenced twice (by d_{i+1} and e_{i+1}); without
+    // MATERIALIZED an inlining planner re-expands the whole chain per
+    // reference — exponential in rounds
+    val rounds = (1 to operators.AnalyticsQueries.KcoreRounds).map { i =>
+      s"""d$i AS (
+         |  SELECT node, count(*) AS degree FROM (
+         |    SELECT u AS node FROM e${i - 1}
+         |    UNION ALL SELECT v FROM e${i - 1}) t
+         |  GROUP BY node),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE degree >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT node FROM k$i)
+         |    AND v IN (SELECT node FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    val r = operators.AnalyticsQueries.KcoreRounds
+    head + ",\n" + rounds +
+      s"""
+         |SELECT node, count(*) AS degree FROM (
+         |  SELECT u AS node FROM e$r UNION ALL SELECT v FROM e$r) t
+         |GROUP BY node ORDER BY node NULLS FIRST""".stripMargin
   }
 
   private val BpeMergesSql: String = {
@@ -3683,6 +3836,297 @@ object SparkEntry {
         |    AS DOUBLE) / count(*), 6) + 0.0 AS dup_frac
         |FROM src LEFT JOIN comp ON src.doc_id = comp.id
         |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin),
+    "q_hits" -> HitsSql,
+    "q_kcore" -> KcoreSql,
+    "q_stationary" -> StationarySql,
+    "q_survival" ->
+      """WITH per AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS first_day,
+        |    CAST(max(ts) AS DATE) AS last_day
+        |  FROM events GROUP BY user_id),
+        |e AS (SELECT CAST(max(ts) AS DATE) AS corpus_end FROM events),
+        |life AS (
+        |  SELECT CAST(date_diff('day', first_day, last_day) AS INT)
+        |      AS dur_days,
+        |    last_day < corpus_end - 7 AS churned
+        |  FROM per CROSS JOIN e),
+        |bydur AS (
+        |  SELECT dur_days,
+        |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_churned,
+        |    CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM life GROUP BY dur_days),
+        |st AS (
+        |  SELECT dur_days, n_churned, n_censored,
+        |    CAST(sum(n_churned + n_censored) OVER (ORDER BY dur_days ASC
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |      AS n_at_risk
+        |  FROM bydur),
+        |st2 AS (
+        |  SELECT dur_days, n_at_risk, n_churned, n_censored,
+        |    CASE WHEN n_churned < n_at_risk THEN
+        |      CAST(round(ln(1.0 - CAST(n_churned AS DOUBLE) / n_at_risk) *
+        |        1000000.0, 0) AS BIGINT)
+        |    ELSE 0 END AS ln_q,
+        |    max(CASE WHEN n_churned = n_at_risk THEN 1 ELSE 0 END) OVER (
+        |      ORDER BY dur_days ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM st),
+        |st3 AS (
+        |  SELECT dur_days, n_at_risk, n_churned, n_censored, dead,
+        |    CAST(sum(ln_q) OVER (ORDER BY dur_days ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_ln
+        |  FROM st2)
+        |SELECT dur_days, n_at_risk, n_churned, n_censored,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |       ELSE round(exp(CAST(cum_ln AS DOUBLE) / 1000000.0), 6) + 0.0
+        |  END AS survival
+        |FROM st3 ORDER BY dur_days NULLS FIRST""".stripMargin,
+    "q_streaks" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY day ASC) AS INT) AS anchor
+        |  FROM du),
+        |g AS (
+        |  SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS max_streak
+        |FROM g GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+    "q_abc" ->
+      """WITH bypart AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY l_partkey),
+        |c AS (
+        |  SELECT l_partkey, rev,
+        |    sum(CAST(rev AS HUGEINT)) OVER (ORDER BY rev DESC, l_partkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(CAST(rev AS HUGEINT)) OVER () AS tot
+        |  FROM bypart),
+        |cl AS (
+        |  SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+        |              WHEN cum * 100 <= tot * 95 THEN 'B'
+        |              ELSE 'C' END AS abc_class, rev, tot
+        |  FROM c)
+        |SELECT abc_class, count(*) AS n_parts,
+        |  CAST(sum(CAST(rev AS HUGEINT)) AS DOUBLE) / 100.0 AS revenue,
+        |  round(CAST(sum(CAST(rev AS HUGEINT)) AS DOUBLE) /
+        |    CAST(max(tot) AS DOUBLE), 6) + 0.0 AS revenue_share
+        |FROM cl GROUP BY abc_class ORDER BY abc_class NULLS FIRST""".stripMargin,
+    "q_auc" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings
+         |), pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         |    round(list_dot_product(p.v, c.v) /
+         |      (sqrt(list_dot_product(p.v, p.v)) *
+         |       sqrt(list_dot_product(c.v, c.v))), 6) + 0.0 AS cosine
+         |  FROM e p JOIN e c
+         |    ON p.vec_id % ${operators.MlEvalQueries.RankProbeModulus} = 0
+         |   AND c.vec_id <> p.vec_id
+         |), ranked AS (
+         |  SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cosine DESC, vec_id ASC) AS rank
+         |  FROM pairs
+         |), votes AS (
+         |  SELECT probe_id, l.label, count(*) AS votes
+         |  FROM ranked r JOIN e l ON r.vec_id = l.vec_id
+         |  WHERE r.rank <= 5 GROUP BY 1, 2
+         |), probes AS (
+         |  SELECT vec_id AS probe_id, label AS true_label FROM e
+         |  WHERE vec_id % ${operators.MlEvalQueries.RankProbeModulus} = 0
+         |), classes AS (SELECT DISTINCT label FROM e),
+         |grid AS (
+         |  SELECT p.probe_id, c.label, p.true_label,
+         |    coalesce(v.votes, 0) AS score
+         |  FROM probes p CROSS JOIN classes c
+         |  LEFT JOIN votes v ON v.probe_id = p.probe_id AND v.label = c.label
+         |), rg AS (
+         |  SELECT label, true_label, score,
+         |    rank() OVER (PARTITION BY label ORDER BY score ASC) AS rank_min,
+         |    count(*) OVER (PARTITION BY label, score) AS ties
+         |  FROM grid
+         |), agg AS (
+         |  SELECT label,
+         |    CAST(sum(CASE WHEN true_label = label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN true_label <> label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_neg,
+         |    CAST(sum(CASE WHEN true_label = label
+         |      THEN rank_min * 2 + ties - 1 ELSE 0 END) AS BIGINT) AS ranksum2
+         |  FROM rg GROUP BY label)
+         |SELECT label, n_pos, n_neg,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.0
+         |       ELSE round(CAST(ranksum2 - n_pos * (n_pos + 1) AS DOUBLE) /
+         |         CAST(2 * n_pos * n_neg AS DOUBLE), 6) + 0.0 END AS auc
+         |FROM agg ORDER BY label NULLS FIRST""".stripMargin,
+    "q_ndcg" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings
+         |), pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         |    round(list_dot_product(p.v, c.v) /
+         |      (sqrt(list_dot_product(p.v, p.v)) *
+         |       sqrt(list_dot_product(c.v, c.v))), 6) + 0.0 AS cosine
+         |  FROM e p JOIN e c
+         |    ON p.vec_id % ${operators.MlEvalQueries.RankProbeModulus} = 0
+         |   AND c.vec_id <> p.vec_id
+         |), ranked AS (
+         |  SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cosine DESC, vec_id ASC) AS rank
+         |  FROM pairs
+         |), rel AS (
+         |  SELECT r.probe_id, t.label AS true_label, r.rank,
+         |    CASE WHEN l.label = t.label THEN 1 ELSE 0 END AS rel
+         |  FROM ranked r
+         |  JOIN e l ON r.vec_id = l.vec_id
+         |  JOIN e t ON r.probe_id = t.vec_id
+         |  WHERE r.rank <= 5
+         |), ideal AS (
+         |  SELECT probe_id, true_label, rank, rel,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY rel DESC, rank ASC) AS irank
+         |  FROM rel
+         |), disc AS (
+         |  SELECT probe_id, true_label,
+         |    CAST(CAST(rel AS DOUBLE) *
+         |      round(1.0 / log2(rank + 1) * 1000000.0, 0) AS BIGINT) AS dcg_u,
+         |    CAST(CAST(rel AS DOUBLE) *
+         |      round(1.0 / log2(irank + 1) * 1000000.0, 0) AS BIGINT) AS idcg_u
+         |  FROM ideal
+         |), per AS (
+         |  SELECT probe_id, true_label AS label,
+         |    CASE WHEN sum(idcg_u) = 0 THEN 0
+         |         ELSE CAST(round(CAST(sum(dcg_u) AS DOUBLE) / sum(idcg_u) *
+         |           1000000.0, 0) AS BIGINT) END AS ndcg_u
+         |  FROM disc GROUP BY probe_id, true_label)
+         |SELECT label, count(*) AS n_probes,
+         |  round(CAST(sum(ndcg_u) AS DOUBLE) /
+         |    (CAST(count(*) AS DOUBLE) * 1000000.0), 6) + 0.0 AS mean_ndcg
+         |FROM per GROUP BY label ORDER BY label NULLS FIRST""".stripMargin,
+    "q_welch_t" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS q
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |a AS (
+        |  SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+        |    CAST(sum(1 - ia) AS BIGINT) AS n_b,
+        |    sum(ia * CAST(q AS HUGEINT)) AS s_a,
+        |    sum((1 - ia) * CAST(q AS HUGEINT)) AS s_b,
+        |    sum(ia * CAST(q AS HUGEINT) * q) AS ss_a,
+        |    sum((1 - ia) * CAST(q AS HUGEINT) * q) AS ss_b
+        |  FROM f),
+        |m AS (
+        |  SELECT n_a, n_b,
+        |    CAST(s_a AS DOUBLE) / n_a / 100.0 AS m_a,
+        |    CAST(s_b AS DOUBLE) / n_b / 100.0 AS m_b,
+        |    (CAST(ss_a AS DOUBLE) -
+        |      CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a) /
+        |      (n_a - 1) / 10000.0 AS v_a,
+        |    (CAST(ss_b AS DOUBLE) -
+        |      CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b) /
+        |      (n_b - 1) / 10000.0 AS v_b
+        |  FROM a),
+        |s AS (SELECT n_a, n_b, m_a, m_b,
+        |        v_a / n_a AS se_a, v_b / n_b AS se_b FROM m)
+        |SELECT n_a, n_b,
+        |  round(m_a, 6) + 0.0 AS mean_a,
+        |  round(m_b, 6) + 0.0 AS mean_b,
+        |  round((m_a - m_b) / sqrt(se_a + se_b), 6) + 0.0 AS t_stat,
+        |  round((se_a + se_b) * (se_a + se_b) /
+        |    (se_a * se_a / (n_a - 1) + se_b * se_b / (n_b - 1)), 6) + 0.0
+        |    AS df
+        |FROM s""".stripMargin,
+    "q_hhi" ->
+      """WITH bysup AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY l_suppkey),
+        |j AS (
+        |  SELECT n.n_name AS nation, b.rev
+        |  FROM bysup b
+        |  JOIN supplier s ON b.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        |SELECT nation, count(*) AS n_suppliers,
+        |  round(CAST(sum(CAST(rev AS HUGEINT) * rev) AS DOUBLE) /
+        |    (CAST(sum(CAST(rev AS HUGEINT)) AS DOUBLE) *
+        |     CAST(sum(CAST(rev AS HUGEINT)) AS DOUBLE)), 6) + 0.0 AS hhi
+        |FROM j GROUP BY nation ORDER BY nation NULLS FIRST""".stripMargin,
+    "q_lorenz" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS spend_c
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT spend_c,
+        |    row_number() OVER (ORDER BY spend_c ASC, o_custkey ASC) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM spend),
+        |d AS (
+        |  SELECT CAST(ceil(rn * 10.0 / n) AS INT) AS decile,
+        |    count(*) AS n_customers,
+        |    sum(CAST(spend_c AS HUGEINT)) AS dec_c
+        |  FROM r GROUP BY 1)
+        |SELECT decile, n_customers,
+        |  round(CAST(dec_c AS DOUBLE) /
+        |    CAST(sum(dec_c) OVER () AS DOUBLE), 6) + 0.0 AS spend_share,
+        |  round(CAST(sum(dec_c) OVER (ORDER BY decile ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |    CAST(sum(dec_c) OVER () AS DOUBLE), 6) + 0.0 AS cum_share
+        |FROM d ORDER BY decile NULLS FIRST""".stripMargin,
+    "q_bollinger" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, c,
+        |    CAST(count(*) OVER win AS BIGINT) AS n,
+        |    CAST(sum(c) OVER win AS BIGINT) AS s,
+        |    CAST(sum(c * c) OVER win AS BIGINT) AS ss
+        |  FROM d WINDOW win AS (PARTITION BY event_type ORDER BY day ASC
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day,
+        |  round(CAST(c AS DOUBLE) / 100.0, 6) + 0.0 AS day_value,
+        |  n AS n_window,
+        |  CASE WHEN n = 7 THEN
+        |    round(CAST(s AS DOUBLE) / n / 100.0, 6) + 0.0 END AS mean7,
+        |  CASE WHEN n = 7 THEN
+        |    round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)
+        |      / 100.0, 6) + 0.0 END AS sd7,
+        |  CASE WHEN n = 7 THEN
+        |    round(CAST(s AS DOUBLE) / n / 100.0 +
+        |      sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)
+        |        / 100.0 * 2, 6) + 0.0 END AS upper_band,
+        |  CASE WHEN n = 7 THEN
+        |    round(CAST(s AS DOUBLE) / n / 100.0 -
+        |      sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)
+        |        / 100.0 * 2, 6) + 0.0 END AS lower_band,
+        |  CASE WHEN n = 7 THEN
+        |    (round(CAST(c AS DOUBLE) / 100.0, 6) >
+        |       round(CAST(s AS DOUBLE) / n / 100.0 +
+        |         sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)
+        |           / 100.0 * 2, 6) + 0.0 OR
+        |     round(CAST(c AS DOUBLE) / 100.0, 6) <
+        |       round(CAST(s AS DOUBLE) / n / 100.0 -
+        |         sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)
+        |           / 100.0 * 2, 6) + 0.0) END AS breakout
+        |FROM w
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

@@ -790,4 +790,115 @@ object AnalyticsQueries {
         (round(jac * unionEst, 6) + lit(0.0)).as("inter_est"))
       .orderBy(asc_nulls_first("t1"), asc_nulls_first("t2"))
   }
+
+  /** HITS rounds the oracle unrolls — the SAME constant
+    * `HitsSql` generates its CTE chain from.
+    */
+  val HitsIters = 5
+
+  /** HITS hubs and authorities over the DIRECTED customer→part
+    * purchase graph (who-bought-what, distinct pairs): authority =
+    * parts endorsed by broad buyers, hub = customers whose baskets
+    * concentrate on authoritative parts — the bipartite curation
+    * signal PageRank's symmetrized co-purchase walk can't express
+    * (on an undirected graph hubs ≡ authorities; here the two sides
+    * are genuinely different node sets). Fourth iterative-join
+    * algorithm next to CC / PageRank / BFS; the mutual-recursion
+    * rounds with per-round GLOBAL L1 normalization live in
+    * [[GraphOps.hits]] (integer fixed-point, no driver action per
+    * round — the normalizer is a 1-row broadcast inside the plan).
+    *
+    * Output: both score tables in one frame (role = 'hub'|'auth'),
+    * top 50 per role under (score desc, node asc) — rank computed
+    * per role, fully deterministic given the bit-exact integer
+    * scores.
+    *
+    * Scale: edge build is one distinct over (custkey, partkey) pairs;
+    * each round shuffles O(E) contribution rows with map-side partial
+    * aggregation. The reference's engine has no iterative surface at
+    * all (one map+reduce pass per job, /root/reference/mr/worker.go).
+    */
+  def qHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val edges = orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+    val (hubs, auths) = GraphOps.hits(edges, iters = HitsIters)
+    val both = hubs.select(lit("hub").as("role"), col("node"), col("score"))
+      .unionAll(auths.select(lit("auth").as("role"), col("node"), col("score")))
+    both.withColumn("rank", row_number().over(
+        Window.partitionBy("role").orderBy(col("score").desc, col("node").asc)))
+      .filter(col("rank") <= 50)
+      .orderBy(asc_nulls_first("role"), asc_nulls_first("rank"))
+  }
+
+  /** k-core parameters the oracle unrolls. */
+  val KcoreK = 3
+  val KcoreRounds = 6
+
+  /** 3-core of the co-purchase graph ([[KcoreRounds]] fixed peeling
+    * rounds, [[GraphOps.kCore]]): the maximal subgraph where every
+    * part still co-occurs with ≥ 3 other surviving parts — the dense
+    * backbone left after pruning tendrils, the standard coarse
+    * community/robustness cut on top of the degree histogram
+    * (q_degree_dist) and triangle counts. Fixed-round peeling keeps
+    * the oracle an unrolled CTE chain replaying the identical
+    * computation; rounds past the fixpoint are no-ops.
+    *
+    * Scale: per round one map-combinable degree agg + two semi-joins,
+    * all on a monotonically SHRINKING edge set; no driver action in
+    * the loop.
+    */
+  def qKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = BehaviorQueries.cooccurPairCounts(Tables.lineitem(spark, sfDir))
+      .filter(col("n_orders") >= PagerankMinCooccur)
+      .select(col("p1").as("u"), col("p2").as("v"))
+    GraphOps.kCore(und, k = KcoreK, rounds = KcoreRounds)
+      .select(col("node"), col("degree"))
+      .orderBy(asc_nulls_first("node"))
+  }
+
+  /** ABC inventory classification of parts by revenue: rank parts by
+    * revenue descending, class A = parts inside the first 80% of
+    * cumulative revenue, B = the next 15% (to 95%), C = the tail —
+    * the classic Pareto cut reported as one summary row per class
+    * (part count, revenue, shares). Complements q_skyline (dominance)
+    * and q_topk (fixed count) with the fixed-SHARE cut businesses
+    * actually restock by.
+    *
+    * Determinism: class boundaries compare 100·cum_cents ≤ 80·total
+    * in EXACT DECIMAL algebra — no float share ever decides a class —
+    * under the (revenue desc, partkey asc) total order; the emitted
+    * share doubles divide once at the end.
+    *
+    * Scale: one shuffle to per-part revenue; the cumulative window is
+    * global but runs over the PART axis (a fold of the fact table).
+    * For a part axis too large for one ordered partition, the
+    * boundary ranks fall out of a two-pass quantile over revenue
+    * (q_equidepth's recipe) instead of a full sort.
+    */
+  def qAbc(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPart = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), cents(col("l_extendedprice")).as("c"))
+      .groupBy("l_partkey").agg(sum(col("c")).as("rev"))
+    val wCum = Window.orderBy(col("rev").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val classed = byPart
+      .withColumn("cum", sum(col("rev").cast("decimal(38,0)")).over(wCum))
+      .withColumn("tot", sum(col("rev").cast("decimal(38,0)")).over(wAll))
+      .withColumn("abc_class",
+        when(col("cum") * 100 <= col("tot") * 80, "A")
+          .when(col("cum") * 100 <= col("tot") * 95, "B")
+          .otherwise("C"))
+    classed.groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev").cast("decimal(38,0)")).as("class_c"),
+        max(col("tot")).as("tot"))
+      .select(col("abc_class"), col("n_parts"),
+        (col("class_c").cast("double") / 100.0).as("revenue"),
+        (round(col("class_c").cast("double") / col("tot").cast("double"), 6)
+          + lit(0.0)).as("revenue_share"))
+      .orderBy(asc_nulls_first("abc_class"))
+  }
 }

@@ -434,4 +434,154 @@ object BehaviorQueries {
           (col("n_ante") * col("n_cons")), 6) + lit(0.0)).as("lift"))
       .orderBy(asc_nulls_first("antecedent"), asc_nulls_first("consequent"))
   }
+
+  /** Power-iteration rounds of q_stationary — the oracle unrolls the
+    * SAME constant.
+    */
+  val StationaryIters = 20
+
+  /** Stationary distribution of the event-type Markov chain: where
+    * does a user's session settle long-run? — the asymptotic summary
+    * on top of q_transitions' one-step matrix. 20 power-iteration
+    * rounds x' ← x·P in the integer fixed point of GraphOps (1e-12
+    * grid, per-edge contribution x_i·c_ij div r_i, HITS-style L1
+    * renormalization per round so sub-stochastic rows — types whose
+    * successors never emit — cannot leak mass).
+    *
+    * Determinism: the transition counts are exact; every round is
+    * integer algebra, so 20 compounding rounds stay bit-identical
+    * across engines and the fixed-point column itself is
+    * hash-checked. The displayed probability is one rounded division.
+    *
+    * Scale: the event stream folds to a |types|² count matrix in ONE
+    * lead()+groupBy pass (the q_transitions exchange); all 20 rounds
+    * then run on |types| rows — the iteration cost is independent of
+    * corpus size by construction.
+    */
+  def qStationary(spark: SparkSession, sfDir: String): DataFrame = {
+    val scale = 1000000000000L
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val c = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val rowsum = c.groupBy("from_type").agg(sum(col("n")).as("r"))
+    val edges = c.join(rowsum, Seq("from_type")).localCheckpoint(true)
+    val nodes = c.select(col("from_type").as("event_type"))
+      .unionAll(c.select(col("to_type").as("event_type")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    var x = nodes.withColumn("x", lit(scale / n))
+    for (_ <- 1 to StationaryIters) {
+      val raw = x.join(edges, x("event_type") === edges("from_type"))
+        .select(col("to_type").as("event_type"),
+          expr("x * n div r").as("m"))
+        .groupBy("event_type").agg(sum(col("m")).as("raw"))
+      val full = nodes.join(raw, Seq("event_type"), "left")
+        .select(col("event_type"), coalesce(col("raw"), lit(0L)).as("raw"))
+      val tot = full.agg(sum(col("raw").cast("decimal(38,0)")).as("l1"))
+      x = full.crossJoin(broadcast(tot))
+        .select(col("event_type"),
+          expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $scale) div l1" +
+            " AS BIGINT)").as("x"))
+        .localCheckpoint(false)
+    }
+    x.select(col("event_type"), col("x").as("stat_fp"),
+        (round(col("x").cast("double") / scale, 6) + lit(0.0))
+          .as("stationary"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  /** Censoring horizon (days before corpus end) for q_survival. */
+  val SurvivalChurnDays = 7
+
+  /** Kaplan–Meier survival curve of user LIFETIME (days between first
+    * and last event): at each observed lifetime t, the fraction of
+    * users still active past t, correcting for right-censoring — a
+    * user whose last event falls within [[SurvivalChurnDays]] of the
+    * corpus end hasn't been observed to churn, so they leave the risk
+    * set WITHOUT counting as a death (the thing a naive lifetime
+    * histogram gets wrong). The standard retention curve next to
+    * q_churn's weekly rate and q_cohort_ltv's revenue view.
+    *
+    * Determinism: death/censor counts and the at-risk suffix sums are
+    * exact integers; each factor ln(1 − d/n) snaps to the 1e-6 micro
+    * grid BEFORE the cumulative sum (q_lm_score's recipe — micro-longs
+    * sum identically under any partitioning and both engines exp the
+    * same exact cumulative), and a risk-set-exhausting row (d = n)
+    * zeroes the curve from there on via an explicit flag rather than
+    * ln(0).
+    *
+    * Scale: one groupBy(user) fold, one 1-row corpus-end broadcast;
+    * the ordered windows run over DISTINCT LIFETIME DAYS — a
+    * days-bounded axis at any corpus size.
+    */
+  def qSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("user_id"), col("ts"))
+    val per = ev.groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("first_day"),
+        to_date(max(col("ts"))).as("last_day"))
+    val end = ev.agg(to_date(max(col("ts"))).as("corpus_end"))
+    val life = per.crossJoin(broadcast(end))
+      .select(datediff(col("last_day"), col("first_day")).as("dur_days"),
+        (col("last_day") < date_sub(col("corpus_end"), SurvivalChurnDays))
+          .as("churned"))
+    val byDur = life.groupBy("dur_days")
+      .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"),
+        sum(when(col("churned"), 0L).otherwise(1L)).as("n_censored"))
+    val wAsc = Window.orderBy(asc_nulls_first("dur_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSuffix = Window.orderBy(asc_nulls_first("dur_days"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val stepped = byDur
+      .withColumn("n_at_risk",
+        sum(col("n_churned") + col("n_censored")).over(wSuffix))
+      .withColumn("ln_q",
+        when(col("n_churned") < col("n_at_risk"),
+          round(log(lit(1.0) - col("n_churned").cast("double") /
+            col("n_at_risk")) * 1e6, 0).cast("long")).otherwise(0L))
+      .withColumn("dead", max(
+        when(col("n_churned") === col("n_at_risk"), 1).otherwise(0))
+        .over(wAsc))
+      .withColumn("cum_ln", sum(col("ln_q")).over(wAsc))
+    stepped.select(col("dur_days"), col("n_at_risk"),
+        col("n_churned"), col("n_censored"),
+        when(col("dead") === 1, 0.0).otherwise(
+          round(exp(col("cum_ln").cast("double") / 1e6), 6) + lit(0.0))
+          .as("survival"))
+      .orderBy(asc_nulls_first("dur_days"))
+  }
+
+  /** Longest consecutive-day activity streak per user, by the classic
+    * gaps-and-islands rewrite: within a user's DISTINCT active days in
+    * date order, day − row_number is constant exactly along a
+    * consecutive run, so one date-arithmetic groupBy finds every
+    * island without any self-join — the engagement-depth profile
+    * (DAU says how many, streaks say how sticky).
+    *
+    * Scale: the event stream collapses to (user, day) distinct rows
+    * first; the per-user window orders an O(days) frame, and the
+    * island groupBy is map-combinable. No data-sized window, no
+    * non-equi join.
+    */
+  def qStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+    val islands = du
+      .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy("user_id")
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"))
+      .orderBy(asc_nulls_first("user_id"))
+  }
 }

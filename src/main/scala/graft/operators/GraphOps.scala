@@ -262,4 +262,91 @@ object GraphOps {
     }
     (labels, iter)
   }
+
+  /** HITS hubs-and-authorities (Kleinberg, JACM'99) over a DIRECTED
+    * bipartite-or-general edge list, `iters` fixed rounds of the
+    * mutual recursion a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v), each
+    * followed by an L1 normalization to `scale` fixed-point units.
+    *
+    * Same integer-determinism move as [[pageRank]]: scores live on a
+    * 1e-12 fixed-point grid, every per-edge contribution is an exact
+    * long, and the normalization is integer `div` against the exact
+    * L1 sum — so ten compounding rounds are bit-identical across
+    * partitionings and engines, which is what lets an unrolled-CTE
+    * oracle hash-check the result. Unlike PageRank the normalizer is
+    * a GLOBAL sum per round; it enters the plan as a 1-row aggregate
+    * broadcast-crossed back (no driver action per round — the loop
+    * stays fully lazy, one localCheckpoint per round to flatten
+    * lineage).
+    *
+    * Scale: each round is two shuffle-on-key join+aggregates over the
+    * edge list (O(E) rows moved, map-side partial aggs) plus two
+    * 1-row broadcasts. State never grows; rounds are independent of
+    * graph diameter. Returns (hubs(node, score), auths(node, score)).
+    */
+  def hits(edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L): (DataFrame, DataFrame) = {
+    val e = edges.select(col("src"), col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val srcs = e.select(col("src").as("node")).distinct().localCheckpoint(true)
+    // raw·scale overflows BIGINT (raw is itself ~scale·degree), so the
+    // product runs in DECIMAL(38,0); `div` truncates back to BIGINT.
+    // Everything is positive, so Spark's `div` and DuckDB's `//` agree.
+    def normalize(s: DataFrame): DataFrame = {
+      val tot = s.agg(sum(col("raw").cast("decimal(38,0)")).as("l1"))
+      s.crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $scale) div l1 AS BIGINT)")
+            .as("score"))
+    }
+    var hubs = srcs.withColumn("score", lit(scale))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      auths = normalize(
+        hubs.join(e, hubs("node") === e("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("score")).as("raw")))
+        .localCheckpoint(false)
+      hubs = normalize(
+        auths.join(e, auths("node") === e("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("score")).as("raw")))
+        .localCheckpoint(false)
+    }
+    (hubs, auths)
+  }
+
+  /** K-core peeling: `rounds` FIXED iterations of "drop every node
+    * whose degree in the surviving subgraph is < k", over an
+    * undirected edge list (one row per edge, u < v). Fixed rounds —
+    * not peel-to-convergence — so an unrolled-CTE oracle replays the
+    * exact same computation; extra rounds after the fixpoint are
+    * no-ops, so for graphs that converge early the result IS the
+    * k-core. Returns the surviving (node, degree) table.
+    *
+    * Scale: each round recomputes degrees with one map-combinable agg
+    * over the surviving edges and drops edges by two semi-joins on
+    * the survivor set — O(E) per round, no driver action inside the
+    * loop, lazy checkpoint per round to flatten lineage. The edge set
+    * only shrinks, so later rounds cost less than earlier ones.
+    */
+  def kCore(und: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    var edges = und.select(col("u"), col("v")).distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val keep = deg.filter(col("degree") >= k).select("node")
+      edges = edges
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(false)
+    }
+    edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+  }
 }

@@ -368,4 +368,126 @@ object MlEvalQueries {
       .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
       .orderBy(asc_nulls_first("degree"))
   }
+
+  /** Probe stride for the ranking-metric queries (qAuc, qNdcg): every
+    * 10th vector probes, denser than the classification family's 100
+    * so each one-vs-rest class keeps enough positives for a stable
+    * rank statistic. The oracle uses the same constant.
+    */
+  val RankProbeModulus = 10
+
+  /** One-vs-rest ROC AUC of the kNN soft scorer per class, via the
+    * Mann–Whitney rank identity: AUC = P(score⁺ > score⁻) +
+    * ½P(score⁺ = score⁻). The score for class L is the number of the
+    * probe's 5 nearest neighbors labeled L (0..5) — the same native
+    * confidence qCalibration buckets, now evaluated as a RANKER
+    * rather than a thresholded labeler. The metric a curation run
+    * reads to pick per-class acceptance thresholds.
+    *
+    * Determinism: midrank ties are handled in INTEGERS — for each
+    * scored probe, 2·(average rank) = 2·rank_min + ties − 1 exactly,
+    * so the positive-rank sum is an exact long and
+    * AUC = (Σ2r̄⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) is one rounded division.
+    * The probe×class score grid (zeros included — a missing vote IS
+    * a score of 0) comes from crossing probes with the distinct label
+    * set, so absent classes can't silently drop rows.
+    *
+    * Scale: the heavy part is the blocked top-k (no new surface);
+    * the grid is |probes|·|classes| rows — classes are a handful, so
+    * this is probe-linear. Rank windows partition by class.
+    */
+  def qAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), SimilarityQueries.asDoubles(col("embedding")).as("vec"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val labels = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val nn = SimilarityQueries.blockedTopKFrom(emb, k = 5,
+      probeModulus = RankProbeModulus)
+    val votes = nn.join(labels, Seq("vec_id"))
+      .groupBy(col("probe_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val probes = labels.filter(col("vec_id") % RankProbeModulus === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("true_label"))
+    val classes = labels.select("label").distinct()
+    val grid = probes.crossJoin(broadcast(classes))
+      .join(votes, Seq("probe_id", "label"), "left")
+      .select(col("label"), col("true_label"),
+        coalesce(col("votes"), lit(0L)).as("score"))
+    val wRank = Window.partitionBy("label").orderBy(col("score").asc)
+    val wTies = Window.partitionBy("label", "score")
+    val ranked = grid
+      .withColumn("rank_min", rank().over(wRank))
+      .withColumn("ties", count(lit(1)).over(wTies))
+    ranked.groupBy("label")
+      .agg(
+        sum(when(col("true_label") === col("label"), 1L).otherwise(0L))
+          .as("n_pos"),
+        sum(when(col("true_label") =!= col("label"), 1L).otherwise(0L))
+          .as("n_neg"),
+        sum(when(col("true_label") === col("label"),
+          col("rank_min") * 2 + col("ties") - 1).otherwise(0L))
+          .as("ranksum2"))
+      .select(col("label"), col("n_pos"), col("n_neg"),
+        (when(col("n_pos") === 0 || col("n_neg") === 0, 0.0).otherwise(
+          round((col("ranksum2") - col("n_pos") * (col("n_pos") + 1))
+            .cast("double") /
+            (lit(2) * col("n_pos") * col("n_neg")).cast("double"), 6))
+          + lit(0.0)).as("auc"))
+      .orderBy(asc_nulls_first("label"))
+  }
+
+  /** NDCG@5 of the kNN retrieval per class: DCG with binary relevance
+    * (neighbor shares the probe's label) over the retrieved ranking,
+    * normalized by the ideal ordering OF THE SAME RETRIEVED SET
+    * (relevant items promoted to the top) — the graded companion to
+    * qMrr's first-hit-only view; NDCG sees ALL the relevant
+    * neighbors and where they sit.
+    *
+    * Determinism: each rank's discount 1/log2(rank+1) is quantized to
+    * the 1e-6 grid BEFORE any cross-row sum (the qEmbedVar move), so
+    * per-probe DCG and IDCG are exact longs; the ideal ranking is a
+    * row_number over (relevance desc, rank asc) — a total order. The
+    * per-probe ndcg is one rounded division, re-quantized to micro
+    * units so the per-class mean is again an exact-integer sum.
+    *
+    * Scale: probe-linear on top of the blocked top-k, two narrow
+    * windows over ≤k rows per probe.
+    */
+  def qNdcg(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), SimilarityQueries.asDoubles(col("embedding")).as("vec"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val labels = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val nn = SimilarityQueries.blockedTopKFrom(emb, k = 5,
+      probeModulus = RankProbeModulus)
+    val rel = nn.join(labels, Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("probe_id"),
+        col("label").as("true_label")), Seq("probe_id"))
+      .select(col("probe_id"), col("true_label"), col("rank"),
+        when(col("label") === col("true_label"), 1L).otherwise(0L).as("rel"))
+    val wIdeal = Window.partitionBy("probe_id")
+      .orderBy(col("rel").desc, col("rank").asc)
+    val discounted = rel
+      .withColumn("irank", row_number().over(wIdeal))
+      .select(col("probe_id"), col("true_label"),
+        (col("rel").cast("double") *
+          round(lit(1.0) / log2(col("rank") + 1) * 1e6, 0)).cast("long")
+          .as("dcg_u"),
+        (col("rel").cast("double") *
+          round(lit(1.0) / log2(col("irank") + 1) * 1e6, 0)).cast("long")
+          .as("idcg_u"))
+    val perProbe = discounted.groupBy("probe_id", "true_label")
+      .agg(sum(col("dcg_u")).as("dcg_u"), sum(col("idcg_u")).as("idcg_u"))
+      .select(col("true_label").as("label"),
+        when(col("idcg_u") === 0, 0L).otherwise(
+          round(col("dcg_u").cast("double") / col("idcg_u") * 1e6, 0)
+            .cast("long")).as("ndcg_u"))
+    perProbe.groupBy("label")
+      .agg(count(lit(1)).as("n_probes"), sum(col("ndcg_u")).as("s"))
+      .select(col("label"), col("n_probes"),
+        (round(col("s").cast("double") /
+          (col("n_probes").cast("double") * 1e6), 6) + lit(0.0))
+          .as("mean_ndcg"))
+      .orderBy(asc_nulls_first("label"))
+  }
 }

@@ -748,4 +748,136 @@ object StatsQueries {
           .as("d_stat"),
         col("value").as("d_at_value"))
   }
+
+  /** Welch's unequal-variance t statistic between the click and
+    * purchase value streams — the PARAMETRIC companion to
+    * q_mannwhitney's rank test on the same two samples: location
+    * difference in the original units, with the Welch–Satterthwaite
+    * effective degrees of freedom.
+    *
+    * Determinism: both samples fold to exact integer power sums
+    * (n, Σcents, Σcents²) in ONE map-combinable conditional
+    * aggregation pass; mean, sample variance, t and df are then a
+    * single fixed IEEE expression from those six exact longs —
+    * identical in both engines, no cross-row float summation
+    * anywhere. Σcents² needs |value| ≲ 3·10⁷ per row in a long
+    * (fixture ≤ 10³) and the DECIMAL(38,0) accumulator keeps any
+    * realistic row count exact (the q_gini note).
+    *
+    * Scale: one scan, one 1-row aggregate. Nothing else.
+    */
+  def qWelchT(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(when(col("event_type") === "click", 1L).otherwise(0L).as("ia"),
+        cents(col("value")).as("q"))
+    val qd = col("q").cast("decimal(38,0)")
+    val agg = ev.agg(
+      sum(col("ia")).as("n_a"),
+      sum(lit(1L) - col("ia")).as("n_b"),
+      sum((col("ia") * qd).cast("decimal(38,0)")).as("s_a"),
+      sum(((lit(1L) - col("ia")) * qd).cast("decimal(38,0)")).as("s_b"),
+      sum((col("ia") * qd * qd).cast("decimal(38,0)")).as("ss_a"),
+      sum(((lit(1L) - col("ia")) * qd * qd).cast("decimal(38,0)"))
+        .as("ss_b"))
+    val mA = col("s_a").cast("double") / col("n_a") / 100.0
+    val mB = col("s_b").cast("double") / col("n_b") / 100.0
+    val vA = (col("ss_a").cast("double") -
+      col("s_a").cast("double") * col("s_a").cast("double") / col("n_a")) /
+      (col("n_a") - 1) / 10000.0
+    val vB = (col("ss_b").cast("double") -
+      col("s_b").cast("double") * col("s_b").cast("double") / col("n_b")) /
+      (col("n_b") - 1) / 10000.0
+    val seA = vA / col("n_a")
+    val seB = vB / col("n_b")
+    agg.select(col("n_a"), col("n_b"),
+      (round(mA, 6) + lit(0.0)).as("mean_a"),
+      (round(mB, 6) + lit(0.0)).as("mean_b"),
+      (round((mA - mB) / sqrt(seA + seB), 6) + lit(0.0)).as("t_stat"),
+      (round((seA + seB) * (seA + seB) /
+        (seA * seA / (col("n_a") - 1) + seB * seB / (col("n_b") - 1)), 6)
+        + lit(0.0)).as("df"))
+  }
+
+  /** Herfindahl–Hirschman concentration index of supplier revenue
+    * within each nation: Σᵢ shareᵢ² over the nation's suppliers —
+    * 1/n for a perfectly even market, →1 as one supplier dominates.
+    * The standard market-concentration number next to q_gini's
+    * inequality curve (same family, different question: Gini ranks
+    * individuals, HHI squares shares).
+    *
+    * Determinism: supplier revenues are exact cent longs; the
+    * identity Σ(cᵢ/T)² = Σcᵢ²/T² keeps EVERYTHING integral until one
+    * final double division — Σcᵢ² runs in DECIMAL(38,0) (cᵢ can reach
+    * ~10¹⁰ cents per supplier before c² leaves the long range, hence
+    * the widened accumulator, the q_gini pattern).
+    *
+    * Scale: one shuffle to (nation, supplier) revenue with map-side
+    * partials, one map-combinable fold to |nation| rows. The squared
+    * term never materializes per pair — the algebra does the work.
+    */
+  def qHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), cents(col("l_extendedprice")).as("c"))
+    val sup = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    val bySup = li.groupBy("l_suppkey").agg(sum(col("c")).as("rev"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+    bySup.groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev").cast("decimal(38,0)")).as("tot"),
+        // rev² must leave the long domain BEFORE multiplying — a
+        // long·long product wraps silently past ~9.2·10¹⁸
+        sum(col("rev").cast("decimal(38,0)") * col("rev")).as("sq"))
+      .select(col("nation"), col("n_suppliers"),
+        (round(col("sq").cast("double") /
+          (col("tot").cast("double") * col("tot").cast("double")), 6)
+          + lit(0.0)).as("hhi"))
+      .orderBy(asc_nulls_first("nation"))
+  }
+
+  /** Lorenz curve of customer order spend by decile: customers ranked
+    * ascending by lifetime spend, bucketed into 10 equal-count bins,
+    * each reporting its spend share and the cumulative share — the
+    * curve whose area q_gini summarizes to one number; dashboards
+    * want the actual decile points ("bottom 50% hold x%").
+    *
+    * Determinism: decile assignment is pure integer algebra on the
+    * (spend, custkey)-total-order rank (⌈10·rank/n⌉ — no ntile
+    * dialect differences); spend sums are exact cent longs; shares
+    * divide once, at the end, from DECIMAL totals.
+    *
+    * Scale: one shuffle to per-customer spend; the rank window is
+    * global, but over CUSTOMERS (a fold of the fact table), and the
+    * decile roll-up then touches 10 rows. For a customer axis too
+    * large for one ordered partition, the same decile boundaries fall
+    * out of q_equidepth's two-pass quantile recipe.
+    */
+  def qLorenz(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("c"))
+      .groupBy("o_custkey").agg(sum(col("c")).as("spend_c"))
+    val w = Window.orderBy(col("spend_c").asc, col("o_custkey").asc)
+    val ranked = spend.withColumn("rn", row_number().over(w))
+    val n = ranked.agg(count(lit(1)).as("n_customers"))
+    val deciles = ranked.crossJoin(broadcast(n))
+      .select(col("spend_c"), col("n_customers"),
+        ceil(col("rn") * 10.0 / col("n_customers")).cast("int").as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend_c").cast("decimal(38,0)")).as("dec_c"))
+    val wCum = Window.orderBy(asc_nulls_first("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    deciles
+      .withColumn("cum_c", sum(col("dec_c")).over(wCum))
+      .withColumn("tot_c", sum(col("dec_c")).over(wAll))
+      .select(col("decile"), col("n_customers"),
+        (round(col("dec_c").cast("double") / col("tot_c").cast("double"), 6)
+          + lit(0.0)).as("spend_share"),
+        (round(col("cum_c").cast("double") / col("tot_c").cast("double"), 6)
+          + lit(0.0)).as("cum_share"))
+      .orderBy(asc_nulls_first("decile"))
+  }
 }

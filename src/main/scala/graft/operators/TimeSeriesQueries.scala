@@ -282,4 +282,52 @@ object TimeSeriesQueries {
           .as("returning_share"))
       .orderBy(asc_nulls_first("day"))
   }
+
+  /** Bollinger bands over each type's daily VALUE total: 7-day
+    * trailing mean ± 2σ (population σ over the window), with the
+    * breakout flag — the volatility-adaptive anomaly envelope next to
+    * q_anomaly's global-σ z-score (a level shift moves these bands
+    * with the series; a global z keeps alarming forever).
+    *
+    * Determinism: daily totals are exact cent longs; the rolling
+    * mean/σ derive from exact Σ and Σ² over the 7-row frame (cent²
+    * sums stay in long range until ~4·10⁷ cents/day/type — beyond
+    * that, the DECIMAL widening of qAutocorr applies), and the
+    * breakout compares the 6-dp-ROUNDED band edges so no last-ulp
+    * flip. Only days with a FULL 7-day history emit bands (the first
+    * six get nulls, flagged n_window < 7), so ragged-start noise
+    * can't masquerade as signal.
+    *
+    * Scale: the corpus folds to |types|×|days| rows before any window
+    * runs (the module invariant); the ordered frame iterates days,
+    * partitioned by type.
+    */
+  def qBollinger(spark: SparkSession, sfDir: String): DataFrame = {
+    val dailyCents = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(asc_nulls_first("day")).rowsBetween(-6, 0)
+    val n = count(lit(1)).over(w)
+    val s = sum(col("c")).over(w)
+    val ss = sum(col("c") * col("c")).over(w)
+    val mean7 = s.cast("double") / n / 100.0
+    val sd7 = sqrt((ss.cast("double") - s.cast("double") * s / n) / n) / 100.0
+    val upper = round(mean7 + sd7 * 2, 6) + lit(0.0)
+    val lower = round(mean7 - sd7 * 2, 6) + lit(0.0)
+    dailyCents
+      .select(col("event_type"), col("day"),
+        (round(col("c").cast("double") / 100.0, 6) + lit(0.0))
+          .as("day_value"),
+        n.as("n_window"),
+        when(n === 7, round(mean7, 6) + lit(0.0)).as("mean7"),
+        when(n === 7, round(sd7, 6) + lit(0.0)).as("sd7"),
+        when(n === 7, upper).as("upper_band"),
+        when(n === 7, lower).as("lower_band"),
+        when(n === 7,
+          round(col("c").cast("double") / 100.0, 6) > upper ||
+          round(col("c").cast("double") / 100.0, 6) < lower)
+          .as("breakout"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+  }
 }

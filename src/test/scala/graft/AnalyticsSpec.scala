@@ -403,4 +403,52 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.map(r => r.getAs[Long]("n_base") + r.getAs[Long]("n_cur")).sum
       == evTot)
   }
+
+  test("q_abc: classes partition the part axis; shares honor the 80/95 cuts") {
+    val out = q("q_abc").collect().map(r =>
+      r.getAs[String]("abc_class") -> r).toMap
+    assert(out.keySet.subsetOf(Set("A", "B", "C")))
+    val nParts = Tables.lineitem(spark, sfDir)
+      .select("l_partkey").distinct().count()
+    assert(out.values.map(_.getAs[Long]("n_parts")).sum == nParts)
+    val shareSum = out.values.map(_.getAs[Double]("revenue_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+    // cumulative boundaries: A stops at <=80%, A+B at <=95%
+    assert(out("A").getAs[Double]("revenue_share") <= 0.80 + 1e-6)
+    assert(out("A").getAs[Double]("revenue_share") +
+      out("B").getAs[Double]("revenue_share") <= 0.95 + 1e-6)
+  }
+
+  test("q_hits: 50 per role, ranks contiguous, scores rank-ordered") {
+    val out = q("q_hits").collect()
+    val byRole = out.groupBy(_.getAs[String]("role"))
+    assert(byRole.keySet == Set("hub", "auth"))
+    byRole.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 50))
+      val scores = sorted.map(_.getAs[Long]("score")).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(_ >= 0L))
+    }
+  }
+
+  test("q_kcore: survivors keep their in-subgraph degree >= k after convergence") {
+    val out = q("q_kcore").collect()
+    assert(out.nonEmpty)
+    // handshake: degrees sum even
+    assert(out.map(_.getAs[Long]("degree")).sum % 2 == 0)
+    // 6 peel rounds converge on this fixture: one more round is a no-op,
+    // which certifies every reported degree is >= k
+    val und = operators.BehaviorQueries
+      .cooccurPairCounts(Tables.lineitem(spark, sfDir))
+      .filter(col("n_orders") >= AnalyticsQueries.PagerankMinCooccur)
+      .select(col("p1").as("u"), col("p2").as("v"))
+    val more = operators.GraphOps
+      .kCore(und, k = AnalyticsQueries.KcoreK,
+        rounds = AnalyticsQueries.KcoreRounds + 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("degree")).toMap
+    val got = out.map(r => r.getAs[Long]("node") -> r.getAs[Long]("degree")).toMap
+    assert(got == more, "6 rounds did not reach the peeling fixpoint")
+    assert(got.values.forall(_ >= AnalyticsQueries.KcoreK))
+  }
 }

@@ -202,4 +202,54 @@ class BehaviorSpec extends AnyFunSuite {
         r.getAs[String]("event_type")), r.getAs[Long]("wau"))).toMap
     assert(got == expect)
   }
+
+  test("q_stationary: a probability vector over every observed type; L1-exact fixed point") {
+    val out = q("q_stationary").collect()
+    val types = Tables.events(spark, sfDir)
+      .select("event_type").distinct().count()
+    assert(out.length == types)
+    // fixed-point longs sum to the scale within one truncation unit/node
+    val fpSum = out.map(_.getAs[Long]("stat_fp")).sum
+    assert(math.abs(fpSum - 1000000000000L) <= out.length,
+      s"fixed-point mass $fpSum drifted from 1e12")
+    out.foreach(r => assert(r.getAs[Long]("stat_fp") >= 0L))
+    val pSum = out.map(_.getAs[Double]("stationary")).sum
+    assert(math.abs(pSum - 1.0) < 1e-5)
+  }
+
+  test("q_survival: curve starts at full risk set, never increases, stays in [0,1]") {
+    val out = q("q_survival").collect().sortBy(_.getAs[Int]("dur_days"))
+    val users = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(out.head.getAs[Long]("n_at_risk") == users)
+    assert(out.map(r => r.getAs[Long]("n_churned") +
+      r.getAs[Long]("n_censored")).sum == users)
+    val s = out.map(_.getAs[Double]("survival")).toSeq
+    assert(s.forall(v => v >= 0.0 && v <= 1.0 + 1e-9))
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a + 1e-9 },
+      "survival must be nonincreasing")
+    // suffix-sum structure: each at-risk count drops by exactly the
+    // users leaving at the previous duration
+    out.zip(out.tail).foreach { case (a, b) =>
+      assert(b.getAs[Long]("n_at_risk") == a.getAs[Long]("n_at_risk") -
+        a.getAs[Long]("n_churned") - a.getAs[Long]("n_censored"))
+    }
+  }
+
+  test("q_streaks: active days conserved; one-day users have streak 1") {
+    val out = q("q_streaks").collect()
+    val du = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    assert(out.map(_.getAs[Long]("n_active_days")).sum == du.count())
+    assert(out.length ==
+      Tables.events(spark, sfDir).select("user_id").distinct().count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("max_streak") >= 1L)
+      assert(r.getAs[Long]("max_streak") <= r.getAs[Long]("n_active_days"))
+      assert(r.getAs[Long]("n_streaks") >= 1L)
+      // islands partition the active days: max·count bounds
+      assert(r.getAs[Long]("max_streak") * r.getAs[Long]("n_streaks") >=
+        r.getAs[Long]("n_active_days"))
+    }
+  }
 }

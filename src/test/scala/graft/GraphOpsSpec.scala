@@ -132,4 +132,41 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(mrr <= hit.toDouble / n + 1e-6)
     }
   }
+
+  test("kCore: K4 with a pendant path peels to exactly the K4") {
+    // K4 on 1..4 (every degree 3) + path 4-5-6 (degrees 1-2); the
+    // 3-core is the K4 alone, and peeling needs 2 rounds (dropping 6
+    // drops 5's degree to 1)
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val got = GraphOps.kCore(und, k = 3, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3))
+  }
+
+  test("kCore: k=1 is a no-op on a clean edge list") {
+    val und = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("u", "v")
+    val got = GraphOps.kCore(und, k = 1, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 2, 3L -> 1, 7L -> 1, 8L -> 1))
+  }
+
+  test("hits: bipartite star — the broad buyer dominates hubs, shared part dominates authorities") {
+    // users 1,2,3 → parts 101,102,103: user 1 buys all three parts,
+    // users 2 and 3 buy only part 101. Part 101 has every buyer
+    // behind it (top authority); user 1 touches every part (top hub).
+    val edges = Seq((1L, 101L), (1L, 102L), (1L, 103L),
+      (2L, 101L), (3L, 101L)).toDF("src", "dst")
+    val (hubs, auths) = GraphOps.hits(edges, iters = 5)
+    val h = hubs.as[(Long, Long)].collect().toMap
+    val a = auths.as[(Long, Long)].collect().toMap
+    assert(h(1L) > h(2L) && h(1L) > h(3L))
+    assert(h(2L) == h(3L)) // symmetric users must tie exactly
+    assert(a(101L) > a(102L) && a(101L) > a(103L))
+    assert(a(102L) == a(103L))
+    // L1 normalization: each side's scores sum to ~1e12 (truncating
+    // div loses at most one unit per node)
+    assert(math.abs(h.values.sum - 1000000000000L) <= h.size)
+    assert(math.abs(a.values.sum - 1000000000000L) <= a.size)
+  }
 }

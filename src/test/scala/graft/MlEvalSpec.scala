@@ -174,4 +174,30 @@ class MlEvalSpec extends AnyFunSuite {
     val degSum = out.map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_nodes")).sum
     assert(degSum == 2 * m, s"degree sum $degSum != 2m = ${2 * m}")
   }
+
+  test("q_auc: one row per class, pos/neg partition the probe set, AUC in [0,1]") {
+    val out = MlEvalQueries.qAuc(spark, sfDir).collect()
+    val emb = Tables.embeddings(spark, sfDir)
+    assert(out.length == emb.select("label").distinct().count())
+    val nProbes = emb
+      .filter(col("vec_id") % MlEvalQueries.RankProbeModulus === 0).count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") == nProbes)
+      val auc = r.getAs[Double]("auc")
+      assert(auc >= 0.0 && auc <= 1.0, s"auc $auc out of range")
+    }
+    // every probe is positive for exactly one class
+    assert(out.map(_.getAs[Long]("n_pos")).sum == nProbes)
+  }
+
+  test("q_ndcg: probes conserved across classes, mean NDCG in [0,1]") {
+    val out = MlEvalQueries.qNdcg(spark, sfDir).collect()
+    val nProbes = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % MlEvalQueries.RankProbeModulus === 0).count()
+    assert(out.map(_.getAs[Long]("n_probes")).sum == nProbes)
+    out.foreach { r =>
+      val v = r.getAs[Double]("mean_ndcg")
+      assert(v >= 0.0 && v <= 1.0 + 1e-9, s"ndcg $v out of range")
+    }
+  }
 }

@@ -377,4 +377,55 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("d_stat") - d) < 1e-5)
     assert(r.getAs[Double]("d_stat") >= 0.0 && r.getAs[Double]("d_stat") <= 1.0)
   }
+
+  test("welch t: matches a local two-sample computation to 1e-4; df within classical bounds") {
+    import spark.implicits._
+    val Seq(r) = q("q_welch_t").collect().toSeq
+    val ev = Tables.events(spark, sfDir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    def stats(s: Array[Double]) = {
+      val n = s.length; val m = s.sum / n
+      (n, m, s.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (na, ma, va) = stats(ev.filter(_._1 == "click").map(_._2))
+    val (nb, mb, vb) = stats(ev.filter(_._1 == "purchase").map(_._2))
+    val (seA, seB) = (va / na, vb / nb)
+    val t = (ma - mb) / math.sqrt(seA + seB)
+    val df = (seA + seB) * (seA + seB) /
+      (seA * seA / (na - 1) + seB * seB / (nb - 1))
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-3,
+      s"t ${r.getAs[Double]("t_stat")} vs local $t")
+    val dfOut = r.getAs[Double]("df")
+    assert(math.abs(dfOut - df) < math.abs(df) * 1e-3 + 1e-3)
+    assert(dfOut >= math.min(na, nb) - 1 - 1e-6 && dfOut <= na + nb - 2 + 1e-6)
+  }
+
+  test("hhi: per-nation index between 1/n and 1; single-supplier nations hit 1") {
+    val out = q("q_hhi").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_suppliers")
+      val h = r.getAs[Double]("hhi")
+      assert(h >= 1.0 / n - 1e-6, s"hhi $h below even-market floor 1/$n")
+      assert(h <= 1.0 + 1e-9)
+      if (n == 1) assert(math.abs(h - 1.0) < 1e-6)
+    }
+  }
+
+  test("lorenz: 10 deciles, shares sum to 1, cumulative share convex-ordered") {
+    val out = q("q_lorenz").collect().sortBy(_.getAs[Int]("decile"))
+    assert(out.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    assert(out.map(_.getAs[Long]("n_customers")).sum ==
+      Tables.orders(spark, sfDir).select("o_custkey").distinct().count())
+    val shareSum = out.map(_.getAs[Double]("spend_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+    assert(math.abs(out.last.getAs[Double]("cum_share") - 1.0) < 1e-6)
+    // deciles are ascending-spend, so shares must be nondecreasing
+    val shares = out.map(_.getAs[Double]("spend_share")).toSeq
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b + 1e-6 })
+    val cums = out.map(_.getAs[Double]("cum_share")).toSeq
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b + 1e-9 })
+  }
 }

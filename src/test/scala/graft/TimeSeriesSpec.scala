@@ -238,4 +238,22 @@ class TimeSeriesSpec extends AnyFunSuite {
         daily(r.getAs[java.sql.Date]("day").toString))
     }
   }
+
+  test("bollinger: bands only on full windows, ordered upper>=mean>=lower, flag reconciles") {
+    val out = q("q_bollinger").collect()
+    val nDays = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts"))).distinct().count()
+    assert(out.length == nDays)
+    out.foreach { r =>
+      val full = r.getAs[Long]("n_window") == 7
+      assert(full == !r.isNullAt(r.fieldIndex("mean7")))
+      if (full) {
+        val (m, u, l) = (r.getAs[Double]("mean7"),
+          r.getAs[Double]("upper_band"), r.getAs[Double]("lower_band"))
+        assert(u >= m - 1e-9 && m >= l - 1e-9)
+        val v = r.getAs[Double]("day_value")
+        assert(r.getAs[Boolean]("breakout") == (v > u || v < l))
+      } else assert(r.isNullAt(r.fieldIndex("breakout")))
+    }
+  }
 }

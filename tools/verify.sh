@@ -18,6 +18,6 @@ rm -rf "$OUT"
 java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SF_DIR" "$OUT" 2>/tmp/verify.log || { tail -30 /tmp/verify.log; exit 1; }
+  graft.Verify "$SF_DIR" "$OUT" "$@" 2>/tmp/verify.log || { tail -30 /tmp/verify.log; exit 1; }
 grep -E "\[verify\]" /tmp/verify.log || true
 python3 tools/selfcheck.py "$SF_DIR" "$OUT" "$@"
