@@ -56,7 +56,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // per-label weight computation
     "q_class_balance",
     // (n_a, n_b) sample-size row entering the ECDF gap scaling — 1 row
-    "q_ks_test")
+    "q_ks_test",
+    // customer-count row entering the decile-bucket ceil — 1 row
+    "q_lorenz",
+    // corpus-end anchor entering the censoring cutoff — 1 row
+    "q_survival")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —
@@ -70,7 +74,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_ivf_topk",
     // event-type × event-type pair grid (|types|² rows, schema-bounded);
     // everything data-sized happened before, in the sketch build
-    "q_overlap_kmv")
+    "q_overlap_kmv",
+    // probe × class grid (the zero-score rows a one-vs-rest AUC must
+    // keep); classes are a handful at any scale and must broadcast
+    "q_auc")
 
   private def flatten(plan: SparkPlan): Seq[SparkPlan] = plan match {
     case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
