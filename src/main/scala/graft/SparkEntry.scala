@@ -234,6 +234,9 @@ object SparkEntry {
     "q_stationary"      -> (BehaviorQueries.qStationary _),
     "q_survival"        -> (BehaviorQueries.qSurvival _),
     "q_streaks"         -> (BehaviorQueries.qStreaks _),
+    "q_item_cf"         -> (BehaviorQueries.qItemCf _),
+    "q_entropy_rate"    -> (BehaviorQueries.qEntropyRate _),
+    "q_linkpred"        -> (AnalyticsQueries.qLinkpred _),
     "q_abc"             -> (AnalyticsQueries.qAbc _),
     "q_auc"             -> (MlEvalQueries.qAuc _),
     "q_ndcg"            -> (MlEvalQueries.qNdcg _),
@@ -3884,6 +3887,104 @@ object SparkEntry {
         |       ELSE round(exp(CAST(cum_ln AS DOUBLE) / 1000000.0), 6) + 0.0
         |  END AS survival
         |FROM st3 ORDER BY dur_days NULLS FIRST""".stripMargin,
+    "q_item_cf" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |bothdir AS (
+        |  SELECT p1 AS part, p2 AS rec, n_orders FROM pairs
+        |  UNION ALL
+        |  SELECT p2 AS part, p1 AS rec, n_orders FROM pairs),
+        |ni AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_i
+        |       FROM li GROUP BY 1),
+        |scored AS (
+        |  SELECT b.part, b.rec, b.n_orders,
+        |    round(CAST(b.n_orders AS DOUBLE) /
+        |      sqrt(CAST(np.n_i * nr.n_i AS DOUBLE)), 6) + 0.0 AS sim
+        |  FROM bothdir b
+        |  JOIN ni np ON b.part = np.l_partkey
+        |  JOIN ni nr ON b.rec = nr.l_partkey),
+        |ranked AS (
+        |  SELECT part, rec, n_orders, sim,
+        |    CAST(row_number() OVER (PARTITION BY part
+        |      ORDER BY sim DESC, rec ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT part, rec, n_orders, sim, rank FROM ranked
+        |WHERE rank <= 5
+        |ORDER BY part NULLS FIRST, rank ASC""".stripMargin,
+    "q_entropy_rate" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (
+        |    SELECT event_type, lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |      AS next_type
+        |    FROM events) t
+        |  WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rowsum AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS r
+        |  FROM tr GROUP BY 1),
+        |tot AS (SELECT CAST(sum(r) AS BIGINT) AS n_total FROM rowsum),
+        |terms AS (
+        |  SELECT t.from_type, s.r,
+        |    CAST(round(-(CAST(t.n AS DOUBLE) / s.r) *
+        |      ln(CAST(t.n AS DOUBLE) / s.r) * 1000000.0, 0) AS BIGINT)
+        |      AS term_micro
+        |  FROM tr t JOIN rowsum s USING (from_type)),
+        |h AS (
+        |  SELECT from_type, r, CAST(sum(term_micro) AS BIGINT) AS h_micro
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT from_type, r AS n_out,
+        |  round(CAST(h_micro AS DOUBLE) / 1000000.0, 6) + 0.0 AS h_nats,
+        |  round(CAST(r AS DOUBLE) / n_total, 6) + 0.0 AS weight,
+        |  round(CAST(r AS DOUBLE) * h_micro /
+        |    (CAST(n_total AS DOUBLE) * 1000000.0), 6) + 0.0 AS contrib_nats
+        |FROM h CROSS JOIN tot ORDER BY from_type NULLS FIRST""".stripMargin,
+    "q_linkpred" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |und AS MATERIALIZED (
+        |  SELECT p1 AS u, p2 AS v FROM pairs
+        |  GROUP BY p1, p2 HAVING count(*) >= 2),
+        |sym AS MATERIALIZED (
+        |  SELECT u AS z, v AS nbr FROM und
+        |  UNION ALL SELECT v AS z, u AS nbr FROM und),
+        |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS degree
+        |        FROM sym GROUP BY z),
+        |capped AS MATERIALIZED (
+        |  SELECT s.z, s.nbr,
+        |    CAST(round(1000000.0 / ln(d.degree), 0) AS BIGINT) AS w_micro
+        |  FROM sym s JOIN deg d ON s.z = d.z
+        |  WHERE d.degree >= 2 AND d.degree <= 64),
+        |wedges AS (
+        |  SELECT a.nbr AS u, b.nbr AS v, a.w_micro
+        |  FROM capped a JOIN capped b ON a.z = b.z AND a.nbr < b.nbr),
+        |cand AS (
+        |  SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+        |    CAST(sum(w_micro) AS BIGINT) AS aa_micro
+        |  FROM wedges GROUP BY u, v),
+        |nonedge AS (
+        |  SELECT c.u, c.v, c.n_common, c.aa_micro
+        |  FROM cand c LEFT JOIN und e ON c.u = e.u AND c.v = e.v
+        |  WHERE e.u IS NULL),
+        |top AS (
+        |  SELECT * FROM nonedge
+        |  ORDER BY aa_micro DESC, u ASC, v ASC LIMIT 50)
+        |SELECT CAST(row_number() OVER (
+        |    ORDER BY aa_micro DESC, u ASC, v ASC) AS INT) AS rank,
+        |  u, v, n_common, aa_micro,
+        |  round(CAST(aa_micro AS DOUBLE) / 1000000.0, 6) + 0.0 AS aa_score
+        |FROM top ORDER BY rank""".stripMargin,
     "q_streaks" ->
       """WITH du AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

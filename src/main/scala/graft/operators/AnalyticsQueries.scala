@@ -858,6 +858,67 @@ object AnalyticsQueries {
       .orderBy(asc_nulls_first("node"))
   }
 
+  /** Wedge-center degree cap for q_linkpred — bounds the per-center
+    * pair fan-out to C(cap,2); the oracle applies the same cut.
+    */
+  val LinkpredDegCap = 64
+
+  /** Adamic–Adar link prediction on the co-purchase graph: for every
+    * NON-adjacent part pair connected through common neighbors, score
+    * AA(u,v) = Σ_z 1/ln(deg z) over the shared neighbors z — rare
+    * shared partners count more than promiscuous ones. Top-50
+    * predicted links: the "these parts should co-sell but don't yet"
+    * list, the graph-ML feature a recommender adds on top of
+    * q_item_cf's observed similarities.
+    *
+    * Determinism: each center's 1/ln(deg) snaps to the 1e-6 grid
+    * BEFORE the per-pair sum (exact long accumulation; centers have
+    * deg ≥ 2 so ln ≥ ln 2 — no pole), the top-50 ranks by the exact
+    * micro-long with (u, v) tie-breaks, and the displayed score is
+    * one rounded division.
+    *
+    * Scale: wedge enumeration is the deg² fan-out triangle counting
+    * already tamed — here bounded by dropping centers above
+    * [[LinkpredDegCap]] (a hub shared by everyone carries ~no AA
+    * signal anyway: weight 1/ln(deg) → 0 as its pairs → deg²); the
+    * cap makes the explode ≤ C(64,2) rows per center. Everything else
+    * is equi-joins and one anti-join against the edge list.
+    */
+  def qLinkpred(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = BehaviorQueries.cooccurPairCounts(Tables.lineitem(spark, sfDir))
+      .filter(col("n_orders") >= PagerankMinCooccur)
+      .select(col("p1").as("u"), col("p2").as("v"))
+      .localCheckpoint(true)
+    val sym = und.select(col("u").as("z"), col("v").as("nbr"))
+      .unionAll(und.select(col("v").as("z"), col("u").as("nbr")))
+    val deg = sym.groupBy("z").agg(count(lit(1)).as("degree"))
+    val capped = sym
+      .join(deg.filter(col("degree") >= 2 &&
+        col("degree") <= LinkpredDegCap), Seq("z"))
+      .select(col("z"), col("nbr"),
+        round(lit(1000000.0) / log(col("degree")), 0).cast("long")
+          .as("w_micro"))
+    val wedges = capped.select(col("z"), col("nbr").as("u"), col("w_micro"))
+      .join(capped.select(col("z"), col("nbr").as("v")), Seq("z"))
+      .filter(col("u") < col("v"))
+    val cand = wedges.groupBy("u", "v")
+      .agg(count(lit(1)).as("n_common"), sum(col("w_micro")).as("aa_micro"))
+      .join(und, Seq("u", "v"), "left_anti")
+    // TakeOrderedAndProject cuts to 50 distributed (per-partition
+    // top-50 + driver merge); the rank window then orders ≤50 rows
+    val top = cand
+      .orderBy(col("aa_micro").desc, col("u").asc, col("v").asc)
+      .limit(50)
+    top
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("aa_micro").desc, col("u").asc, col("v").asc)).cast("int"))
+      .select(col("rank"), col("u"), col("v"), col("n_common"),
+        col("aa_micro"),
+        (round(col("aa_micro").cast("double") / 1e6, 6) + lit(0.0))
+          .as("aa_score"))
+      .orderBy(col("rank").asc)
+  }
+
   /** ABC inventory classification of parts by revenue: rank parts by
     * revenue descending, class A = parts inside the first 80% of
     * cumulative revenue, B = the next 15% (to 95%), C = the tail —

@@ -497,6 +497,52 @@ object BehaviorQueries {
       .orderBy(asc_nulls_first("event_type"))
   }
 
+  /** Conditional entropy of the event-type Markov chain per state:
+    * H(next | from = i) = −Σ_j p_ij ln p_ij over q_transitions' matrix
+    * — how predictable each state's successor is (0 = deterministic
+    * next step, ln|types| = uniform), plus each state's share of the
+    * transition stream and its contribution to the empirical entropy
+    * rate Σ_i (r_i/N)·H_i. The sequence-predictability summary next
+    * to q_stationary's long-run occupancy.
+    *
+    * Determinism: every −p ln p term snaps to the 1e-6 grid before
+    * the per-state sum (exact long accumulation, q_lm_score's
+    * recipe); shares and the contribution are single rounded
+    * divisions from exact integers.
+    *
+    * Scale: the single lead()+groupBy exchange q_transitions runs;
+    * everything after operates on the |types|² matrix.
+    */
+  def qEntropyRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val c = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowsum = c.groupBy("from_type").agg(sum(col("n")).as("r"))
+    val total = rowsum.agg(sum(col("r")).as("n_total"))
+    val p = col("n").cast("double") / col("r")
+    val perState = c.join(rowsum, Seq("from_type"))
+      .select(col("from_type"), col("r"),
+        round(-p * log(p) * 1e6, 0).cast("long").as("term_micro"))
+      .groupBy(col("from_type"), col("r"))
+      .agg(sum(col("term_micro")).as("h_micro"))
+    perState.crossJoin(broadcast(total))
+      .select(col("from_type"), col("r").as("n_out"),
+        (round(col("h_micro").cast("double") / 1e6, 6) + lit(0.0))
+          .as("h_nats"),
+        (round(col("r").cast("double") / col("n_total"), 6) + lit(0.0))
+          .as("weight"),
+        (round(col("r").cast("double") * col("h_micro") /
+          (col("n_total").cast("double") * 1e6), 6) + lit(0.0))
+          .as("contrib_nats"))
+      .orderBy(asc_nulls_first("from_type"))
+  }
+
   /** Censoring horizon (days before corpus end) for q_survival. */
   val SurvivalChurnDays = 7
 
@@ -555,6 +601,50 @@ object BehaviorQueries {
           round(exp(col("cum_ln").cast("double") / 1e6), 6) + lit(0.0))
           .as("survival"))
       .orderBy(asc_nulls_first("dur_days"))
+  }
+
+  /** Item-item collaborative-filtering recommendations over the
+    * co-purchase counts: cosine similarity on binary purchase vectors
+    * sim(i,j) = c_ij / √(n_i·n_j) (c_ij = orders containing both,
+    * n_i = orders containing i), top-5 recommendations per part under
+    * (sim desc, partner asc) — the classic "customers who bought X
+    * also bought Y" memory-based recommender, the operator the
+    * co-occurrence counts (q_cooccur) exist to feed.
+    *
+    * Determinism: c and n are exact integers; the similarity is ONE
+    * rounded double per pair, and the top-5 cut ranks by the rounded
+    * value with an integer tie-break, so no boundary float decides
+    * membership differently across engines.
+    *
+    * Scale: reuses the bounded per-order pair explode
+    * ([[cooccurPairCounts]] — C(lines,2) per order, order-capped);
+    * per-part order counts join back keyed on partkey (AQE broadcasts
+    * the small side); the top-5 is a per-part window over each part's
+    * partner list, never a global sort.
+    */
+  def qItemCf(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val pairs = cooccurPairCounts(li)
+    val both = pairs.select(col("p1").as("part"), col("p2").as("rec"),
+        col("n_orders"))
+      .unionAll(pairs.select(col("p2").as("part"), col("p1").as("rec"),
+        col("n_orders")))
+    val nOrders = li.select("l_orderkey", "l_partkey").distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
+    val scored = both
+      .join(nOrders.select(col("l_partkey").as("part"),
+        col("n_i").as("n_part")), Seq("part"))
+      .join(nOrders.select(col("l_partkey").as("rec"),
+        col("n_i").as("n_rec")), Seq("rec"))
+      .select(col("part"), col("rec"), col("n_orders"),
+        (round(col("n_orders").cast("double") /
+          sqrt((col("n_part") * col("n_rec")).cast("double")), 6) + lit(0.0))
+          .as("sim"))
+    val w = Window.partitionBy("part")
+      .orderBy(col("sim").desc, col("rec").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .orderBy(asc_nulls_first("part"), col("rank").asc)
   }
 
   /** Longest consecutive-day activity streak per user, by the classic

@@ -432,6 +432,26 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_linkpred: predicted links are non-edges with shared neighbors, rank-ordered") {
+    val out = q("q_linkpred").collect().sortBy(_.getAs[Int]("rank"))
+    assert(out.length == 50)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to 50))
+    val aa = out.map(_.getAs[Long]("aa_micro")).toSeq
+    assert(aa.zip(aa.tail).forall { case (a, b) => a >= b })
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_common") >= 1L)
+      assert(r.getAs[Long]("u") < r.getAs[Long]("v"))
+    }
+    // none of the predictions may already be an edge
+    val edges = operators.BehaviorQueries
+      .cooccurPairCounts(Tables.lineitem(spark, sfDir))
+      .filter(col("n_orders") >= AnalyticsQueries.PagerankMinCooccur)
+      .collect().map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2"))).toSet
+    out.foreach { r =>
+      assert(!edges.contains((r.getAs[Long]("u"), r.getAs[Long]("v"))))
+    }
+  }
+
   test("q_kcore: survivors keep their in-subgraph degree >= k after convergence") {
     val out = q("q_kcore").collect()
     assert(out.nonEmpty)

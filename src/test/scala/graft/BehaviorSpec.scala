@@ -236,6 +236,34 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q_item_cf: <=5 recs per part, cosine in (0,1], ranks contiguous and sim-ordered") {
+    val out = q("q_item_cf").collect()
+    out.groupBy(_.getAs[Long]("part")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.length <= 5)
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val sims = sorted.map(_.getAs[Double]("sim")).toSeq
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      // cosine on binary vectors: c <= sqrt(n_i n_j) always
+      sims.foreach(s => assert(s > 0.0 && s <= 1.0 + 1e-9))
+    }
+  }
+
+  test("q_entropy_rate: conditional entropies within [0, ln k]; weights sum to 1") {
+    val out = q("q_entropy_rate").collect()
+    val k = out.length
+    val wSum = out.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-4)
+    out.foreach { r =>
+      val h = r.getAs[Double]("h_nats")
+      assert(h >= -1e-9 && h <= math.log(k.toDouble) + 1e-6,
+        s"H=$h outside [0, ln $k]")
+      // contribution reconciles with weight x entropy at 6 dp slack
+      assert(math.abs(r.getAs[Double]("contrib_nats") -
+        r.getAs[Double]("weight") * h) < 1e-4)
+    }
+  }
+
   test("q_streaks: active days conserved; one-day users have streak 1") {
     val out = q("q_streaks").collect()
     val du = Tables.events(spark, sfDir)

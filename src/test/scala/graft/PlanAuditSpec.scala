@@ -60,7 +60,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // customer-count row entering the decile-bucket ceil — 1 row
     "q_lorenz",
     // corpus-end anchor entering the censoring cutoff — 1 row
-    "q_survival")
+    "q_survival",
+    // transition-stream total entering the entropy-rate weights — 1 row
+    "q_entropy_rate")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —
