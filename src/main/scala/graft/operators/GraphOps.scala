@@ -294,9 +294,16 @@ object GraphOps {
     // raw·scale overflows BIGINT (raw is itself ~scale·degree), so the
     // product runs in DECIMAL(38,0); `div` truncates back to BIGINT.
     // Everything is positive, so Spark's `div` and DuckDB's `//` agree.
+    //
+    // The pre-normalization frame is lazily checkpointed BEFORE the L1
+    // aggregate: the broadcast-normalizer job is what first computes
+    // (and caches) the round's edge join+agg, and the normalized
+    // projection then reads the cache instead of re-running the join —
+    // without this, every round pays its heaviest stage twice.
     def normalize(s: DataFrame): DataFrame = {
-      val tot = s.agg(sum(col("raw").cast("decimal(38,0)")).as("l1"))
-      s.crossJoin(broadcast(tot))
+      val cached = s.localCheckpoint(false)
+      val tot = cached.agg(sum(col("raw").cast("decimal(38,0)")).as("l1"))
+      cached.crossJoin(broadcast(tot))
         .select(col("node"),
           expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $scale) div l1 AS BIGINT)")
             .as("score"))
@@ -308,12 +315,10 @@ object GraphOps {
         hubs.join(e, hubs("node") === e("src"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("score")).as("raw")))
-        .localCheckpoint(false)
       hubs = normalize(
         auths.join(e, auths("node") === e("dst"))
           .groupBy(col("src").as("node"))
           .agg(sum(col("score")).as("raw")))
-        .localCheckpoint(false)
     }
     (hubs, auths)
   }
