@@ -237,6 +237,7 @@ object SparkEntry {
     "q_item_cf"         -> (BehaviorQueries.qItemCf _),
     "q_entropy_rate"    -> (BehaviorQueries.qEntropyRate _),
     "q_linkpred"        -> (AnalyticsQueries.qLinkpred _),
+    "q_pca_power"       -> (MlEvalQueries.qPcaPower _),
     "q_abc"             -> (AnalyticsQueries.qAbc _),
     "q_auc"             -> (MlEvalQueries.qAuc _),
     "q_ndcg"            -> (MlEvalQueries.qNdcg _),
@@ -625,6 +626,55 @@ object SparkEntry {
          |SELECT event_type, x AS stat_fp,
          |  round(CAST(x AS DOUBLE) / $scale, 6) + 0.0 AS stationary
          |FROM x$k ORDER BY event_type NULLS FIRST""".stripMargin
+  }
+
+  /** 10 UNROLLED power-iteration rounds for the top principal
+    * component (constant `MlEvalQueries.PcaPowerIters` shared with the
+    * engine loop): integer covariance via the centering identity,
+    * L∞ fixed-point renormalization per round (both engines truncate
+    * integer division toward zero), sign fixed at the largest
+    * |loading|.
+    */
+  private val PcaPowerSql: String = {
+    val head =
+      """WITH pos AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS dim),
+        |e AS MATERIALIZED (
+        |  SELECT vec_id, dim,
+        |    CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000, 0)
+        |      AS BIGINT) AS q
+        |  FROM embeddings CROSS JOIN pos),
+        |s1 AS (SELECT dim, CAST(sum(q) AS HUGEINT) AS s
+        |       FROM e GROUP BY dim),
+        |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+        |sab AS (
+        |  SELECT ea.dim AS a, eb.dim AS b,
+        |    CAST(sum(CAST(ea.q AS HUGEINT) * eb.q) AS HUGEINT) AS sab
+        |  FROM e ea JOIN e eb ON ea.vec_id = eb.vec_id
+        |  GROUP BY 1, 2),
+        |cov AS MATERIALIZED (
+        |  SELECT a, b, (SELECT n FROM nn) * sab.sab - sa.s * sb.s AS c
+        |  FROM sab
+        |  JOIN s1 sa ON sab.a = sa.dim
+        |  JOIN s1 sb ON sab.b = sb.dim),
+        |v0 AS (SELECT dim, CAST(1000000 AS HUGEINT) AS x FROM pos)""".stripMargin
+    val rounds = (1 to operators.MlEvalQueries.PcaPowerIters).map { i =>
+      s"""w$i AS MATERIALIZED (
+         |  SELECT cov.a AS dim, CAST(sum(cov.c * v.x) AS HUGEINT) AS w
+         |  FROM cov JOIN v${i - 1} v ON cov.b = v.dim GROUP BY cov.a),
+         |v$i AS MATERIALIZED (
+         |  SELECT dim, (w * 1000000) //
+         |    (SELECT max(abs(w)) FROM w$i) AS x
+         |  FROM w$i)""".stripMargin
+    }.mkString(",\n")
+    val k = operators.MlEvalQueries.PcaPowerIters
+    head + ",\n" + rounds +
+      s""",
+         |sgn AS (
+         |  SELECT CASE WHEN x < 0 THEN -1 ELSE 1 END AS sgn
+         |  FROM v$k ORDER BY abs(x) DESC, dim ASC LIMIT 1)
+         |SELECT dim, CAST(x * sgn AS BIGINT) AS loading_fp,
+         |  round(CAST(x * sgn AS DOUBLE) / 1000000.0, 6) + 0.0 AS loading
+         |FROM v$k CROSS JOIN sgn ORDER BY dim NULLS FIRST""".stripMargin
   }
 
   /** 6 UNROLLED k-core peeling rounds over the thresholded co-purchase
@@ -3842,6 +3892,7 @@ object SparkEntry {
     "q_hits" -> HitsSql,
     "q_kcore" -> KcoreSql,
     "q_stationary" -> StationarySql,
+    "q_pca_power" -> PcaPowerSql,
     "q_survival" ->
       """WITH per AS (
         |  SELECT user_id, CAST(min(ts) AS DATE) AS first_day,

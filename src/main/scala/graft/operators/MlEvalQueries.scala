@@ -369,6 +369,86 @@ object MlEvalQueries {
       .orderBy(asc_nulls_first("degree"))
   }
 
+  /** Power-iteration rounds of q_pca_power — the oracle unrolls the
+    * SAME constant.
+    */
+  val PcaPowerIters = 10
+
+  /** Top principal component of the embedding matrix by power
+    * iteration on the (scaled) covariance: the dominant direction of
+    * variance, the first thing a whitening / dimensionality-reduction
+    * pipeline extracts after qEmbedVar's per-dim screening (variance
+    * says WHICH dims move; the eigenvector says HOW they move
+    * together). Sign fixed so the largest-|loading| dimension is
+    * positive — eigenvectors are sign-ambiguous, oracles are not.
+    * The contract is the [[PcaPowerIters]]-round power iterate: it
+    * converges to the top eigenvector at rate (λ₂/λ₁)^k, so on a
+    * spectrum with a real gap 10 rounds suffice, while on a
+    * near-isotropic matrix the iterate is still a deterministic,
+    * well-defined direction (MlEvalSpec checks it against a
+    * double-precision reference at the same depth).
+    *
+    * All integer: values quantize to the 1e-6 grid, the covariance
+    * uses the centering identity n·Σq_aq_b − Σq_a·Σq_b (no float mean
+    * ever subtracted; DECIMAL(38,0) throughout), and each iteration
+    * renormalizes by L∞ (x ← w·10⁶ div max|w|) — Spark's `div` and
+    * DuckDB's `//` both truncate toward zero, so 10 compounding
+    * rounds are bit-identical and the loadings are hash-checked
+    * exactly. L2 normalization would need a sqrt — irrational, so L∞
+    * is the determinism-preserving choice; the direction is the same.
+    *
+    * Scale: the data-sized work is ONE self-join fan-out bounded by
+    * dim² per vector (64² = 4096 — schema-bounded, not data-bounded)
+    * folding to a 4096-row covariance matrix with map-side partial
+    * sums; all 10 rounds then run on 64-row frames. The vector count
+    * enters as one driver scalar (the IvfKnn precedent).
+    */
+  def qPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val scale = 1000000L
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        round(col("v").cast("double") * 1000000, 0).cast("long").as("q"))
+      .localCheckpoint(true)
+    val s1 = e.groupBy("dim").agg(sum(col("q").cast("decimal(38,0)")).as("s"))
+    val nTotal = Tables.embeddings(spark, sfDir).count()
+    val sab = e.select(col("vec_id"), col("dim").as("a"), col("q").as("qa"))
+      .join(e.select(col("vec_id"), col("dim").as("b"), col("q").as("qb")),
+        Seq("vec_id"))
+      .groupBy("a", "b")
+      .agg(sum((col("qa") * col("qb")).cast("decimal(38,0)")).as("sab"))
+    val cov = sab
+      .join(broadcast(s1.select(col("dim").as("a"), col("s").as("s_a"))),
+        Seq("a"))
+      .join(broadcast(s1.select(col("dim").as("b"), col("s").as("s_b"))),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        (lit(nTotal) * col("sab") - col("s_a") * col("s_b"))
+          .cast("decimal(38,0)").as("c"))
+      .localCheckpoint(true)
+    var v = spark.range(1, 65)
+      .select(col("id").cast("int").as("dim"), lit(scale).as("x"))
+    for (_ <- 1 to PcaPowerIters) {
+      val w = cov.join(v, cov("b") === v("dim"))
+        .select(col("a").as("dim"),
+          (col("c") * col("x")).cast("decimal(38,0)").as("t"))
+        .groupBy("dim").agg(sum(col("t")).as("w"))
+        .localCheckpoint(false)
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("dim"),
+          expr(s"CAST((w * $scale) div m AS BIGINT)").as("x"))
+        .localCheckpoint(false)
+    }
+    val sgn = v.orderBy(abs(col("x")).desc, col("dim").asc).limit(1)
+      .select(when(col("x") < 0, -1L).otherwise(1L).as("sgn"))
+    v.crossJoin(broadcast(sgn))
+      .select(col("dim"), (col("x") * col("sgn")).as("loading_fp"),
+        (round((col("x") * col("sgn")).cast("double") / scale, 6) + lit(0.0))
+          .as("loading"))
+      .orderBy(asc_nulls_first("dim"))
+  }
+
   /** Probe stride for the ranking-metric queries (qAuc, qNdcg): every
     * 10th vector probes, denser than the classification family's 100
     * so each one-vs-rest class keeps enough positives for a stable
