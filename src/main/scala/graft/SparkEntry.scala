@@ -238,6 +238,7 @@ object SparkEntry {
     "q_entropy_rate"    -> (BehaviorQueries.qEntropyRate _),
     "q_linkpred"        -> (AnalyticsQueries.qLinkpred _),
     "q_pca_power"       -> (MlEvalQueries.qPcaPower _),
+    "q_wilson"          -> (StatsQueries.qWilson _),
     "q_abc"             -> (AnalyticsQueries.qAbc _),
     "q_auc"             -> (MlEvalQueries.qAuc _),
     "q_ndcg"            -> (MlEvalQueries.qNdcg _),
@@ -3893,6 +3894,32 @@ object SparkEntry {
     "q_kcore" -> KcoreSql,
     "q_stationary" -> StationarySql,
     "q_pca_power" -> PcaPowerSql,
+    "q_wilson" ->
+      """WITH bp AS (
+        |  SELECT l_partkey AS part, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1 HAVING count(*) >= 20),
+        |sc AS (
+        |  SELECT part, n AS n_items, x AS n_returned,
+        |    round(CAST(x AS DOUBLE) / n, 6) + 0.0 AS p_hat,
+        |    round((CAST(x AS DOUBLE) / n +
+        |      CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * 2) -
+        |      CAST(1.96 AS DOUBLE) * sqrt(
+        |        (CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n) /
+        |          CAST(n AS DOUBLE) +
+        |        CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) /
+        |          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 4))) /
+        |      (1.0 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) /
+        |        CAST(n AS DOUBLE)), 6) + 0.0 AS wilson_lb
+        |  FROM bp),
+        |top AS (
+        |  SELECT * FROM sc ORDER BY wilson_lb DESC, part ASC LIMIT 100)
+        |SELECT CAST(row_number() OVER (
+        |    ORDER BY wilson_lb DESC, part ASC) AS INT) AS rank,
+        |  part, n_items, n_returned, p_hat, wilson_lb
+        |FROM top ORDER BY rank""".stripMargin,
     "q_survival" ->
       """WITH per AS (
         |  SELECT user_id, CAST(min(ts) AS DATE) AS first_day,

@@ -799,6 +799,55 @@ object StatsQueries {
         + lit(0.0)).as("df"))
   }
 
+  /** Minimum sample size for q_wilson's ranking — rates over fewer
+    * trials than this aren't ranked (the bound would dominate the
+    * estimate anyway).
+    */
+  val WilsonMinN = 20
+
+  /** Wilson-score lower bound ranking of per-part return rates: rank
+    * parts by the 95% lower confidence bound of P(returned), not the
+    * raw rate — the standard fix for "5/5 returned outranks 96/100"
+    * small-sample noise, the same ranking used for star ratings. Top
+    * 100 parts with ≥ [[WilsonMinN]] line items.
+    *
+    * Determinism: x and n are exact integers; the bound is ONE fixed
+    * IEEE expression per part (z = 1.96 entering as a double literal
+    * in both engines — never a SQL DECIMAL literal, whose exact z²
+    * would differ from the double product), and the ranking orders by
+    * the 6-dp-ROUNDED bound with an integer tie-break.
+    *
+    * Scale: one map-combinable fold to per-part (x, n); the top-100
+    * is TakeOrdered (per-partition top + driver merge), no global
+    * sort.
+    */
+  def qWilson(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPart = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("part"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+      .filter(col("n") >= WilsonMinN)
+    val z = lit(1.96)
+    val z2 = z * z
+    val nD = col("n").cast("double")
+    val p = col("x").cast("double") / col("n")
+    val lb = (p + z2 / (nD * 2) -
+      z * sqrt(p * (lit(1.0) - p) / nD + z2 / (nD * nD * 4))) /
+      (lit(1.0) + z2 / nD)
+    val scored = byPart.select(col("part"), col("n").as("n_items"),
+      col("x").as("n_returned"),
+      (round(p, 6) + lit(0.0)).as("p_hat"),
+      (round(lb, 6) + lit(0.0)).as("wilson_lb"))
+    val top = scored
+      .orderBy(col("wilson_lb").desc, col("part").asc)
+      .limit(100)
+    top.withColumn("rank", row_number().over(Window.orderBy(
+        col("wilson_lb").desc, col("part").asc)).cast("int"))
+      .select(col("rank"), col("part"), col("n_items"), col("n_returned"),
+        col("p_hat"), col("wilson_lb"))
+      .orderBy(col("rank").asc)
+  }
+
   /** Herfindahl–Hirschman concentration index of supplier revenue
     * within each nation: Σᵢ shareᵢ² over the nation's suppliers —
     * 1/n for a perfectly even market, →1 as one supplier dominates.

@@ -402,6 +402,20 @@ class StatsSpec extends AnyFunSuite {
     assert(dfOut >= math.min(na, nb) - 1 - 1e-6 && dfOut <= na + nb - 2 + 1e-6)
   }
 
+  test("wilson: lower bound strictly below p-hat, shrinks gap with n, in [0,1]") {
+    val out = q("q_wilson").collect()
+    assert(out.length == 100)
+    out.foreach { r =>
+      val (p, lb, n) = (r.getAs[Double]("p_hat"),
+        r.getAs[Double]("wilson_lb"), r.getAs[Long]("n_items"))
+      assert(lb >= 0.0 && lb <= 1.0)
+      assert(lb < p + 1e-9, s"bound $lb not below estimate $p")
+      assert(n >= 20L)
+    }
+    val lbs = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("wilson_lb"))
+    assert(lbs.zip(lbs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("hhi: per-nation index between 1/n and 1; single-supplier nations hit 1") {
     val out = q("q_hhi").collect()
     assert(out.nonEmpty)
