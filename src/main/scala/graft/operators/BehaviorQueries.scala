@@ -624,7 +624,10 @@ object BehaviorQueries {
     */
   def qItemCf(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    val pairs = cooccurPairCounts(li)
+    // the two direction branches of the union below would otherwise
+    // each re-run the bounded pair explode — the query's heaviest
+    // stage — from scratch; the lazy checkpoint computes it once
+    val pairs = cooccurPairCounts(li).localCheckpoint(false)
     val both = pairs.select(col("p1").as("part"), col("p2").as("rec"),
         col("n_orders"))
       .unionAll(pairs.select(col("p2").as("part"), col("p1").as("rec"),

@@ -62,7 +62,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus-end anchor entering the censoring cutoff — 1 row
     "q_survival",
     // transition-stream total entering the entropy-rate weights — 1 row
-    "q_entropy_rate")
+    "q_entropy_rate",
+    // 1-row sign-convention scalar flipping the final eigenvector
+    "q_pca_power",
+    // 1-row L1 normalizer of the final HITS round (earlier rounds sit
+    // behind lazy checkpoints)
+    "q_hits")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —
