@@ -239,6 +239,7 @@ object SparkEntry {
     "q_linkpred"        -> (AnalyticsQueries.qLinkpred _),
     "q_pca_power"       -> (MlEvalQueries.qPcaPower _),
     "q_wilson"          -> (StatsQueries.qWilson _),
+    "q_vocab_growth"    -> (TextQueries.qVocabGrowth _),
     "q_abc"             -> (AnalyticsQueries.qAbc _),
     "q_auc"             -> (MlEvalQueries.qAuc _),
     "q_ndcg"            -> (MlEvalQueries.qNdcg _),
@@ -3965,6 +3966,29 @@ object SparkEntry {
         |       ELSE round(exp(CAST(cum_ln AS DOUBLE) / 1000000.0), 6) + 0.0
         |  END AS survival
         |FROM st3 ORDER BY dur_days NULLS FIRST""".stripMargin,
+    "q_vocab_growth" ->
+      s"""WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |fs AS (SELECT t, min(doc_id) AS first_doc FROM tok GROUP BY t),
+        |nt AS (
+        |  SELECT first_doc // ${operators.TextQueries.VocabGrowthBucket} AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_new_types
+        |  FROM fs GROUP BY 1),
+        |occ AS (
+        |  SELECT doc_id // ${operators.TextQueries.VocabGrowthBucket} AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM tok GROUP BY 1)
+        |SELECT o.bucket, o.n_tokens,
+        |  CAST(coalesce(nt.n_new_types, 0) AS BIGINT) AS n_new_types,
+        |  CAST(sum(coalesce(nt.n_new_types, 0)) OVER w AS BIGINT)
+        |    AS cum_vocab,
+        |  CAST(sum(o.n_tokens) OVER w AS BIGINT) AS cum_tokens
+        |FROM occ o LEFT JOIN nt ON o.bucket = nt.bucket
+        |WINDOW w AS (ORDER BY o.bucket ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o.bucket NULLS FIRST""".stripMargin,
     "q_item_cf" ->
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

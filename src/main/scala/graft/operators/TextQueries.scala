@@ -676,4 +676,43 @@ object TextQueries {
       .select("rank", "token", "cnt", "cum_share")
       .orderBy(asc("rank"))
   }
+
+  /** Doc-id bucket width of q_vocab_growth's curve. */
+  val VocabGrowthBucket = 100
+
+  /** Heaps-law vocabulary growth curve: cumulative distinct vocabulary
+    * after each bucket of [[VocabGrowthBucket]] doc ids — how fast new
+    * tokens keep arriving as the corpus grows, the curve that sizes a
+    * tokenizer's vocab budget and predicts dedup'd corpus value.
+    * Uses q_cum_distinct's LINEAR rewrite: a token counts exactly at
+    * its FIRST document (one groupBy(token) min), so no per-bucket
+    * re-scan of history — naive cumulative COUNT(DISTINCT) is
+    * quadratic in buckets; this is one pass.
+    *
+    * Scale: one token exchange to first-seen docs (map-combinable
+    * min), one fold to the bucket axis; the running-sum window orders
+    * |buckets| rows — corpus/|bucket| of them, bounded like a day
+    * axis. Token occupancy per bucket also reported, so the curve
+    * reads as "new types per N docs" against "tokens per N docs".
+    */
+  def qVocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val firstSeen = tok.groupBy("t").agg(min(col("doc_id")).as("first_doc"))
+    val newTypes = firstSeen
+      .groupBy(expr(s"first_doc div $VocabGrowthBucket").as("bucket"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val occ = tok
+      .groupBy(expr(s"doc_id div $VocabGrowthBucket").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy(asc_nulls_first("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    occ.join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_vocab", sum(col("n_new_types")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .orderBy(asc_nulls_first("bucket"))
+  }
 }
