@@ -222,4 +222,21 @@ class TextSimSpec extends AnyFunSuite {
       "q_bm25's only exchange should be the 1-row-per-partition stats " +
         s"collapse; got ${shuffles.map(_.outputPartitioning)}")
   }
+
+  test("q_vocab_growth: curve closes on exact totals and never decreases") {
+    import org.apache.spark.sql.functions._
+    val out = q("q_vocab_growth").collect().sortBy(_.getAs[Long]("bucket"))
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(explode(
+      operators.TextQueries.tokens(col("text"))).as("t"))
+    assert(out.last.getAs[Long]("cum_vocab") == tok.distinct().count())
+    assert(out.last.getAs[Long]("cum_tokens") == tok.count())
+    assert(out.map(_.getAs[Long]("n_new_types")).sum ==
+      out.last.getAs[Long]("cum_vocab"))
+    val cums = out.map(_.getAs[Long]("cum_vocab")).toSeq
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+    // Heaps: new types per bucket should trail token occupancy
+    out.foreach(r =>
+      assert(r.getAs[Long]("n_new_types") <= r.getAs[Long]("n_tokens")))
+  }
 }
