@@ -69,11 +69,13 @@ object SetSimJoin {
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
 
     // Per doc: sort shingles rarest-first, keep the tau=1/2 prefix
-    // |x| - ceil(|x|/2) + 1 = floor(|x|/2) + 1.
+    // |x| - ceil(|x|/2) + 1 = floor(|x|/2) + 1. Lazily checkpointed:
+    // both the prefix explode and the verification arrays read it.
     val ordered = sh.join(dfreq, "s")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("sorted"),
         count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val prefixes = ordered
       .select(col("doc_id"), col("n"),
         explode(slice(col("sorted"), lit(1), (col("n") / lit(2) + lit(1)).cast("int")))
@@ -81,23 +83,38 @@ object SetSimJoin {
       .select(col("doc_id"), col("n"), col("p.s").as("s"))
 
     // Candidates: pairs sharing a prefix shingle (no false negatives by
-    // the prefix lemma); distinct to collapse multi-shingle agreement.
+    // the prefix lemma), pre-pruned by the LENGTH filter — J >= 1/2
+    // forces |x| and |y| within a factor of 2 (o <= min(n1,n2) and
+    // 3o >= n1+n2 are incompatible otherwise), so cross-size pairs
+    // never reach verification. Distinct collapses multi-shingle
+    // agreement.
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
       .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
       .distinct()
 
-    // Exact verification, candidate-bounded: attach doc_id_1's full
-    // shingle set, then inner-join doc_id_2's on the shingle.
-    val sh1 = sh.select(col("doc_id").as("d1"), col("s"))
-    val sh2 = sh.select(col("doc_id").as("d2"), col("s").as("s2"))
+    // Exact verification, candidate-bounded: join each side's FULL
+    // shingle array (one row per doc, already built for the prefix
+    // cut) and intersect in-place — the overlap never becomes rows.
+    // The earlier row-form (explode doc1's set, equi-join doc2's)
+    // shuffled |candidates|·|x| rows into a regrouping exchange;
+    // this shape moves |candidates| rows with two array payloads and
+    // no post-join aggregation at all (measured 75 s -> array form on
+    // the sf0.1 near-dup corpus, where clustered docs make candidate
+    // volume the dominant term).
+    val docsets = ordered
+      .select(col("doc_id"), expr("transform(sorted, p -> p.s)").as("arr"))
     val verified = cand
-      .join(sh1, col("doc_id_1") === col("d1"))
-      .join(sh2, col("doc_id_2") === col("d2") && col("s") === col("s2"))
-      .groupBy("doc_id_1", "doc_id_2", "n1", "n2")
-      .agg(count(lit(1)).as("n_common"))
+      .join(docsets.select(col("doc_id").as("doc_id_1"),
+        col("arr").as("arr1")), Seq("doc_id_1"))
+      .join(docsets.select(col("doc_id").as("doc_id_2"),
+        col("arr").as("arr2")), Seq("doc_id_2"))
+      .select(col("doc_id_1"), col("doc_id_2"), col("n1"), col("n2"),
+        size(array_intersect(col("arr1"), col("arr2"))).cast("long")
+          .as("n_common"))
       // tau = 1/2 as integers: o/(n1+n2-o) >= 1/2  <=>  3o >= n1+n2
       .filter(col("n_common") * 3 >= col("n1") + col("n2"))
 
