@@ -247,6 +247,13 @@ object SparkEntry {
     "q_hhi"             -> (StatsQueries.qHhi _),
     "q_lorenz"          -> (StatsQueries.qLorenz _),
     "q_bollinger"       -> (TimeSeriesQueries.qBollinger _),
+    "q_scrub_common"    -> (CurationQueries.qScrubCommon _),
+    "q_blocklist_hits"  -> (CurationQueries.qBlocklistHits _),
+    "q_sample_balanced" -> (CurationQueries.qSampleBalanced _),
+    "q_feature_scale"   -> (CurationQueries.qFeatureScale _),
+    "q_sax"             -> (TimeSeriesQueries.qSax _),
+    "q_eop_balance"     -> (TimeSeriesQueries.qEopBalance _),
+    "q_grubbs"          -> (StatsQueries.qGrubbs _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -4330,6 +4337,138 @@ object SparkEntry {
         |           / 100.0 * 2, 6) + 0.0) END AS breakout
         |FROM w
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "q_scrub_common" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, i + 1 AS i,
+        |    array_to_string(list_slice(ts, 4 * i + 1, 4 * i + 4), ' ') AS chunk
+        |  FROM t, unnest(generate_series(0, (len(ts) - 1) // 4)) AS u(i)
+        |  WHERE len(ts) >= 1),
+        |dfq AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM c GROUP BY chunk)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN d.df < 2 THEN c.chunk END, ' '
+        |    ORDER BY c.i), '') AS clean_text
+        |FROM c JOIN dfq d ON c.chunk = d.chunk
+        |GROUP BY c.doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_blocklist_hits" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, ts, list_filter(ts,
+        |    x -> list_contains(['slow', 'big', 'legacy', 'error'], x)) AS hs
+        |  FROM t)
+        |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(hs) AS BIGINT) AS n_hits,
+        |  CAST(len(list_distinct(hs)) AS BIGINT) AS n_terms,
+        |  round(CAST(len(hs) AS DOUBLE) / greatest(len(ts), 1), 6) + 0.0
+        |    AS hit_frac,
+        |  CASE WHEN len(hs) * 20 > len(ts) THEN 'drop' ELSE 'keep' END AS action
+        |FROM h ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_sample_balanced" ->
+      """WITH n AS (SELECT min(c) AS m_min FROM (
+        |    SELECT count(*) AS c FROM documents GROUP BY lang)),
+        |r AS (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        |FROM r, n WHERE rk <= m_min
+        |ORDER BY lang NULLS FIRST, rk NULLS FIRST""".stripMargin,
+    "q_feature_scale" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CAST(round(l_quantity * 100, 0) AS BIGINT) AS xq,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS xp,
+        |    CAST(round(l_discount * 100, 0) AS BIGINT) AS xd
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT l_returnflag AS s_flag, count(*) AS n,
+        |    CAST(sum(xq) AS BIGINT) AS sq, sum(CAST(xq AS HUGEINT) * xq) AS sqq,
+        |    CAST(sum(xp) AS BIGINT) AS sp, sum(CAST(xp AS HUGEINT) * xp) AS spp,
+        |    CAST(sum(xd) AS BIGINT) AS sd, sum(CAST(xd AS HUGEINT) * xd) AS sdd
+        |  FROM li GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  round(CAST(n * xq - sq AS DOUBLE) /
+        |    sqrt(CAST(CAST(n AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq
+        |      AS DOUBLE)), 6) + 0.0 AS z_qty,
+        |  round(CAST(n * xp - sp AS DOUBLE) /
+        |    sqrt(CAST(CAST(n AS HUGEINT) * spp - CAST(sp AS HUGEINT) * sp
+        |      AS DOUBLE)), 6) + 0.0 AS z_price,
+        |  round(CAST(n * xd - sd AS DOUBLE) /
+        |    sqrt(CAST(CAST(n AS HUGEINT) * sdd - CAST(sd AS HUGEINT) * sd
+        |      AS DOUBLE)), 6) + 0.0 AS z_disc
+        |FROM li JOIN st ON l_returnflag = s_flag
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin,
+    "q_sax" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type,
+        |    CAST(floor(date_diff('day', DATE '1970-01-01', d) / 4) AS BIGINT)
+        |      AS seg,
+        |    count(*) AS n_days, CAST(sum(c) AS BIGINT) AS sum_c
+        |  FROM d GROUP BY 1, 2),
+        |q AS (
+        |  SELECT event_type, seg, n_days, sum_c,
+        |    ntile(4) OVER (PARTITION BY event_type
+        |      ORDER BY sum_c * (12 // n_days) ASC, seg ASC) AS q
+        |  FROM s)
+        |SELECT event_type, seg, n_days, sum_c,
+        |  round(CAST(sum_c AS DOUBLE) / n_days, 6) + 0.0 AS paa,
+        |  CASE q WHEN 1 THEN 'a' WHEN 2 THEN 'b' WHEN 3 THEN 'c'
+        |    ELSE 'd' END AS symbol
+        |FROM q ORDER BY event_type NULLS FIRST, seg NULLS FIRST""".stripMargin,
+    "q_eop_balance" ->
+      """WITH f AS (
+        |  SELECT o_custkey AS custkey, date_trunc('month', o_orderdate) AS month,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS flow
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT DISTINCT month FROM f),
+        |cu AS (
+        |  SELECT DISTINCT f.custkey, c.c_mktsegment AS segment
+        |  FROM f JOIN customer c ON f.custkey = c.c_custkey),
+        |sp AS (SELECT cu.custkey, cu.segment, m.month FROM cu, m),
+        |b AS (
+        |  SELECT sp.custkey, sp.segment, sp.month,
+        |    sum(coalesce(f.flow, 0)) OVER w AS bal,
+        |    max(CASE WHEN f.flow IS NOT NULL THEN 1 END) OVER w AS active
+        |  FROM sp LEFT JOIN f ON sp.custkey = f.custkey AND sp.month = f.month
+        |  WINDOW w AS (PARTITION BY sp.custkey ORDER BY sp.month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT month, segment, count(*) AS n_customers,
+        |  round(CAST(sum(bal) AS DOUBLE) / 100.0, 2) + 0.0 AS eop_total
+        |FROM b WHERE active = 1
+        |GROUP BY 1, 2 ORDER BY month NULLS FIRST, segment NULLS FIRST""".stripMargin,
+    "q_grubbs" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x
+        |  FROM customer),
+        |a AS (
+        |  SELECT c_mktsegment, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+        |    CAST(sum(x * x) AS BIGINT) AS ss
+        |  FROM c GROUP BY 1),
+        |r AS (
+        |  SELECT c.c_mktsegment, c.c_custkey, c.x, a.n, a.s, a.ss,
+        |    row_number() OVER (PARTITION BY c.c_mktsegment
+        |      ORDER BY abs(a.n * c.x - a.s) DESC, c.c_custkey ASC) AS rn
+        |  FROM c JOIN a USING (c_mktsegment))
+        |SELECT c_mktsegment, n AS n_customers, c_custkey AS suspect_custkey,
+        |  round(CAST(x AS DOUBLE) / 100.0, 2) + 0.0 AS suspect_bal,
+        |  round(CAST(s AS DOUBLE) / n / 100.0, 6) + 0.0 AS mean_bal,
+        |  round(CAST(abs(n * x - s) AS DOUBLE) /
+        |    (n * sqrt(CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s
+        |        AS DOUBLE) / (n * CAST(n - 1 AS DOUBLE)))), 6) + 0.0 AS g_stat
+        |FROM r WHERE rn = 1 ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

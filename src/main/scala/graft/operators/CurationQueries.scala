@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond dedup/decontamination: the
+  * CCNet-style corpus-common chunk scrub (Wenzek et al., "CCNet:
+  * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+  * LREC 2020 — public literature — dedups repeated PARAGRAPHS across
+  * the corpus, not whole documents), a lexicon blocklist filter, a
+  * class-balanced downsampler, and per-class feature standardization.
+  * The reference has no curation surface at all (its pipeline is
+  * wordcount/index over `/root/reference/main/pg-*.txt`); these are the
+  * pre-training data ops the brief names as first-class.
+  */
+object CurationQueries {
+
+  import TextQueries.tokens
+
+  /** Fixed-width token chunks per doc: (doc_id, i, chunk_text) with
+    * 1-based chunk index i, width `w`, last chunk possibly short.
+    */
+  private def chunked(docs: DataFrame, w: Int): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 1)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), floor((size(col("ts")) - 1) / w).cast("int")),
+          i => struct((i + 1).as("i"),
+            concat_ws(" ", slice(col("ts"), i * w + 1, lit(w))).as("chunk"))))
+          .as("c"))
+      .select(col("doc_id"), col("c.i").as("i"), col("c.chunk").as("chunk"))
+
+  /** Corpus-common chunk scrub: split every document into 4-token
+    * chunks, count each chunk text's document frequency across the
+    * corpus, DROP chunks seen in >= 2 documents, and reassemble the
+    * surviving chunks in order as the cleaned text. This removes
+    * repeated boilerplate at sub-document granularity — the piece
+    * exact/near dedup can't touch, because the documents differ
+    * overall while sharing paragraphs.
+    *
+    * Output keeps every input doc (even fully-scrubbed ones, with
+    * clean_text = '') so the operator composes as a map over the
+    * corpus, not a filter.
+    *
+    * Scale: chunk df is a vocabulary-bounded aggregate over (doc,
+    * chunk)-distinct rows (chunks shuffle once for the df count and
+    * once for the per-doc regroup — both keyed exchanges, no
+    * broadcast of anything corpus-sized, no driver state). Reassembly
+    * sorts each doc's own chunk structs inside the row — no window.
+    */
+  def qScrubCommon(spark: SparkSession, sfDir: String): DataFrame =
+    scrubCommonFrom(Tables.documents(spark, sfDir), w = 4, minDf = 2)
+
+  /** DataFrame-core form over any (doc_id, text) frame — ScaleSmoke
+    * entry point.
+    */
+  def scrubCommonFrom(docs: DataFrame, w: Int, minDf: Int): DataFrame = {
+    val ch = chunked(docs, w)
+    // df counts documents, not occurrences: a chunk repeated inside
+    // ONE doc is that doc's own style, not corpus boilerplate.
+    val dfreq = ch.select(col("doc_id"), col("chunk")).distinct()
+      .groupBy("chunk").agg(count(lit(1)).as("df"))
+    ch.join(dfreq, "chunk")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ", expr(
+          // keep survivors in chunk order; filter AFTER the sort so
+          // the struct sort key is the original index
+          s"transform(filter(sort_array(collect_list(struct(i, chunk, df))), " +
+            s"p -> p.df < $minDf), p -> p.chunk)"))
+          .as("clean_text"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  /** Lexicon blocklist filter: per document, how many tokens hit a
+    * (tiny, broadcast-free — it's a literal in the plan) blocklist,
+    * how many distinct blocked terms appear, and the keep/drop verdict
+    * at a 5% hit-rate threshold. The standard lexicon pre-filter a
+    * pretraining pipeline runs before the expensive quality model.
+    *
+    * Scale: scan-only — the hit test is an array filter against an
+    * inline literal set inside whole-stage codegen; no join, no
+    * shuffle beyond the final sort. The threshold compare is exact
+    * integer cross-multiplication (20*hits > n), never a float ratio.
+    */
+  def qBlocklistHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms: Seq[String] = Seq("slow", "big", "legacy", "error")
+    val hits = filter(tokens(col("text")),
+      t => t.isInCollection(terms))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"), hits.as("hs"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        size(col("hs")).cast("long").as("n_hits"),
+        size(array_distinct(col("hs"))).cast("long").as("n_terms"),
+        (round(size(col("hs")).cast("double") /
+          greatest(size(col("ts")), lit(1)).cast("double"), 6) + lit(0.0))
+          .as("hit_frac"),
+        when(size(col("hs")) * 20 > size(col("ts")), "drop").otherwise("keep")
+          .as("action"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  /** Class-balanced downsample: keep exactly min-class-size documents
+    * PER language, chosen by a deterministic seed-free hash order
+    * (md5(doc_id), doc_id) — the downsampling that equalizes class
+    * priors before training. Every engine and every retry picks the
+    * same rows.
+    *
+    * Scale: one aggregate for class sizes (5 rows — a 1-row scalar
+    * broadcast after the min), one hash-ordered rank per class. The
+    * per-class window is class-count-bounded parallelism — acceptable
+    * because a CLASS-BALANCED sample is definitionally bounded by the
+    * smallest class; for huge classes the ScaleOps salting recipe
+    * (rank within salted subgroups, then re-rank the survivors) caps
+    * any single partition's sort.
+    */
+  def qSampleBalanced(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val m = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("m_min"))
+    val ranked = docs
+      .select(col("doc_id"), col("lang"),
+        row_number().over(Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .as("rk"))
+    ranked.join(broadcast(m), ranked("rk") <= m("m_min"))
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("rk"))
+  }
+
+  /** Per-class z-score standardization of three lineitem measures —
+    * the feature-scaling pass an ML pipeline runs before distance-based
+    * models. Means/stds come from EXACT integer cent sums (population
+    * std), so the statistics are bit-identical across engines and
+    * partitionings; each row then gets one rounded double division.
+    *
+    * Scale: one map-side-combinable aggregate (5 groups), broadcast of
+    * the 5-row stats table back onto the scan, zero data-sized
+    * shuffles. sum(x^2) of 1e6-cent values wraps long past ~9e6 rows
+    * per flag, so the squares are summed as DECIMAL(38,0) — explicit
+    * overflow, not silent wrap (q_gini's convention).
+    */
+  def qFeatureScale(spark: SparkSession, sfDir: String): DataFrame = {
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        cents(col("l_quantity")).as("xq"),
+        cents(col("l_extendedprice")).as("xp"),
+        cents(col("l_discount")).as("xd"))
+    val stats = li.groupBy(col("l_returnflag").as("s_flag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xq")).as("sq"), sum(col("xq").cast("decimal(38,0)") * col("xq")).as("sqq"),
+        sum(col("xp")).as("sp"), sum(col("xp").cast("decimal(38,0)") * col("xp")).as("spp"),
+        sum(col("xd")).as("sd"), sum(col("xd").cast("decimal(38,0)") * col("xd")).as("sdd"))
+    // z = (x - S/n) / (sqrt(n*SS - S^2)/n) = (n*x - S)/sqrt(n*SS - S^2)
+    // (population std): numerator exact integer, one sqrt + one
+    // division + one round at the very end.
+    def z(x: Column, s: Column, ss: Column): Column =
+      round((col("n") * x - s).cast("double") /
+        sqrt((col("n").cast("decimal(38,0)") * ss -
+          s.cast("decimal(38,0)") * s).cast("double")),
+        6) + lit(0.0)
+    li.join(broadcast(stats), col("l_returnflag") === col("s_flag"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        z(col("xq"), col("sq"), col("sqq")).as("z_qty"),
+        z(col("xp"), col("sp"), col("spp")).as("z_price"),
+        z(col("xd"), col("sd"), col("sdd")).as("z_disc"))
+      .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"))
+  }
+}

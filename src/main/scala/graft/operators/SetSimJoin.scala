@@ -76,24 +76,49 @@ object SetSimJoin {
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("sorted"),
         count(lit(1)).as("n"))
       .localCheckpoint(false)
-    val prefixes = ordered
+    def prefix(len: Column) = ordered
       .select(col("doc_id"), col("n"),
-        explode(slice(col("sorted"), lit(1), (col("n") / lit(2) + lit(1)).cast("int")))
-          .as("p"))
-      .select(col("doc_id"), col("n"), col("p.s").as("s"))
+        posexplode(slice(col("sorted"), lit(1), len.cast("int"))))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("pos"),
+        col("col.s").as("s"))
+    // ASYMMETRIC prefixes (the PPJoin index/probe split): the smaller
+    // set of a qualifying pair has overlap o >= 2/3·|small| (because
+    // o >= (|s|+|l|)/3 and |l| >= |s|), so its first common shingle
+    // sits within the first floor(|s|/3)+1 — a SHORTER index prefix.
+    // The larger side still needs the full floor(|l|/2)+1 probe
+    // prefix (o >= |l|/2 via the length filter). Joining index-side
+    // against probe-side cuts each shingle bucket's pair count by
+    // ~the prefix-length ratio versus the symmetric join.
+    val probeP = prefix(col("n") / lit(2) + lit(1))
+    val indexP = prefix(col("n") / lit(3) + lit(1))
 
-    // Candidates: pairs sharing a prefix shingle (no false negatives by
-    // the prefix lemma), pre-pruned by the LENGTH filter — J >= 1/2
-    // forces |x| and |y| within a factor of 2 (o <= min(n1,n2) and
-    // 3o >= n1+n2 are incompatible otherwise), so cross-size pairs
-    // never reach verification. Distinct collapses multi-shingle
-    // agreement.
-    val cand = prefixes.as("a")
-      .join(prefixes.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
-      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
-        col("a.n").as("n1"), col("b.n").as("n2"))
+    // Candidates: pairs sharing a prefix shingle (no false negatives:
+    // order each true pair as (small, large) by (n, doc_id) — its
+    // first common shingle lies in small's INDEX prefix and large's
+    // PROBE prefix, see above), pre-pruned by two more PPJoin filters
+    // before the distinct and the verification join ever see them:
+    //   LENGTH — J >= 1/2 forces |small| and |large| within a factor
+    //   of 2 (o <= |small| and 3o >= |s|+|l| are incompatible
+    //   otherwise);
+    //   POSITIONAL — a match at 1-based positions (p_s, p_l) bounds
+    //   the overlap by 1 + min(n_s-p_s, n_l-p_l) (every common shingle
+    //   sits at or after the match in the shared total order), so a
+    //   row with 3*(1 + min(...)) < n_s+n_l cannot certify the pair.
+    //   For a pair that truly meets tau, its FIRST common shingle's
+    //   row passes both bounds — dropping the failing rows loses no
+    //   true pair.
+    // Distinct collapses multi-shingle agreement on the NARROW
+    // (id, id) key alone; sizes rejoin for free inside verification.
+    val cand = indexP.as("a")
+      .join(probeP.as("b"),
+        col("a.s") === col("b.s") &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))) &&
+          col("b.n") <= col("a.n") * 2 &&
+          (lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))) * 3 >=
+            col("a.n") + col("b.n"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_id_1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_id_2"))
       .distinct()
 
     // Exact verification, candidate-bounded: join each side's FULL
@@ -106,12 +131,12 @@ object SetSimJoin {
     // the sf0.1 near-dup corpus, where clustered docs make candidate
     // volume the dominant term).
     val docsets = ordered
-      .select(col("doc_id"), expr("transform(sorted, p -> p.s)").as("arr"))
+      .select(col("doc_id"), col("n"), expr("transform(sorted, p -> p.s)").as("arr"))
     val verified = cand
       .join(docsets.select(col("doc_id").as("doc_id_1"),
-        col("arr").as("arr1")), Seq("doc_id_1"))
+        col("n").as("n1"), col("arr").as("arr1")), Seq("doc_id_1"))
       .join(docsets.select(col("doc_id").as("doc_id_2"),
-        col("arr").as("arr2")), Seq("doc_id_2"))
+        col("n").as("n2"), col("arr").as("arr2")), Seq("doc_id_2"))
       .select(col("doc_id_1"), col("doc_id_2"), col("n1"), col("n2"),
         size(array_intersect(col("arr1"), col("arr2"))).cast("long")
           .as("n_common"))

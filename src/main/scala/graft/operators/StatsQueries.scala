@@ -929,4 +929,58 @@ object StatsQueries {
           + lit(0.0)).as("cum_share"))
       .orderBy(asc_nulls_first("decile"))
   }
+
+  /** Grubbs outlier statistic per market segment: the single most
+    * extreme account balance and its G = max|x − mean| / s (sample
+    * std), the classic one-outlier test. Reported as the statistic
+    * plus the suspect row — the decision against a critical value is
+    * the caller's (it needs a t-quantile, a lookup, not a data op).
+    *
+    * Determinism: the suspect is the argmax of |n·x − S| — an EXACT
+    * integer compare over cent values (n·x up to ~1e6 cents × 15k
+    * rows ≈ 1.5e10, far from wrap) with custkey as tie-break; mean
+    * and G are one rounded division each at the very end, after the
+    * argmax is already fixed.
+    *
+    * Scale: one map-side-combinable moment aggregate (|segments|
+    * rows) + the same aggregate's max_by for the suspect — a single
+    * shuffle of 5 groups, no window, no data-sized join (the 5-row
+    * stats frame broadcasts back onto the scan for the argmax key).
+    * sum(x²) of 1e6-cent values stays in long to ~9e6 rows per
+    * segment, but n·SS wraps at ~15k already, so the variance term
+    * runs in DECIMAL(38,0) — explicit overflow, not silent wrap
+    * (q_gini's convention).
+    */
+  def qGrubbs(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        cents(col("c_acctbal")).as("x"))
+    val agged = c.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+    // argmax of |n·x − S| needs n and S first — a 5-row broadcast back
+    // onto the scan, then one max_by per segment.
+    val suspect = c.join(broadcast(agged), Seq("c_mktsegment"))
+      .groupBy("c_mktsegment")
+      .agg(max_by(
+        struct(col("c_custkey"), col("x")),
+        // order by deviation desc then custkey ASC: negate the key
+        struct(abs(col("n") * col("x") - col("s")), -col("c_custkey")))
+        .as("sus"))
+    agged.join(suspect, Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("n").as("n_customers"),
+        col("sus.c_custkey").as("suspect_custkey"),
+        (round(col("sus.x").cast("double") / 100.0, 2) + lit(0.0))
+          .as("suspect_bal"),
+        (round(col("s").cast("double") / col("n") / 100.0, 6) + lit(0.0))
+          .as("mean_bal"),
+        // G = |n·x − S| / (n · s_sample); s_sample = sqrt((n·SS − S²)/(n(n−1)))
+        (round(abs(col("n") * col("sus.x") - col("s")).cast("double") /
+          (col("n").cast("double") *
+            sqrt((col("n").cast("decimal(38,0)") * col("ss") -
+              col("s").cast("decimal(38,0)") * col("s")).cast("double") /
+              (col("n").cast("double") * (col("n") - 1).cast("double")))),
+          6) + lit(0.0)).as("g_stat"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
 }

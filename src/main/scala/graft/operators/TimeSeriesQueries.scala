@@ -330,4 +330,86 @@ object TimeSeriesQueries {
           .as("breakout"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
   }
+
+  /** SAX-style series symbolization (Lin et al., "A Symbolic
+    * Representation of Time Series", DMKD 2003 — public literature):
+    * piecewise-aggregate-approximate each type's daily-count series
+    * into 4-day segments (PAA), then map each segment to one of 4
+    * symbols a/b/c/d by the segment mean's QUARTILE within the type —
+    * the discretization that turns a numeric series into a string
+    * motif-mining and indexing can run on.
+    *
+    * Determinism: segment means are never compared as floats. A
+    * segment covers n_days ∈ {1..4} observed days, so mean_i < mean_j
+    * ⟺ sum_i·(12/n_i) < sum_j·(12/n_j) with 12/n exact integers — the
+    * ntile ordering runs on that scaled-integer key (ties broken by
+    * segment index). The reported paa mean is one rounded division.
+    *
+    * Scale: the corpus folds to |types|×|days| rows before any window
+    * runs (the module invariant); segments fold 4× further. The
+    * per-type ntile window iterates segments, partitioned by type.
+    */
+  def qSax(spark: SparkSession, sfDir: String): DataFrame = {
+    val seg = daily(spark, sfDir)
+      .groupBy(col("event_type"),
+        floor(datediff(col("d"), lit("1970-01-01")) / 4).cast("long").as("seg"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sum_c"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(asc_nulls_first("scaled"), asc_nulls_first("seg"))
+    seg
+      .select(col("event_type"), col("seg"), col("n_days"), col("sum_c"),
+        (col("sum_c") * (lit(12) / col("n_days")).cast("long")).as("scaled"))
+      .select(col("event_type"), col("seg"), col("n_days"), col("sum_c"),
+        ntile(4).over(w).as("q"))
+      .select(col("event_type"), col("seg"), col("n_days"), col("sum_c"),
+        (round(col("sum_c").cast("double") / col("n_days"), 6) + lit(0.0))
+          .as("paa"),
+        element_at(lit(Array("a", "b", "c", "d")), col("q")).as("symbol"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("seg"))
+  }
+
+  /** Semi-additive end-of-month balances: each customer's balance is
+    * the running sum of their order totals; a month's segment-level
+    * figure SUMS the LAST-KNOWN balance per customer (carried forward
+    * over silent months) instead of summing the month's flows — the
+    * balance-sheet aggregation pattern (sum over accounts, last-value
+    * over time) that plain groupBy gets wrong.
+    *
+    * Scale: flows fold to per-(customer, month) cent sums first
+    * (map-side combine over the orders scan); the month spine is
+    * |customers| × |months| — linear in customers with a tiny
+    * calendar factor, built by a broadcast grid join, not a shuffle.
+    * The carry-forward is q_ffill's last_value-ignore-nulls window,
+    * partitioned per customer (months-bounded frames); the final
+    * aggregate folds the spine to |months| × |segments| rows.
+    */
+  def qEopBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val flows = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("custkey"),
+        trunc(col("o_orderdate"), "month").as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("flow"))
+    val months = flows.select(col("month")).distinct()
+    val custs = flows.select(col("custkey")).distinct()
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("custkey") === col("c_custkey"))
+      .select(col("custkey"), col("c_mktsegment").as("segment"))
+    val spine = custs.crossJoin(broadcast(months))
+    val wCum = Window.partitionBy("custkey")
+      .orderBy(asc_nulls_first("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val balances = spine
+      .join(flows, Seq("custkey", "month"), "left")
+      .select(col("custkey"), col("segment"), col("month"),
+        sum(coalesce(col("flow"), lit(0L))).over(wCum).as("bal"),
+        // a customer exists from their first flow on; earlier spine
+        // rows carry a NULL marker and drop out of the sums
+        max(when(col("flow").isNotNull, lit(1))).over(wCum).as("active"))
+      .filter(col("active") === 1)
+    balances.groupBy(col("month"), col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (round(sum(col("bal")).cast("double") / 100.0, 2) + lit(0.0))
+          .as("eop_total"))
+      .orderBy(asc_nulls_first("month"), asc_nulls_first("segment"))
+  }
 }

@@ -67,7 +67,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_pca_power",
     // 1-row L1 normalizer of the final HITS round (earlier rounds sit
     // behind lazy checkpoints)
-    "q_hits")
+    "q_hits",
+    // 1-row min-class-size bound entering the per-class rank filter
+    "q_sample_balanced")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —
@@ -84,7 +86,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_overlap_kmv",
     // probe × class grid (the zero-score rows a one-vs-rest AUC must
     // keep); classes are a handful at any scale and must broadcast
-    "q_auc")
+    "q_auc",
+    // customer × month spine for the carry-forward: months are a tiny
+    // calendar dimension and must broadcast against the customer side
+    "q_eop_balance")
 
   private def flatten(plan: SparkPlan): Seq[SparkPlan] = plan match {
     case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
