@@ -254,6 +254,11 @@ object SparkEntry {
     "q_sax"             -> (TimeSeriesQueries.qSax _),
     "q_eop_balance"     -> (TimeSeriesQueries.qEopBalance _),
     "q_grubbs"          -> (StatsQueries.qGrubbs _),
+    "q_anova"           -> (StatsQueries.qAnova _),
+    "q_theilsen"        -> (TimeSeriesQueries.qTheilsen _),
+    "q_burstiness"      -> (TimeSeriesQueries.qBurstiness _),
+    "q_js_divergence"   -> (CurationQueries.qJsDivergence _),
+    "q_source_cap"      -> (CurationQueries.qSourceCap _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -4469,6 +4474,119 @@ object SparkEntry {
         |    (n * sqrt(CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s
         |        AS DOUBLE) / (n * CAST(n - 1 AS DOUBLE)))), 6) + 0.0 AS g_stat
         |FROM r WHERE rn = 1 ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    // Σ s_g²/n_g runs in pure DOUBLE on both engines (s_g < 2^53 is
+    // exactly representable; decimal division scales differ between
+    // engines, IEEE division does not); F and eta² are ratios, 6-dp
+    // rounded, so the 5-term double-sum order is absorbed.
+    "q_anova" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x
+        |  FROM customer),
+        |g AS (
+        |  SELECT c_mktsegment, count(*) AS n_g,
+        |    CAST(sum(x) AS BIGINT) AS s_g, CAST(sum(x * x) AS BIGINT) AS ss_g
+        |  FROM c GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(s_g) AS BIGINT) AS s, CAST(sum(ss_g) AS BIGINT) AS ss,
+        |    sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) /
+        |        CAST(n_g AS DOUBLE)) AS sb_raw
+        |  FROM g)
+        |SELECT k AS k_groups, n AS n_total,
+        |  round((sb_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (k - 1)
+        |    / ((CAST(ss AS DOUBLE) - sb_raw) / (n - k)), 6) + 0.0 AS f_stat,
+        |  round((sb_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |    / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n),
+        |    6) + 0.0 AS eta_sq
+        |FROM p""".stripMargin,
+    // each slope is one IEEE division of exact integers; the median
+    // picks by value, so slope ties can't change the picked VALUE
+    "q_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.event_type,
+        |    CAST(b.c - a.c AS DOUBLE) / datediff('day', a.d, b.d) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.d < b.d),
+        |rk AS (
+        |  SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM slopes)
+        |SELECT event_type, CAST(max(m) AS BIGINT) AS n_pairs,
+        |  round(avg(slope), 6) + 0.0 AS sen_slope
+        |FROM rk WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, count(*) AS n_days, CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, s AS n_events,
+        |  round(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE), 6) + 0.0
+        |    AS mean_daily,
+        |  round(CAST(CAST(n_days AS HUGEINT) * ss - CAST(s AS HUGEINT) * s
+        |      AS DOUBLE) /
+        |    (CAST(n_days AS DOUBLE) * (n_days - 1)) /
+        |    (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)), 6) + 0.0 AS fano,
+        |  round((sqrt(CAST(CAST(n_days AS HUGEINT) * ss
+        |        - CAST(s AS HUGEINT) * s AS DOUBLE) /
+        |      (CAST(n_days AS DOUBLE) * (n_days - 1)))
+        |      - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+        |    (sqrt(CAST(CAST(n_days AS HUGEINT) * ss
+        |        - CAST(s AS HUGEINT) * s AS DOUBLE) /
+        |      (CAST(n_days AS DOUBLE) * (n_days - 1)))
+        |      + CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)), 6) + 0.0
+        |    AS burstiness
+        |FROM m ORDER BY event_type NULLS FIRST""".stripMargin,
+    // the log argument is a ratio of exact integer products, so both
+    // engines log the same bits; the vocab-sized double sum is
+    // order-sensitive only at the ulp level (q_entropy's argument)
+    "q_js_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |counts AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot
+        |           FROM counts GROUP BY 1),
+        |kl AS (
+        |  SELECT c1.source AS source, s2.source AS s2,
+        |    sum((CAST(c1.c AS DOUBLE) / CAST(t1.tot AS DOUBLE)) *
+        |      ln(2.0 * CAST(c1.c AS DOUBLE) * CAST(s2.tot AS DOUBLE) /
+        |        (CAST(c1.c AS DOUBLE) * CAST(s2.tot AS DOUBLE) +
+        |         CAST(coalesce(c2.c, 0) AS DOUBLE) * CAST(t1.tot AS DOUBLE))))
+        |      AS kl
+        |  FROM counts c1
+        |  JOIN totals t1 ON c1.source = t1.source
+        |  JOIN totals s2 ON s2.source <> c1.source
+        |  LEFT JOIN counts c2 ON c2.source = s2.source AND c2.t = c1.t
+        |  GROUP BY 1, 2)
+        |SELECT f.source AS source_1, f.s2 AS source_2,
+        |  round((f.kl + r.kl) / 2.0, 6) + 0.0 AS js_div
+        |FROM kl f JOIN kl r
+        |  ON f.source = r.s2 AND f.s2 = r.source AND f.source < f.s2
+        |ORDER BY source_1 NULLS FIRST, source_2 NULLS FIRST""".stripMargin,
+    // keep rule is the integer comparison (rk−1)² < n — no float sqrt
+    "q_source_cap" ->
+      """WITH sizes AS (
+        |  SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, CAST(rk AS BIGINT) AS rk,
+        |  CAST(n_source AS BIGINT) AS n_source
+        |FROM r JOIN sizes s ON r.source = s.source
+        |WHERE (rk - 1) * (rk - 1) < n_source
+        |ORDER BY r.source NULLS FIRST, rk NULLS FIRST""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

@@ -175,4 +175,90 @@ object CurationQueries {
         z(col("xd"), col("sd"), col("sdd")).as("z_disc"))
       .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"))
   }
+
+  /** Jensen–Shannon divergence between every pair of sources' unigram
+    * distributions — the corpus-mix distance a pre-training pipeline
+    * uses to decide whether two crawls/dumps are near-duplicates at
+    * the DISTRIBUTION level (q_source_overlap answers the same
+    * question at the shingle-SET level). JS(P,Q) = ½KL(P‖M) + ½KL(Q‖M),
+    * M = (P+Q)/2; symmetric, bounded by ln 2.
+    *
+    * Determinism: with p = c₁/T₁ and q = c₂/T₂, each KL term is
+    * (c₁/T₁)·ln(2·c₁·T₂ / (c₁·T₂ + c₂·T₁)) — the log's argument is a
+    * ratio of EXACT integer products (counts × totals, < 2^53 until
+    * ~1e8-token sources meet 1e8-token vocabularies), so both engines
+    * divide and log the same bits; the per-pair sum over vocab terms
+    * is order-sensitive only at the ulp level, absorbed by the 6-dp
+    * round (q_entropy's proven argument). Zero-count terms contribute
+    * exactly 0 to their side's KL and are skipped by construction.
+    *
+    * Scale: one token explode + one (source, token) count — the same
+    * vocabulary-bounded fold as q_tfidf — then each source's vocab
+    * grid-joins the |sources| list (broadcast) and equi-joins the
+    * counts once. Everything after the first agg is vocab-sized, not
+    * corpus-sized; the final fold is |sources|² rows.
+    */
+  def qJsDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t")
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source")
+      .agg(sum(col("c")).as("tot"))
+    val sources = totals.select(col("source").as("s2"),
+      col("tot").as("tot2"))
+    // every (token of s1) × (other source s2), with s2's count for the
+    // same token (0 when absent) — KL(P1 ‖ M) summed per ordered pair
+    val kl = counts
+      .join(broadcast(totals), Seq("source"))
+      .join(broadcast(sources), col("source") =!= col("s2"))
+      .join(counts.select(col("source").as("s2"), col("t"),
+        col("c").as("c2")), Seq("s2", "t"), "left")
+      .select(col("source"), col("s2"),
+        ((col("c").cast("double") / col("tot").cast("double")) *
+          log(lit(2.0) * col("c").cast("double") * col("tot2").cast("double") /
+            (col("c").cast("double") * col("tot2").cast("double") +
+              coalesce(col("c2"), lit(0L)).cast("double") *
+                col("tot").cast("double")))).as("term"))
+      .groupBy("source", "s2")
+      .agg(sum(col("term")).as("kl"))
+    kl.as("f")
+      .join(kl.as("r"),
+        col("f.source") === col("r.s2") && col("f.s2") === col("r.source") &&
+          col("f.source") < col("f.s2"))
+      .select(col("f.source").as("source_1"), col("f.s2").as("source_2"),
+        (round((col("f.kl") + col("r.kl")) / 2.0, 6) + lit(0.0))
+          .as("js_div"))
+      .orderBy(asc_nulls_first("source_1"), asc_nulls_first("source_2"))
+  }
+
+  /** Per-source sqrt cap — the soft per-domain quota of web-corpus
+    * curation (hard caps starve small sources; no cap lets one crawl
+    * dominate): source s with n docs keeps ceil(√n) of them, chosen
+    * by seed-free md5 rank. Output is the kept set with its rank and
+    * the source size, so downstream mix queries can weight by both.
+    *
+    * Determinism: the keep rule is the INTEGER comparison
+    * (rk−1)² < n  ⟺  rk ≤ ceil(√n) — no float sqrt anywhere; ranks
+    * come from the md5(doc_id) order with doc_id tie-break
+    * (retry/partition-stable, q_sample_hash's convention).
+    *
+    * Scale: one per-source count (map-side combinable) broadcast back
+    * onto the scan, one per-source rank window — the window's
+    * partitions are per-source and the kept set is Σ√n_s ≪ corpus.
+    */
+  def qSourceCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sizes = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val ranked = docs
+      .select(col("doc_id"), col("source"),
+        row_number().over(Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .as("rk"))
+    ranked.join(broadcast(sizes), Seq("source"))
+      .filter((col("rk") - 1) * (col("rk") - 1) < col("n_source"))
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"),
+        col("n_source"))
+      .orderBy(asc_nulls_first("source"), asc_nulls_first("rk"))
+  }
 }

@@ -983,4 +983,53 @@ object StatsQueries {
           6) + lit(0.0)).as("g_stat"))
       .orderBy(asc_nulls_first("c_mktsegment"))
   }
+
+  /** One-way ANOVA F statistic for account balance across market
+    * segments: does segment membership explain balance variance?
+    * F = (SSB/(k−1)) / (SSW/(n−k)), plus eta² = SSB/SST — the effect
+    * size q_cramers_v gives for categorical pairs, here for a
+    * categorical-vs-numeric pair. Complements q_welch_t (2 groups)
+    * with the k-group omnibus test.
+    *
+    * Determinism: per-group n/Σx/Σx² are exact integers over cents
+    * (squares in DECIMAL(38,0), q_gini's convention). SSB and SSW are
+    * then k=|segments| double terms each (s_g²/n_g is one exact
+    * division); summing ~5 doubles is order-sensitive only at the
+    * ~1e-16 relative level, and the outputs are RATIOS of those sums
+    * (F, eta²) rounded at 6 dp — the same absorb-the-ulp argument as
+    * q_entropy's ln note, proven green there over far more terms. The
+    * large absolute SS values themselves are never emitted.
+    *
+    * Scale: one map-side-combinable moments aggregate to |segments|
+    * rows, then a 5-row fold — a single shuffle of 5 groups at any
+    * corpus size.
+    */
+  def qAnova(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), cents(col("c_acctbal")).as("x"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("x")).as("s_g"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("ss_g"))
+    val parts = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("n_g")).as("n"),
+      sum(col("s_g")).as("s"),
+      sum(col("ss_g")).as("ss"),
+      // Σ s_g²/n_g in pure DOUBLE: s_g < 2^53 is exactly representable,
+      // so the IEEE product and quotient are bit-identical across
+      // engines (decimal division is NOT — Spark and DuckDB pick
+      // different result scales)
+      sum(col("s_g").cast("double") * col("s_g").cast("double") /
+        col("n_g").cast("double")).as("sb_raw"))
+    val ssb = col("sb_raw") -
+      col("s").cast("double") * col("s").cast("double") / col("n")
+    val ssw = col("ss").cast("double") - col("sb_raw")
+    val sst = col("ss").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / col("n")
+    parts.select(col("k").as("k_groups"), col("n").as("n_total"),
+      (round(ssb / (col("k") - 1) / (ssw / (col("n") - col("k"))), 6)
+        + lit(0.0)).as("f_stat"),
+      (round(ssb / sst, 6) + lit(0.0)).as("eta_sq"))
+  }
 }

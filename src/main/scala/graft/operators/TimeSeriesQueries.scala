@@ -412,4 +412,84 @@ object TimeSeriesQueries {
           .as("eop_total"))
       .orderBy(asc_nulls_first("month"), asc_nulls_first("segment"))
   }
+
+  /** Theil–Sen slope of each type's daily-count series: the MEDIAN of
+    * all pairwise slopes (c_j − c_i)/(d_j − d_i), i < j by date — the
+    * robust trend estimator (up to ~29% outliers) where the OLS slope
+    * (q_regression) folds to any single spike.
+    *
+    * Determinism: each slope is ONE IEEE division of exact integers
+    * (identical bits on both engines), the median picks the middle
+    * one/two values by (slope, d_i, d_j) order — equal slopes make the
+    * tie order irrelevant to the picked VALUE — and the even-count
+    * average is one more exact-input division.
+    *
+    * Scale: the corpus folds to |types| × |days| rows before the pair
+    * join (100 TB of events still folds to that), so the O(days²)
+    * pair enumeration is calendar-bounded, never corpus-bounded —
+    * ~66k pairs per type even for a full year.
+    */
+  def qTheilsen(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = daily(spark, sfDir)
+    val slopes = d.as("a")
+      .join(d.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.d") < col("b.d"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.c") - col("a.c")).cast("double")
+          ./(datediff(col("b.d"), col("a.d")).cast("double"))
+          .as("slope"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(asc_nulls_first("slope"))
+    slopes
+      .select(col("event_type"), col("slope"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("event_type")).as("m"))
+      // integer middle picks: Spark's `/` on longs is DOUBLE division,
+      // so truncate explicitly — rn = floor((m+1)/2) and floor(m/2)+1
+      // (equal when m is odd, adjacent when even)
+      .filter(col("rn") === ((col("m") + 1) / 2).cast("long") ||
+        col("rn") === (col("m") / 2).cast("long") + 1)
+      .groupBy("event_type")
+      .agg(max(col("m")).as("n_pairs"),
+        (round(avg(col("slope")), 6) + lit(0.0)).as("sen_slope"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  /** Burstiness of each type's daily-count series: the Fano factor
+    * (variance-to-mean ratio of counts; 1 = Poisson, >1 = clumped)
+    * and the Goh–Barabási burstiness coefficient B = (σ−μ)/(σ+μ)
+    * ∈ (−1, 1) — the standard dispersion diagnostics for event
+    * streams, complementing q_anomaly's z-scores with a per-series
+    * (not per-day) verdict.
+    *
+    * Determinism: n/Σc/Σc² are exact integers (squares in
+    * DECIMAL(38,0) — explicit overflow, q_gini's convention); the
+    * variance numerator n·Σc² − (Σc)² is exact, and mean/fano/B are
+    * rounded terminal double expressions (sqrt is IEEE-exact on
+    * identical inputs).
+    *
+    * Scale: one map-side-combinable fold to |types| × |days|, then a
+    * |types|-row aggregate — a single tiny shuffle at any corpus size.
+    */
+  def qBurstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = daily(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).as("s"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("ss"))
+    val n = col("n_days").cast("double")
+    val mean = col("s").cast("double") / n
+    // sample variance from the exact integer numerator
+    val variance = (col("n_days").cast("decimal(38,0)") * col("ss") -
+      col("s").cast("decimal(38,0)") * col("s")).cast("double") /
+      (n * (n - 1))
+    val sigma = sqrt(variance)
+    m.select(col("event_type"), col("n_days"), col("s").as("n_events"),
+      (round(mean, 6) + lit(0.0)).as("mean_daily"),
+      (round(variance / mean, 6) + lit(0.0)).as("fano"),
+      (round((sigma - mean) / (sigma + mean), 6) + lit(0.0))
+        .as("burstiness"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
 }

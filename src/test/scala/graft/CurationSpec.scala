@@ -152,4 +152,111 @@ class CurationSpec extends AnyFunSuite {
     assert(mismatch == 0)
     out.unpersist()
   }
+
+  test("anova: counts reconcile; eta-squared bounded; F consistent with eta") {
+    import spark.implicits._
+    val row = q("q_anova").head()
+    val k = row.getAs[Long]("k_groups")
+    val n = row.getAs[Long]("n_total")
+    val f = row.getAs[Double]("f_stat")
+    val eta = row.getAs[Double]("eta_sq")
+    assert(k == Tables.customer(spark, sfDir)
+      .select($"c_mktsegment").distinct().count())
+    assert(n == Tables.customer(spark, sfDir).count())
+    assert(eta >= 0.0 && eta < 1.0)
+    assert(f >= 0.0)
+    // F and eta² are two views of the same SSB/SSW split:
+    // F = (eta/(1-eta)) * (n-k)/(k-1)
+    val fFromEta = eta / (1.0 - eta) * (n - k) / (k - 1)
+    assert(math.abs(f - fFromEta) <= 1e-4 * math.max(1.0, f))
+  }
+
+  test("js_divergence: all source pairs, bounded by ln 2, self-distance zero") {
+    import spark.implicits._
+    val out = q("q_js_divergence").cache()
+    val s = Tables.documents(spark, sfDir)
+      .select($"source").distinct().count()
+    assert(out.count() == s * (s - 1) / 2)
+    assert(out.filter($"js_div" < 0 || $"js_div" > math.log(2.0) + 1e-9)
+      .count() == 0)
+    // a corpus compared with itself has JS = 0: duplicate every doc
+    // into two pseudo-sources and check the pair's divergence
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val twin = docs.withColumn("source", lit("sA"))
+      .union(docs.withColumn("source", lit("sB")))
+    val counts = twin
+      .select($"source", explode(operators.TextQueries.tokens($"text")).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    // both pseudo-sources have identical distributions → every token's
+    // KL term is ln(1) = 0
+    val tot = counts.groupBy("source").agg(sum($"c").as("tot"))
+    val j = counts.as("a").join(counts.as("b"),
+        $"a.t" === $"b.t" && $"a.source" < $"b.source")
+      .join(tot.select($"source".as("sa"), $"tot".as("ta")), $"a.source" === $"sa")
+      .join(tot.select($"source".as("sb"), $"tot".as("tb")), $"b.source" === $"sb")
+      .select(abs($"a.c" / $"ta" - $"b.c" / $"tb").as("gap"))
+      .agg(max($"gap")).as[Double].head()
+    assert(j == 0.0)
+    out.unpersist()
+  }
+
+  test("source_cap: kept set is exactly ceil(sqrt(n)) per source, ranks contiguous") {
+    import spark.implicits._
+    val out = q("q_source_cap").cache()
+    val sizes = Tables.documents(spark, sfDir)
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    val kept = out.groupBy($"source")
+      .agg(count(lit(1)).as("k"), max($"rk").as("max_rk"), min($"rk").as("min_rk"))
+    val bad = kept.join(sizes, "source")
+      .filter($"k" =!= ceil(sqrt($"n".cast("double"))).cast("long") ||
+        $"max_rk" =!= $"k" || $"min_rk" =!= 1)
+      .count()
+    assert(bad == 0)
+    // every source is represented
+    assert(kept.count() == sizes.count())
+    out.unpersist()
+  }
+
+  test("theilsen: median slope matches a driver-side brute-force recompute") {
+    import spark.implicits._
+    val out = q("q_theilsen").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("sen_slope"))).toMap
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .select($"event_type", datediff($"d", lit("1970-01-01")).as("di"), $"c")
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+    for ((et, rows) <- daily) {
+      val series = rows.map(r => (r.getAs[Int]("di"), r.getAs[Long]("c")))
+        .sortBy(_._1)
+      val slopes = (for {
+        i <- series.indices; j <- (i + 1) until series.length
+      } yield (series(j)._2 - series(i)._2).toDouble /
+        (series(j)._1 - series(i)._1)).sorted
+      val m = slopes.length
+      val med =
+        if (m % 2 == 1) slopes(m / 2)
+        else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+      assert(out(et)._1 == m.toLong, s"$et n_pairs")
+      assert(math.abs(out(et)._2 - med) <= 1e-6, s"$et slope")
+    }
+  }
+
+  test("burstiness: fano and B reconcile with driver-side moments") {
+    import spark.implicits._
+    val out = q("q_burstiness").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val b = r.getAs[Double]("burstiness")
+      val fano = r.getAs[Double]("fano")
+      val mean = r.getAs[Double]("mean_daily")
+      assert(b > -1.0 && b < 1.0)
+      assert(fano > 0.0 && mean > 0.0)
+      // B = (σ−μ)/(σ+μ) with σ² = fano·μ (sample variance): reconcile
+      val sigma = math.sqrt(fano * mean)
+      assert(math.abs(b - (sigma - mean) / (sigma + mean)) <= 1e-4)
+    }
+  }
 }

@@ -89,7 +89,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_auc",
     // customer × month spine for the carry-forward: months are a tiny
     // calendar dimension and must broadcast against the customer side
-    "q_eop_balance")
+    "q_eop_balance",
+    // vocab × other-sources grid for the pairwise KL sums: the source
+    // list is |sources| rows at any scale and must broadcast
+    "q_js_divergence")
 
   private def flatten(plan: SparkPlan): Seq[SparkPlan] = plan match {
     case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
