@@ -230,6 +230,14 @@ object ScaleSmoke {
       // corpus's dup structure so dup_frac distribution is scale-stable
       // while the 5-gram vocabulary grows ~k
       "dup_ngram_frac" -> (k => AdvancedTextQueries.dupNgramFracFrom(replicated(k))),
+
+      // chunk df agg over disjoint-token replicas: chunk vocabulary and
+      // the reassembly both grow linearly, no cross-replica matches
+      "scrub_common" -> (k => CurationQueries.scrubCommonFrom(replicated(k), 4, 2)),
+
+      // per-source vocab grows linearly while the pair grid stays
+      // |sources|² — the KL sums are the linear term that must dominate
+      "js_divergence" -> (k => CurationQueries.jsDivergenceFrom(replicatedSrc(k))),
       // (lang × bigram-vocab) model agg + one bigram-stream join; the
       // disjoint replicas are the worst case — model rows grow k·|V²|
       "bigram_lm" -> (k => AdvancedTextQueries.bigramLmFrom(

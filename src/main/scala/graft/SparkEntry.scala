@@ -259,6 +259,9 @@ object SparkEntry {
     "q_burstiness"      -> (TimeSeriesQueries.qBurstiness _),
     "q_js_divergence"   -> (CurationQueries.qJsDivergence _),
     "q_source_cap"      -> (CurationQueries.qSourceCap _),
+    "q_mann_kendall"    -> (TimeSeriesQueries.qMannKendall _),
+    "q_lexical_richness" -> (CurationQueries.qLexicalRichness _),
+    "q_keyness"         -> (CurationQueries.qKeyness _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -4587,6 +4590,91 @@ object SparkEntry {
         |FROM r JOIN sizes s ON r.source = s.source
         |WHERE (rk - 1) * (rk - 1) < n_source
         |ORDER BY r.source NULLS FIRST, rk NULLS FIRST""".stripMargin,
+    // S, the tie sum, and Var·18 are exact integers end to end; Z is
+    // one terminal sqrt+division of exact inputs
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(sign(b.c - a.c)) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.d < b.d
+        |  GROUP BY 1),
+        |tg AS (
+        |  SELECT event_type, c, count(*) AS t FROM daily GROUP BY 1, 2),
+        |ties AS (
+        |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+        |  FROM tg GROUP BY 1)
+        |SELECT s.event_type, n_days, s_stat,
+        |  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum AS BIGINT)
+        |    AS var18,
+        |  round(
+        |    (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |          ELSE 0.0 END) /
+        |    sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum
+        |         AS DOUBLE) / 18.0), 6) + 0.0 AS z_stat
+        |FROM s JOIN ties USING (event_type)
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_lexical_richness" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |counts AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |m AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM counts GROUP BY 1)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0
+        |    AS ttr,
+        |  round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) + 0.0
+        |    AS hapax_share
+        |FROM m ORDER BY source NULLS FIRST""".stripMargin,
+    // selection ranks by the integer excess a·N − rowT·col (token
+    // tie-break); G² is reporting only, its log args exact-int ratios
+    "q_keyness" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |counts AS (SELECT source, t, count(*) AS a FROM tok GROUP BY 1, 2),
+        |row_tot AS (SELECT source, CAST(sum(a) AS BIGINT) AS row_t
+        |            FROM counts GROUP BY 1),
+        |col_tot AS (SELECT t, CAST(sum(a) AS BIGINT) AS col_t
+        |            FROM counts GROUP BY 1),
+        |n_tot AS (SELECT CAST(sum(a) AS BIGINT) AS n_tot FROM counts),
+        |scored AS (
+        |  SELECT c.source, c.t, c.a, r.row_t, ct.col_t, n.n_tot,
+        |    c.a * n.n_tot - r.row_t * ct.col_t AS excess
+        |  FROM counts c
+        |  JOIN row_tot r ON c.source = r.source
+        |  JOIN col_tot ct ON c.t = ct.t
+        |  CROSS JOIN n_tot n
+        |  WHERE c.a * n.n_tot - r.row_t * ct.col_t > 0),
+        |ranked AS (
+        |  SELECT source, t, a, col_t, row_t, n_tot,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY excess DESC, t ASC) AS rank
+        |  FROM scored)
+        |SELECT source, t AS token, a AS n_source, col_t AS n_corpus,
+        |  round(2.0 * (
+        |    CAST(a AS DOUBLE) *
+        |      ln(CAST(a AS DOUBLE) * CAST(n_tot AS DOUBLE) /
+        |        (CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE))) +
+        |    CASE WHEN col_t = a THEN 0.0 ELSE
+        |      CAST(col_t - a AS DOUBLE) *
+        |        ln(CAST(col_t - a AS DOUBLE) * CAST(n_tot AS DOUBLE) /
+        |          (CAST(n_tot - row_t AS DOUBLE) * CAST(col_t AS DOUBLE)))
+        |    END), 6) + 0.0 AS g2,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY source NULLS FIRST, rank NULLS FIRST""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

@@ -198,8 +198,14 @@ object CurationQueries {
     * counts once. Everything after the first agg is vocab-sized, not
     * corpus-sized; the final fold is |sources|² rows.
     */
-  def qJsDivergence(spark: SparkSession, sfDir: String): DataFrame = {
-    val counts = Tables.documents(spark, sfDir)
+  def qJsDivergence(spark: SparkSession, sfDir: String): DataFrame =
+    jsDivergenceFrom(Tables.documents(spark, sfDir))
+
+  /** DataFrame-core form over any (source, text) frame — ScaleSmoke
+    * entry point.
+    */
+  def jsDivergenceFrom(docs: DataFrame): DataFrame = {
+    val counts = docs
       .select(col("source"), explode(tokens(col("text"))).as("t"))
       .groupBy("source", "t")
       .agg(count(lit(1)).as("c"))
@@ -230,6 +236,91 @@ object CurationQueries {
         (round((col("f.kl") + col("r.kl")) / 2.0, 6) + lit(0.0))
           .as("js_div"))
       .orderBy(asc_nulls_first("source_1"), asc_nulls_first("source_2"))
+  }
+
+  /** Lexical-richness profile per source — the vocabulary-health
+    * metrics a corpus audit reads next to q_text_quality's per-doc
+    * scores: token count, type (distinct-token) count, hapax-legomena
+    * count (types seen exactly once — Heaps-law tail mass), type-token
+    * ratio, and hapax share of the vocabulary.
+    *
+    * Determinism: all five inputs are exact integers; TTR and hapax
+    * share are terminal rounded divisions.
+    *
+    * Scale: one vocabulary-bounded (source, token) fold (the q_tfidf
+    * shape), then a |sources|-row aggregate — the corpus never reaches
+    * the second shuffle.
+    */
+  def qLexicalRichness(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (round(col("n_types").cast("double") / col("n_tokens").cast("double"),
+          6) + lit(0.0)).as("ttr"),
+        (round(col("n_hapax").cast("double") / col("n_types").cast("double"),
+          6) + lit(0.0)).as("hapax_share"))
+      .orderBy(asc_nulls_first("source"))
+
+  /** Top-10 keywords per source by Dunning's log-likelihood keyness
+    * (Dunning 1993, "Accurate Methods for the Statistics of Surprise
+    * and Coincidence" — public literature): G² = 2·(a·ln(a/Eₐ) +
+    * b·ln(b/E_b)) comparing each token's in-source count a against its
+    * rest-of-corpus count b, with expectations from the marginals —
+    * the standard what-makes-this-source-different extraction.
+    *
+    * Determinism: candidate SELECTION never touches a float — rows
+    * rank by the integer over-representation excess a·N − rowT·col
+    * (> 0 ⟺ a/rowT > col/N), tie-broken by token; G² is reporting
+    * only. Its log arguments a·N/(rowT·col) and b·N/((N−rowT)·col)
+    * are exact-integer ratios (products < 2^53 until ~1e8-token
+    * sources meet 1e8-token corpora), so both engines log identical
+    * bits; one 6-dp round ends it.
+    *
+    * Scale: the same vocabulary-bounded (source, token) fold as
+    * q_js_divergence, corpus totals re-entering as two broadcast
+    * scalars, and a per-source rank window over the vocab-sized frame.
+    */
+  def qKeyness(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t")
+      .agg(count(lit(1)).as("a"))
+    val rowTot = counts.groupBy("source").agg(sum(col("a")).as("row_t"))
+    val colTot = counts.groupBy("t").agg(sum(col("a")).as("col_t"))
+    val nTot = counts.agg(sum(col("a")).as("n_tot"))
+    val scored = counts
+      .join(broadcast(rowTot), Seq("source"))
+      .join(colTot, Seq("t"))
+      .crossJoin(broadcast(nTot))
+      .select(col("source"), col("t"), col("a"), col("row_t"),
+        col("col_t"), col("n_tot"),
+        (col("a") * col("n_tot") - col("row_t") * col("col_t"))
+          .as("excess"))
+      .filter(col("excess") > 0)
+    val w = Window.partitionBy("source")
+      .orderBy(desc("excess"), asc("t"))
+    val aD = col("a").cast("double")
+    val bD = (col("col_t") - col("a")).cast("double")
+    val g2 = lit(2.0) * (
+      aD * log(col("a").cast("double") * col("n_tot").cast("double") /
+        (col("row_t").cast("double") * col("col_t").cast("double"))) +
+        when(col("col_t") === col("a"), lit(0.0)).otherwise(
+          bD * log(bD * col("n_tot").cast("double") /
+            ((col("n_tot") - col("row_t")).cast("double") *
+              col("col_t").cast("double")))))
+    scored
+      .select(col("source"), col("t").as("token"), col("a").as("n_source"),
+        col("col_t").as("n_corpus"),
+        (round(g2, 6) + lit(0.0)).as("g2"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= 10)
+      .orderBy(asc_nulls_first("source"), asc_nulls_first("rank"))
   }
 
   /** Per-source sqrt cap — the soft per-domain quota of web-corpus

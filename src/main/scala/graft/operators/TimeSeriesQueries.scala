@@ -472,6 +472,48 @@ object TimeSeriesQueries {
     * Scale: one map-side-combinable fold to |types| × |days|, then a
     * |types|-row aggregate — a single tiny shuffle at any corpus size.
     */
+  /** Mann–Kendall trend test per type's daily-count series — the
+    * significance companion to q_theilsen's slope magnitude:
+    * S = Σ_{i<j} sign(c_j − c_i) over date-ordered pairs, variance
+    * with the tie correction Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    * (t = tie-group sizes), Z = (S∓1)/√Var.
+    *
+    * Determinism: S, the tie sum, and Var·18 are EXACT integers end to
+    * end; Z is one terminal sqrt+division of exact inputs (IEEE-
+    * identical across engines), rounded at 6 dp.
+    *
+    * Scale: same days-bounded pair join as q_theilsen plus one
+    * |types|×|distinct counts| tie fold — calendar-bounded, never
+    * corpus-bounded.
+    */
+  def qMannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = daily(spark, sfDir)
+    val s = d.as("a")
+      .join(d.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.d") < col("b.d"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.c") - col("a.c")).cast("long")).as("s_stat"))
+    val ties = d.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_values"),
+        sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tie_sum"))
+    val n = col("n_days")
+    val var18 = n * (n - 1) * (lit(2) * n + 5) - col("tie_sum")
+    s.join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        var18.as("var18"),
+        (round(
+          when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+            .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+            .otherwise(lit(0.0)) /
+            sqrt(var18.cast("double") / 18.0), 6) + lit(0.0)).as("z_stat"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
   def qBurstiness(spark: SparkSession, sfDir: String): DataFrame = {
     val m = daily(spark, sfDir)
       .groupBy("event_type")

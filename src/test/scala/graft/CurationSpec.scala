@@ -244,6 +244,69 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mann_kendall: S matches a driver-side pair recompute; var18 positive") {
+    import spark.implicits._
+    val out = q("q_mann_kendall").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("s_stat"), r.getAs[Long]("var18"))).toMap
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .select($"event_type", datediff($"d", lit("1970-01-01")).as("di"), $"c")
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+    for ((et, rows) <- daily) {
+      val series = rows.map(r => (r.getAs[Int]("di"), r.getAs[Long]("c")))
+        .sortBy(_._1)
+      val s = (for {
+        i <- series.indices; j <- (i + 1) until series.length
+      } yield java.lang.Long.signum(series(j)._2 - series(i)._2).toLong).sum
+      assert(out(et)._1 == s, s"$et s_stat")
+      assert(out(et)._2 > 0, s"$et var18")
+    }
+  }
+
+  test("lexical richness: identities hold against the token stream") {
+    import spark.implicits._
+    val out = q("q_lexical_richness").cache()
+    // hapax <= types <= tokens and ratio bounds
+    assert(out.filter($"n_hapax" > $"n_types" || $"n_types" > $"n_tokens")
+      .count() == 0)
+    assert(out.filter($"ttr" <= 0 || $"ttr" > 1 ||
+      $"hapax_share" < 0 || $"hapax_share" > 1).count() == 0)
+    // token totals reconcile with a direct per-source count
+    val direct = Tables.documents(spark, sfDir)
+      .select($"source", explode(operators.TextQueries.tokens($"text")).as("t"))
+      .groupBy($"source").agg(count(lit(1)).as("n_direct"))
+    assert(out.join(direct, "source")
+      .filter($"n_tokens" =!= $"n_direct").count() == 0)
+    out.unpersist()
+  }
+
+  test("keyness: top-10 per source, over-represented only, G2 positive-ish") {
+    import spark.implicits._
+    val out = q("q_keyness").cache()
+    val perSource = out.groupBy($"source").agg(count(lit(1)).as("k"),
+      max($"rank").as("mx"), min($"rank").as("mn"))
+    assert(perSource.filter($"k" > 10 || $"mx" > 10 || $"mn" =!= 1)
+      .count() == 0)
+    // every kept token is over-represented: a/rowT > col/N ⟹ its
+    // in-source share strictly exceeds its corpus share
+    val toks = Tables.documents(spark, sfDir)
+      .select($"source", explode(operators.TextQueries.tokens($"text")).as("t"))
+    val rowT = toks.groupBy($"source").agg(count(lit(1)).as("row_t"))
+    val n = toks.count()
+    val bad = out.join(rowT, "source")
+      .filter($"n_source" * n <= $"row_t" * $"n_corpus").count()
+    assert(bad == 0)
+    // the 2-cell G2 is col·KL((a,b)/col ‖ (Ea,Eb)/col) ≥ 0 (Gibbs);
+    // strict positivity can round to 0.000000 only for negligible
+    // excess, which a top-10-by-excess row never has — but assert the
+    // provable bound, not the heuristic one
+    assert(out.filter($"g2" < 0).count() == 0)
+    out.unpersist()
+  }
+
   test("burstiness: fano and B reconcile with driver-side moments") {
     import spark.implicits._
     val out = q("q_burstiness").collect()

@@ -69,7 +69,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // behind lazy checkpoints)
     "q_hits",
     // 1-row min-class-size bound entering the per-class rank filter
-    "q_sample_balanced")
+    "q_sample_balanced",
+    // corpus token total N entering the keyness excess — 1 row at any
+    // scale, q_tfidf's shape
+    "q_keyness")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —
