@@ -262,6 +262,8 @@ object SparkEntry {
     "q_mann_kendall"    -> (TimeSeriesQueries.qMannKendall _),
     "q_lexical_richness" -> (CurationQueries.qLexicalRichness _),
     "q_keyness"         -> (CurationQueries.qKeyness _),
+    "q_cliff_delta"     -> (StatsQueries.qCliffDelta _),
+    "q_sample_systematic" -> (CurationQueries.qSampleSystematic _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -4675,6 +4677,34 @@ object SparkEntry {
         |  CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 10
         |ORDER BY source NULLS FIRST, rank NULLS FIRST""".stripMargin,
+    // per-value dominance products off the shared running totals —
+    // exact integers; delta is the single terminal division
+    "q_cliff_delta" -> (TwoSampleCte +
+      """
+        |SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+        |  CAST((sum(c_a * (cum_b - c_b)) + sum(c_a * c_b) +
+        |        sum(c_a * ((SELECT sum(c_b) FROM cum) - cum_b)))
+        |       / sum(c_a) AS BIGINT) AS n_b,
+        |  CAST(sum(c_a * (cum_b - c_b)) AS BIGINT) AS n_gt,
+        |  CAST(sum(c_a * ((SELECT sum(c_b) FROM cum) - cum_b)) AS BIGINT)
+        |    AS n_lt,
+        |  CAST(sum(c_a * c_b) AS BIGINT) AS n_tie,
+        |  round(CAST(sum(c_a * (cum_b - c_b)) -
+        |             sum(c_a * ((SELECT sum(c_b) FROM cum) - cum_b))
+        |        AS DOUBLE) /
+        |    CAST(sum(c_a * (cum_b - c_b)) + sum(c_a * c_b) +
+        |         sum(c_a * ((SELECT sum(c_b) FROM cum) - cum_b)) AS DOUBLE),
+        |    6) + 0.0 AS cliff_delta
+        |FROM cum""".stripMargin),
+    "q_sample_systematic" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk % 10 = 1
+        |ORDER BY lang NULLS FIRST, rk NULLS FIRST""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

@@ -238,6 +238,26 @@ object CurationQueries {
       .orderBy(asc_nulls_first("source_1"), asc_nulls_first("source_2"))
   }
 
+  /** Per-stratum systematic sample: every 10th document per lang in
+    * seed-free md5 order — the equal-SPACING 1/k design that completes
+    * the sampling family (q_sample_hash is Bernoulli 1/k with binomial
+    * stratum variance; systematic pins each stratum's kept count to
+    * ⌈n/k⌉ exactly). Deterministic, retry/partition-stable.
+    *
+    * Scale: same per-stratum rank window as q_sample_balanced (window
+    * parallelism is stratum-bounded; the md5 order key pushes no data
+    * movement beyond the per-lang exchange the rank needs anyway).
+    */
+  def qSampleSystematic(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        row_number().over(Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .as("rk"))
+      .filter((col("rk") % 10) === 1)
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("rk"))
+
   /** Lexical-richness profile per source — the vocabulary-health
     * metrics a corpus audit reads next to q_text_quality's per-doc
     * scores: token count, type (distinct-token) count, hapax-legomena

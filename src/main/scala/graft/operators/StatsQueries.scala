@@ -1004,6 +1004,40 @@ object StatsQueries {
     * rows, then a 5-row fold — a single shuffle of 5 groups at any
     * corpus size.
     */
+  /** Cliff's delta between the click and purchase value samples — the
+    * tie-aware dominance effect size δ = (#(a>b) − #(a<b))/(nₐ·n_b)
+    * that q_mannwhitney's rank-biserial approximates when ties exist;
+    * reported WITH the three dominance counts so the tie mass is
+    * visible.
+    *
+    * Determinism: per distinct value v, the pair counts are exact
+    * integer products off the two-sample running totals — a-rows at v
+    * beat the c_b's strictly below (cum_b − c_b), lose to those
+    * strictly above (n_b − cum_b), tie with c_b — and δ is the single
+    * rounded terminal division.
+    *
+    * Scale: q_mannwhitney's shape — one groupBy(value) fold, one
+    * window over the bounded value DOMAIN, a 1-row aggregate.
+    */
+  def qCliffDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnt = twoSampleValueCounts(spark, sfDir)
+    val tot = cnt.agg(sum(col("c_b")).as("n_b_tot"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("c_a"), col("c_b"),
+        (col("c_a") * (col("cum_b") - col("c_b"))).as("gt"),
+        (col("c_a") * (col("n_b_tot") - col("cum_b"))).as("lt"),
+        (col("c_a") * col("c_b")).as("tie"))
+      .agg(sum(col("c_a")).as("n_a"), sum(col("gt")).as("n_gt"),
+        sum(col("lt")).as("n_lt"), sum(col("tie")).as("n_tie"))
+      .select(col("n_a"),
+        ((col("n_gt") + col("n_lt") + col("n_tie")) / col("n_a"))
+          .cast("long").as("n_b"),
+        col("n_gt"), col("n_lt"), col("n_tie"),
+        (round((col("n_gt") - col("n_lt")).cast("double") /
+          (col("n_gt") + col("n_lt") + col("n_tie")).cast("double"), 6)
+          + lit(0.0)).as("cliff_delta"))
+  }
+
   def qAnova(spark: SparkSession, sfDir: String): DataFrame = {
     val g = Tables.customer(spark, sfDir)
       .select(col("c_mktsegment"), cents(col("c_acctbal")).as("x"))

@@ -307,6 +307,35 @@ class CurationSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("cliff_delta: dominance counts partition n_a*n_b; delta bounded") {
+    import spark.implicits._
+    val row = q("q_cliff_delta").head()
+    val nA = row.getAs[Long]("n_a"); val nB = row.getAs[Long]("n_b")
+    val gt = row.getAs[Long]("n_gt"); val lt = row.getAs[Long]("n_lt")
+    val tie = row.getAs[Long]("n_tie")
+    val d = row.getAs[Double]("cliff_delta")
+    assert(gt + lt + tie == nA * nB)
+    assert(d >= -1.0 && d <= 1.0)
+    assert(math.abs(d - (gt - lt).toDouble / (nA * nB)) <= 1e-6)
+    // sample sizes reconcile with the raw streams
+    val ev = Tables.events(spark, sfDir)
+    assert(nA == ev.filter($"event_type" === "click").count())
+    assert(nB == ev.filter($"event_type" === "purchase").count())
+  }
+
+  test("sample_systematic: exactly ceil(n/10) per lang, ranks on the 10-grid") {
+    import spark.implicits._
+    val out = q("q_sample_systematic").cache()
+    assert(out.filter(($"rk" - 1) % 10 =!= 0).count() == 0)
+    val sizes = Tables.documents(spark, sfDir)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+    val kept = out.groupBy($"lang").agg(count(lit(1)).as("k"))
+    val bad = kept.join(sizes, "lang")
+      .filter($"k" =!= ceil($"n" / lit(10.0)).cast("long")).count()
+    assert(bad == 0)
+    out.unpersist()
+  }
+
   test("burstiness: fano and B reconcile with driver-side moments") {
     import spark.implicits._
     val out = q("q_burstiness").collect()

@@ -72,7 +72,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sample_balanced",
     // corpus token total N entering the keyness excess — 1 row at any
     // scale, q_tfidf's shape
-    "q_keyness")
+    "q_keyness",
+    // 1-row purchase-sample total entering the dominance products
+    "q_cliff_delta")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —
