@@ -264,6 +264,7 @@ object SparkEntry {
     "q_keyness"         -> (CurationQueries.qKeyness _),
     "q_cliff_delta"     -> (StatsQueries.qCliffDelta _),
     "q_sample_systematic" -> (CurationQueries.qSampleSystematic _),
+    "q_trade_volume"    -> (CompositeQueries.qTradeVolume _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -4705,6 +4706,24 @@ object SparkEntry {
         |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk % 10 = 1
         |ORDER BY lang NULLS FIRST, rk NULLS FIRST""".stripMargin,
+    "q_trade_volume" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |           CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ns ON ns.n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation nc ON nc.n_nationkey = c_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ns.n_name <> nc.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation NULLS FIRST, cust_nation NULLS FIRST,
+        |  l_year NULLS FIRST""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

@@ -229,6 +229,53 @@ object CompositeQueries {
     * fact-sized at 100 TB, so neither side broadcasts, and the
     * priority filter prunes ~80% of it at the scan before the exchange.
     */
+  /** TPC-H Q7 shape (cross-nation trade volume): revenue shipped
+    * between every DISTINCT (supplier nation, customer nation) pair
+    * per ship year over a two-year window — the classic two-dimension-
+    * chain multi-join whose plan quality is all about which side
+    * broadcasts.
+    *
+    * Plan: nation broadcasts twice (25 rows, hinted). Supplier and
+    * customer are LEFT UNHINTED on purpose: at bench scale AQE
+    * broadcasts them, at 100 TB they outgrow the threshold and AQE
+    * falls back to shuffle equi-joins — the right plan at both ends
+    * without a code change. The fact stream shuffles exactly twice
+    * (orders⋈customer on custkey, lineitem⋈orders on orderkey), the
+    * final agg folds to ≤ |nations|²·|years| rows.
+    *
+    * Determinism: revenue is the exact e4-integer sum divided once;
+    * output fully key-ordered.
+    */
+  def qTradeVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    val supp = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey", "cust_nation")
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"), revE4.as("rev"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg((sum(col("rev")).cast("double") / 10000.0).as("revenue"))
+      .orderBy(asc_nulls_first("supp_nation"), asc_nulls_first("cust_nation"),
+        asc_nulls_first("l_year"))
+  }
+
   def qIdleRich(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
       .filter(col("c_acctbal") > 0.0)

@@ -158,4 +158,31 @@ class CompositeSpec extends AnyFunSuite {
       .agg(sum($"l_quantity".cast("long"))).as[Long].head()
     assert(direct == rows.head.getAs[Long]("total_qty"))
   }
+
+  test("trade volume: cross-nation pairs only, years in window, revenue conserved") {
+    import spark.implicits._
+    val out = q("q_trade_volume").cache()
+    assert(out.filter($"supp_nation" === $"cust_nation").count() == 0)
+    assert(out.filter($"l_year" < 1996 || $"l_year" > 1997).count() == 0)
+    assert(out.filter($"revenue" <= 0).count() == 0)
+    // total revenue over the output = direct recompute of the same
+    // filtered fact join (conservation, no dup/drop through the chain)
+    val total = out.agg(sum($"revenue")).as[Double].head()
+    val li = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_suppkey",
+        (round($"l_extendedprice" * 100).cast("long") *
+          round((lit(1.0) - $"l_discount") * 100).cast("long")).as("rev"))
+    val sn = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey")
+    val cn = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.customer(spark, sfDir)
+        .select($"c_custkey", $"c_nationkey"), $"o_custkey" === $"c_custkey")
+    val direct = li.join(sn, $"l_suppkey" === $"s_suppkey")
+      .join(cn, $"l_orderkey" === $"o_orderkey")
+      .filter($"s_nationkey" =!= $"c_nationkey")
+      .agg((sum($"rev").cast("double") / 10000.0)).as[Double].head()
+    assert(math.abs(total - direct) <= 1e-4 * math.max(1.0, direct))
+    out.unpersist()
+  }
 }
