@@ -59,6 +59,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("codegen sorted_overlap equals size(array_intersect) and is symmetric") {
+    val words = Gen.listOf(Gen.oneOf(
+      "aa", "ab", "ba", "bb", "ca", "cb", "da", "db", "ea", "eb"))
+    forAllSamples(Gen.zip(words, words), 20) { case (xs, ys) =>
+      val a = xs.distinct.sorted
+      val b = ys.distinct.sorted
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      val row = df.select(
+        functions.SetFunctions.sortedOverlap($"a", $"b").as("fast"),
+        size(array_intersect($"a", $"b")).cast("long").as("builtin"),
+        functions.SetFunctions.sortedOverlap($"b", $"a").as("swapped")).head()
+      assert(row.getLong(0) == row.getLong(1))
+      assert(row.getLong(0) == row.getLong(2))
+      assert(row.getLong(0) == (a.toSet & b.toSet).size.toLong)
+    }
+  }
+
   test("CountOccurrences aggregator: merge is associative and matches size") {
     forAllSamples(Gen.listOf(Gen.oneOf("a", "b", "c")), 20) { xs =>
       val agg = functions.CountOccurrences
