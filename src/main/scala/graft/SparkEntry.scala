@@ -237,6 +237,9 @@ object SparkEntry {
     "q_item_cf"         -> (BehaviorQueries.qItemCf _),
     "q_entropy_rate"    -> (BehaviorQueries.qEntropyRate _),
     "q_linkpred"        -> (AnalyticsQueries.qLinkpred _),
+    "q_label_prop"      -> (AnalyticsQueries.qLabelProp _),
+    "q_modularity"      -> (AnalyticsQueries.qModularity _),
+    "q_assortativity"   -> (AnalyticsQueries.qAssortativity _),
     "q_pca_power"       -> (MlEvalQueries.qPcaPower _),
     "q_wilson"          -> (StatsQueries.qWilson _),
     "q_vocab_growth"    -> (TextQueries.qVocabGrowth _),
@@ -735,6 +738,116 @@ object SparkEntry {
          |GROUP BY node ORDER BY node NULLS FIRST""".stripMargin
   }
 
+  /** [[operators.AnalyticsQueries.LabelPropRounds]] UNROLLED synchronous
+    * label-propagation rounds (generated like PagerankSql; the round
+    * count is the Spark loop's constant, so the two sides cannot
+    * drift). The argmax is spelled as a row_number window with the
+    * (count DESC, label ASC) tie-break — the same (most frequent,
+    * smallest-label) choice the engine's max-of-(cnt, −label) struct
+    * aggregate makes, so both replay identical rounds.
+    */
+  private val LabelPropSql: String = {
+    val head =
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |und AS (SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING count(*) >= 2),
+        |edges AS MATERIALIZED (
+        |  SELECT p1 AS src, p2 AS dst FROM und
+        |  UNION ALL SELECT p2, p1 FROM und),
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)""".stripMargin
+    val rounds = (1 to operators.AnalyticsQueries.LabelPropRounds).map { r =>
+      s"""c$r AS (
+         |  SELECT id, label, count(*) AS cnt FROM (
+         |    SELECT id, label FROM l${r - 1}
+         |    UNION ALL
+         |    SELECT e.src AS id, l.label
+         |    FROM edges e JOIN l${r - 1} l ON l.id = e.dst) v
+         |  GROUP BY id, label),
+         |l$r AS MATERIALIZED (
+         |  SELECT id, label FROM (
+         |    SELECT id, label, row_number() OVER (
+         |      PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM c$r) q
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val last = operators.AnalyticsQueries.LabelPropRounds
+    head + ",\n" + rounds +
+      s"""
+         |SELECT id AS node, CAST(label AS BIGINT) AS community FROM l$last
+         |ORDER BY community NULLS FIRST, node NULLS FIRST""".stripMargin
+  }
+
+  /** Per-brand modularity decomposition — exact integers over the
+    * common denominator 4m², no division (see
+    * `AnalyticsQueries.qModularity`); DuckDB's HUGEINT products are
+    * cast back to BIGINT exactly like Spark's decimal(38,0) path.
+    */
+  private val ModularitySql: String =
+    """WITH pairs AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |und AS MATERIALIZED (
+      |  SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2),
+      |mm AS (SELECT count(*) AS m FROM und),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) t
+      |  GROUP BY node),
+      |bb AS (
+      |  SELECT p.p_brand, count(*) AS n_nodes, sum(d.deg) AS deg_sum
+      |  FROM deg d JOIN part p ON p.p_partkey = d.node
+      |  GROUP BY 1),
+      |internal AS (
+      |  SELECT pu.p_brand, count(*) AS internal_edges
+      |  FROM und
+      |  JOIN part pu ON pu.p_partkey = und.u
+      |  JOIN part pv ON pv.p_partkey = und.v
+      |  WHERE pu.p_brand = pv.p_brand
+      |  GROUP BY 1)
+      |SELECT bb.p_brand, bb.n_nodes,
+      |  CAST(bb.deg_sum AS BIGINT) AS deg_sum,
+      |  CAST(coalesce(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+      |  CAST(4 * mm.m * coalesce(i.internal_edges, 0)
+      |    - bb.deg_sum * bb.deg_sum AS BIGINT) AS q_num,
+      |  CAST(4 * mm.m * mm.m AS BIGINT) AS q_denom
+      |FROM bb LEFT JOIN internal i USING (p_brand) CROSS JOIN mm
+      |ORDER BY p_brand NULLS FIRST""".stripMargin
+
+  /** Degree assortativity — exact integer moments + one rounded
+    * division (see `AnalyticsQueries.qAssortativity`).
+    */
+  private val AssortativitySql: String =
+    """WITH pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |und AS (SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING count(*) >= 2),
+      |edges AS MATERIALIZED (
+      |  SELECT p1 AS src, p2 AS dst FROM und
+      |  UNION ALL SELECT p2, p1 FROM und),
+      |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+      |mom AS (
+      |  SELECT count(*) AS n_edges,
+      |    sum(dx.deg) AS sx, sum(dx.deg * dy.deg) AS sxy,
+      |    sum(dx.deg * dx.deg) AS sxx
+      |  FROM edges e
+      |  JOIN deg dx ON dx.node = e.src
+      |  JOIN deg dy ON dy.node = e.dst)
+      |SELECT n_edges,
+      |  CAST(sx AS BIGINT) AS sum_deg,
+      |  CAST(sxy AS BIGINT) AS sum_xy,
+      |  CAST(sxx AS BIGINT) AS sum_xx,
+      |  round((n_edges * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / (n_edges * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+      |    6) + 0.0 AS assortativity
+      |FROM mom""".stripMargin
+
   private val BpeMergesSql: String = {
     val k = operators.AdvancedTextQueries.BpeMergeRounds
     val steps = (1 to k).map { r =>
@@ -893,6 +1006,9 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> PagerankSql,
+    "q_label_prop" -> LabelPropSql,
+    "q_modularity" -> ModularitySql,
+    "q_assortativity" -> AssortativitySql,
     "q_bpe_merges" -> BpeMergesSql,
     "q_kmeans" -> KmeansSql,
     "q_kmeans_inertia" -> KmeansInertiaSql,

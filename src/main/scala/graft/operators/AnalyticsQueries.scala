@@ -962,4 +962,131 @@ object AnalyticsQueries {
           + lit(0.0)).as("revenue_share"))
       .orderBy(asc_nulls_first("abc_class"))
   }
+
+  /** Fixed LPA round count `LabelPropSql` unrolls. 4 suffices for the
+    * sf co-purchase graphs (label histograms stop moving by round 3);
+    * being fixed — not run-to-convergence — is what keeps the oracle a
+    * replay of the identical computation.
+    */
+  val LabelPropRounds = 4
+
+  /** Label-propagation communities over the thresholded co-purchase
+    * graph (same edge set as q_pagerank/q_kcore): [[LabelPropRounds]]
+    * synchronous most-frequent-neighbor-label rounds with the
+    * smallest-label tie-break, via [[GraphOps.labelPropagation]] —
+    * the linear-time community detector next to the centrality
+    * (PageRank/HITS), cohesion (triangles/k-core), and reachability
+    * (BFS/CC) members of the graph family. Output is the full
+    * node→community mapping (community = the minimum-id member that
+    * seeded the winning label), hash-checked per node.
+    *
+    * Scale: each round ships one label per directed edge (O(E),
+    * map-side combinable) and folds the argmax with a struct-max
+    * aggregate — no window, no driver action, state is one row per
+    * node.
+    */
+  def qLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = BehaviorQueries.cooccurPairCounts(Tables.lineitem(spark, sfDir))
+      .filter(col("n_orders") >= PagerankMinCooccur)
+      .select("p1", "p2")
+    val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+    GraphOps.labelPropagation(edges, rounds = LabelPropRounds)
+      .select(col("id").as("node"), col("label").as("community"))
+      .orderBy(asc_nulls_first("community"), asc_nulls_first("node"))
+  }
+
+  /** Newman modularity decomposition of the co-purchase graph under
+    * the part-BRAND partition: per brand c, the internal-edge count
+    * e_c, degree mass d_c, and the exact-integer contribution
+    * numerator 4·m·e_c − d_c² over the common denominator 4·m² —
+    * Q = Σ_c num_c / denom. Emitting the EXACT integers instead of a
+    * divided float makes every row bit-checkable with no rounding
+    * convention at all (the q_contingency move); the consumer divides
+    * once. Brands whose parts attract no internal edge still surface
+    * (left join, num = −d_c²) — those are the anti-communities, the
+    * interesting rows for an assortment planner.
+    *
+    * Scale: degrees and internal edges are map-combinable aggs over
+    * the edge list; the brand lookup broadcasts the part dim; m
+    * enters as a declared 1-row aggregate broadcast (PlanAudit). The
+    * decimal(38,0) products make overflow past ~10⁹-degree-mass
+    * brands an explicit error, not a wrap (q_gini's convention).
+    */
+  def qModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = BehaviorQueries.cooccurPairCounts(Tables.lineitem(spark, sfDir))
+      .filter(col("n_orders") >= PagerankMinCooccur)
+      .select(col("p1").as("u"), col("p2").as("v"))
+      .localCheckpoint(true)
+    val brand = broadcast(Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand")))
+    val m = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val byBrand = deg
+      .join(brand, deg("node") === brand("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val internal = und
+      .join(brand.select(col("p_partkey").as("u"), col("p_brand").as("bu")), Seq("u"))
+      .join(brand.select(col("p_partkey").as("v"), col("p_brand").as("bv")), Seq("v"))
+      .filter(col("bu") === col("bv"))
+      .groupBy(col("bu").as("p_brand"))
+      .agg(count(lit(1)).as("internal_edges"))
+    byBrand
+      .join(internal, Seq("p_brand"), "left")
+      .na.fill(0L, Seq("internal_edges"))
+      .crossJoin(broadcast(m))
+      .select(
+        col("p_brand"), col("n_nodes"), col("deg_sum"), col("internal_edges"),
+        (lit(4) * col("m").cast("decimal(38,0)") * col("internal_edges")
+          - col("deg_sum").cast("decimal(38,0)") * col("deg_sum"))
+          .cast("bigint").as("q_num"),
+        (lit(4) * col("m").cast("decimal(38,0)") * col("m"))
+          .cast("bigint").as("q_denom"))
+      .orderBy(asc_nulls_first("p_brand"))
+  }
+
+  /** Degree assortativity of the co-purchase graph: the Pearson
+    * correlation of endpoint degrees over the symmetrized directed
+    * edge list — positive = hubs link to hubs (rich-club), negative =
+    * hubs fan out to leaves; THE one-number mixing summary on top of
+    * q_degree_dist's histogram. Symmetry makes the y-moments equal
+    * the x-moments, so r = (n·Sxy − Sx²)/(n·Sxx − Sx²): the exact
+    * integer moments are emitted alongside the one rounded division
+    * (q_corr's convention, decimal(38,0) sums for explicit overflow).
+    *
+    * Scale: degrees are one map-combinable agg; attaching them to
+    * both endpoints is two shuffle-on-key joins; the moment fold is a
+    * scalar aggregate. Nothing global but the final 1-row result.
+    */
+  def qAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = BehaviorQueries.cooccurPairCounts(Tables.lineitem(spark, sfDir))
+      .filter(col("n_orders") >= PagerankMinCooccur)
+      .select("p1", "p2")
+    val sym = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = sym
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), Seq("dst"))
+    val agged = withDeg.agg(
+      count(lit(1)).as("n_edges"),
+      sum(col("dx").cast("decimal(38,0)")).as("sx"),
+      sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"))
+    agged.select(
+      col("n_edges"),
+      col("sx").cast("bigint").as("sum_deg"),
+      col("sxy").cast("bigint").as("sum_xy"),
+      col("sxx").cast("bigint").as("sum_xx"),
+      (round(
+        (col("n_edges") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")) /
+          (col("n_edges") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")), 6)
+        + lit(0.0)).as("assortativity"))
+  }
 }

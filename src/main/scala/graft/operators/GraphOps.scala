@@ -323,6 +323,49 @@ object GraphOps {
     (hubs, auths)
   }
 
+  /** Synchronous label propagation (Raghavan et al., 2007) community
+    * detection: `rounds` FIXED rounds where every node adopts the most
+    * frequent label among {itself} ∪ neighbors, ties broken by the
+    * SMALLEST label — both choices make each round a deterministic
+    * function of the previous one, so an unrolled-CTE oracle replays
+    * the identical computation (the same fixed-rounds move as
+    * [[kCore]]; free-running LPA is famously order-dependent, this
+    * form is not). The self-vote also damps the 2-cycle oscillation
+    * synchronous LPA exhibits on bipartite-ish regions. Labels start
+    * as node ids, so every label is always the id of some member of
+    * the community it names.
+    *
+    * Per round: ONE edge join ships each neighbor's current label
+    * (O(E) rows, map-side combinable into per-(node,label) counts),
+    * then the argmax folds per node with a max-of-struct aggregate —
+    * (count, −label) under struct ordering IS "most frequent,
+    * smallest-label tie-break" — no window, no driver action; a lazy
+    * localCheckpoint per round keeps lineage flat. `edges` must be
+    * symmetrized and deduplicated (callers pass both directions),
+    * matching [[pageRank]]'s contract.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val sym = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("dst"))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = labels
+        .unionAll(
+          sym.join(labels, sym("dst") === labels("id"))
+            .select(col("src").as("id"), col("label")))
+        .groupBy("id", "label")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("id")
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("id"), (-col("m.neg")).as("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
   /** K-core peeling: `rounds` FIXED iterations of "drop every node
     * whose degree in the surviving subgraph is < k", over an
     * undirected edge list (one row per edge, u < v). Fixed rounds —

@@ -570,4 +570,144 @@ object MlEvalQueries {
           .as("mean_ndcg"))
       .orderBy(asc_nulls_first("label"))
   }
+
+  /** Multinomial Naive Bayes language classifier, trained and evaluated
+    * inside the engine: add-one-smoothed token likelihoods fit on the
+    * md5 'train' split (q_split_train's exact bucketing), argmax
+    * posterior on the held-out 'test' split, emitted as the confusion
+    * matrix — the classical generative baseline next to the kNN
+    * discriminative one (q_knn_classify / q_knn_confusion).
+    *
+    * Determinism: every additive term is ROUNDED TO INTEGER MICRO-NATS
+    * before summation (q_lm_score's move): score(d, c) =
+    * round(1e6·ln(P(c))) + Σ_t round(1e6·ln(cnt_tc + 1)) −
+    * n_d·round(1e6·ln(tot_c + V)) — the Σ ln((cnt+1)/(tot_c+V))
+    * posterior with the shared denominator factored out so unseen
+    * (token, class) pairs contribute EXACTLY round(1e6·ln 1) = 0 and
+    * the sparse model join needs no null handling. OOV test tokens
+    * (absent from the train vocabulary) are dropped — the standard NB
+    * convention, applied identically by the oracle's semi-join. The
+    * per-doc argmax ties break on the smaller class label.
+    *
+    * Scale: the model is (vocab × k) — vocabulary-bounded, not
+    * corpus-bounded; scoring is ONE token-stream equi-join on the
+    * token (the tfidf shape) plus a k-row class broadcast; the argmax
+    * window partitions by doc over k rows each. V, doc totals, and
+    * priors enter as declared 1-row/k-row aggregate broadcasts — no
+    * driver action anywhere.
+    */
+  def qNaiveBayes(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("b",
+        conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))),
+          1, 4), 16, 10).cast("long") % 100)
+    val train = docs.filter(col("b") < 80)
+    val test = docs.filter(col("b") >= 90)
+    val trainToks = train
+      .select(col("lang"), explode(TextQueries.tokens(col("text"))).as("t"))
+      .localCheckpoint(true)
+    val model = trainToks.groupBy("t", "lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("w_micro",
+        round(log(col("cnt").cast("double") + 1.0) * 1000000.0, 0).cast("long"))
+      .localCheckpoint(true)
+    val vocab = model.select("t").distinct()
+    val vocabN = vocab.agg(count(lit(1)).as("v"))
+    val totC = trainToks.groupBy("lang").agg(count(lit(1)).as("tot_c"))
+    val priors = train.groupBy("lang").agg(count(lit(1)).as("n_docs_c"))
+    val nTrain = train.agg(count(lit(1)).as("n_train"))
+    val classInfo = totC.join(priors, Seq("lang"))
+      .crossJoin(broadcast(vocabN))
+      .crossJoin(broadcast(nTrain))
+      .select(
+        col("lang").as("pred_lang"),
+        round(log((col("tot_c") + col("v")).cast("double")) * 1000000.0, 0)
+          .cast("long").as("lnz_micro"),
+        round(log(col("n_docs_c").cast("double") / col("n_train")) * 1000000.0, 0)
+          .cast("long").as("lnprior_micro"))
+    val testToks = test
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        explode(TextQueries.tokens(col("text"))).as("t"))
+      .localCheckpoint(true)
+    val inV = testToks.join(vocab, Seq("t"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_inv"))
+    val base = test.select(col("doc_id"), col("lang").as("true_lang"))
+      .join(inV, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_inv"))
+    val seen = testToks
+      .join(model.select(col("t"), col("lang").as("pred_lang"), col("w_micro")),
+        Seq("t"))
+      .groupBy("doc_id", "pred_lang").agg(sum(col("w_micro")).as("s_seen"))
+    val scored = base.crossJoin(broadcast(classInfo))
+      .join(seen, Seq("doc_id", "pred_lang"), "left")
+      .withColumn("score",
+        coalesce(col("s_seen"), lit(0L))
+          - col("n_inv") * col("lnz_micro") + col("lnprior_micro"))
+    val pred = scored
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("pred_lang").asc)))
+      .filter(col("rn") === 1)
+    pred.groupBy("true_lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(asc_nulls_first("true_lang"), asc_nulls_first("pred_lang"))
+  }
+
+  /** Thresholds of [[qCohenKappa]]'s two heuristic labelers, shared
+    * with the oracle: labeler A keeps docs of ≥ 300 chars (the corpus
+    * median is ~306); labeler B keeps docs whose distinct-token count
+    * is ≥ 45% of their token count (median ratio ~0.46) — a
+    * length-blind repetition screen, so the two raters are genuinely
+    * different measurements of "keep".
+    */
+  val KappaMinChars = 300
+  val KappaUniquePct = 45
+
+  /** Cohen's kappa between two independent document-quality labelers —
+    * the inter-annotator-agreement number a curation team reads before
+    * trusting any single heuristic gate (kappa ≈ 0 means the raters
+    * agree no more than chance, however high the raw agreement). The
+    * 2×2 contingency (both-keep / A-only / B-only / both-drop) is
+    * emitted as exact integers; kappa = (p_o − p_e)/(1 − p_e)
+    * rearranges to the division-free-until-the-end form
+    * 2(ad − bc) / ((a+b)(b+d) + (a+c)(c+d)) — ONE rounded division
+    * from exact integer products.
+    *
+    * Determinism: both label rules are exact-integer comparisons
+    * (char count; 100·distinct ≥ 45·total — no float ratio), so the
+    * contingency is bit-exact and the single kappa division follows
+    * the 6-dp convention.
+    *
+    * Scale: one pass over the token stream folding per-doc (distinct,
+    * total) counts, then a 4-cell aggregate — nothing global but the
+    * 1-row result.
+    */
+  def qCohenKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        explode(TextQueries.tokens(col("text"))).as("t"))
+    val perDoc = toks.groupBy("doc_id")
+      .agg(max(col("n_chars")).as("n_chars"),
+        countDistinct(col("t")).as("n_distinct"),
+        count(lit(1)).as("n_tokens"))
+      .select(
+        when(col("n_chars") >= KappaMinChars, 1L).otherwise(0L).as("ka"),
+        when(col("n_distinct") * 100 >= col("n_tokens") * KappaUniquePct, 1L)
+          .otherwise(0L).as("kb"))
+    val cells = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("ka") * col("kb")).as("keep_keep"),
+      sum(col("ka") * (lit(1L) - col("kb"))).as("keep_drop"),
+      sum((lit(1L) - col("ka")) * col("kb")).as("drop_keep"),
+      sum((lit(1L) - col("ka")) * (lit(1L) - col("kb"))).as("drop_drop"))
+    cells.select(
+      col("n_docs"), col("keep_keep"), col("keep_drop"),
+      col("drop_keep"), col("drop_drop"),
+      (round(
+        (lit(2.0) * (col("keep_keep") * col("drop_drop")
+          - col("keep_drop") * col("drop_keep")).cast("double")) /
+          (((col("keep_keep") + col("keep_drop"))
+            * (col("keep_drop") + col("drop_drop"))
+            + (col("keep_keep") + col("drop_keep"))
+              * (col("drop_keep") + col("drop_drop"))).cast("double")), 6)
+        + lit(0.0)).as("kappa"))
+  }
 }
