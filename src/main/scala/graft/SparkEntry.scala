@@ -240,6 +240,8 @@ object SparkEntry {
     "q_label_prop"      -> (AnalyticsQueries.qLabelProp _),
     "q_modularity"      -> (AnalyticsQueries.qModularity _),
     "q_assortativity"   -> (AnalyticsQueries.qAssortativity _),
+    "q_naive_bayes"     -> (MlEvalQueries.qNaiveBayes _),
+    "q_cohen_kappa"     -> (MlEvalQueries.qCohenKappa _),
     "q_pca_power"       -> (MlEvalQueries.qPcaPower _),
     "q_wilson"          -> (StatsQueries.qWilson _),
     "q_vocab_growth"    -> (TextQueries.qVocabGrowth _),
@@ -848,6 +850,109 @@ object SparkEntry {
       |    6) + 0.0 AS assortativity
       |FROM mom""".stripMargin
 
+  /** Multinomial NB confusion matrix — the same factored
+    * integer-micro-nat posterior `MlEvalQueries.qNaiveBayes` computes
+    * (shared-denominator form, OOV dropped via the vocab semi-join,
+    * smallest-label argmax tie-break).
+    */
+  private val NaiveBayesSql: String =
+    """WITH split AS (
+      |  SELECT doc_id, lang, text,
+      |    CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+      |      AS BIGINT) % 100 AS b
+      |  FROM documents),
+      |train_toks AS MATERIALIZED (
+      |  SELECT lang,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                       x -> x <> '')) AS t
+      |  FROM split WHERE b < 80),
+      |model AS MATERIALIZED (
+      |  SELECT t, lang, count(*) AS cnt,
+      |    CAST(round(ln(CAST(count(*) AS DOUBLE) + 1) * 1000000, 0) AS BIGINT)
+      |      AS w_micro
+      |  FROM train_toks GROUP BY t, lang),
+      |vocab AS MATERIALIZED (SELECT DISTINCT t FROM model),
+      |vn AS (SELECT count(*) AS v FROM vocab),
+      |totc AS (SELECT lang, count(*) AS tot_c FROM train_toks GROUP BY lang),
+      |priors AS (SELECT lang, count(*) AS n_docs_c FROM split WHERE b < 80
+      |           GROUP BY lang),
+      |ntr AS (SELECT count(*) AS n_train FROM split WHERE b < 80),
+      |class_info AS (
+      |  SELECT tc.lang AS pred_lang,
+      |    CAST(round(ln(CAST(tc.tot_c + vn.v AS DOUBLE)) * 1000000, 0) AS BIGINT)
+      |      AS lnz_micro,
+      |    CAST(round(ln(CAST(p.n_docs_c AS DOUBLE) / ntr.n_train) * 1000000, 0)
+      |      AS BIGINT) AS lnprior_micro
+      |  FROM totc tc JOIN priors p ON p.lang = tc.lang
+      |  CROSS JOIN vn CROSS JOIN ntr),
+      |test_toks AS MATERIALIZED (
+      |  SELECT doc_id, lang AS true_lang,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                       x -> x <> '')) AS t
+      |  FROM split WHERE b >= 90),
+      |inv AS (
+      |  SELECT doc_id, count(*) AS n_inv FROM test_toks
+      |  WHERE t IN (SELECT t FROM vocab) GROUP BY doc_id),
+      |base AS (
+      |  SELECT s.doc_id, s.lang AS true_lang, coalesce(i.n_inv, 0) AS n_inv
+      |  FROM split s LEFT JOIN inv i ON i.doc_id = s.doc_id
+      |  WHERE s.b >= 90),
+      |seen AS (
+      |  SELECT tt.doc_id, m.lang AS pred_lang,
+      |    CAST(sum(m.w_micro) AS BIGINT) AS s_seen
+      |  FROM test_toks tt JOIN model m ON m.t = tt.t
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT b.doc_id, b.true_lang, c.pred_lang,
+      |    coalesce(s.s_seen, 0) - b.n_inv * c.lnz_micro + c.lnprior_micro
+      |      AS score
+      |  FROM base b CROSS JOIN class_info c
+      |  LEFT JOIN seen s ON s.doc_id = b.doc_id AND s.pred_lang = c.pred_lang),
+      |pred AS (
+      |  SELECT true_lang, pred_lang FROM (
+      |    SELECT true_lang, pred_lang, row_number() OVER (
+      |      PARTITION BY doc_id ORDER BY score DESC, pred_lang ASC) AS rn
+      |    FROM scored) q
+      |  WHERE rn = 1)
+      |SELECT true_lang, pred_lang, count(*) AS n_docs
+      |FROM pred GROUP BY 1, 2
+      |ORDER BY true_lang NULLS FIRST, pred_lang NULLS FIRST""".stripMargin
+
+  /** Cohen's kappa between the two exact-integer quality labelers —
+    * thresholds are the Scala constants, so the two sides cannot
+    * drift (see `MlEvalQueries.qCohenKappa`).
+    */
+  private val CohenKappaSql: String = {
+    val mc = operators.MlEvalQueries.KappaMinChars
+    val up = operators.MlEvalQueries.KappaUniquePct
+    s"""WITH toks AS (
+       |  SELECT doc_id, n_chars,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                       x -> x <> '')) AS t
+       |  FROM documents),
+       |per_doc AS (
+       |  SELECT doc_id, max(n_chars) AS n_chars,
+       |    count(DISTINCT t) AS n_distinct, count(*) AS n_tokens
+       |  FROM toks GROUP BY doc_id),
+       |lab AS (
+       |  SELECT CASE WHEN n_chars >= $mc THEN 1 ELSE 0 END AS ka,
+       |    CASE WHEN n_distinct * 100 >= n_tokens * $up THEN 1 ELSE 0 END AS kb
+       |  FROM per_doc),
+       |cells AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(ka * kb) AS BIGINT) AS keep_keep,
+       |    CAST(sum(ka * (1 - kb)) AS BIGINT) AS keep_drop,
+       |    CAST(sum((1 - ka) * kb) AS BIGINT) AS drop_keep,
+       |    CAST(sum((1 - ka) * (1 - kb)) AS BIGINT) AS drop_drop
+       |  FROM lab)
+       |SELECT n_docs, keep_keep, keep_drop, drop_keep, drop_drop,
+       |  round(2.0 * (keep_keep * drop_drop - keep_drop * drop_keep) /
+       |    ((keep_keep + keep_drop) * (keep_drop + drop_drop) +
+       |     (keep_keep + drop_keep) * (drop_keep + drop_drop)), 6) + 0.0
+       |    AS kappa
+       |FROM cells""".stripMargin
+  }
+
   private val BpeMergesSql: String = {
     val k = operators.AdvancedTextQueries.BpeMergeRounds
     val steps = (1 to k).map { r =>
@@ -1009,6 +1114,8 @@ object SparkEntry {
     "q_label_prop" -> LabelPropSql,
     "q_modularity" -> ModularitySql,
     "q_assortativity" -> AssortativitySql,
+    "q_naive_bayes" -> NaiveBayesSql,
+    "q_cohen_kappa" -> CohenKappaSql,
     "q_bpe_merges" -> BpeMergesSql,
     "q_kmeans" -> KmeansSql,
     "q_kmeans_inertia" -> KmeansInertiaSql,
