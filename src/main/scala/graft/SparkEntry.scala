@@ -242,6 +242,8 @@ object SparkEntry {
     "q_assortativity"   -> (AnalyticsQueries.qAssortativity _),
     "q_naive_bayes"     -> (MlEvalQueries.qNaiveBayes _),
     "q_cohen_kappa"     -> (MlEvalQueries.qCohenKappa _),
+    "q_rolling_corr"    -> (TimeSeriesQueries.qRollingCorr _),
+    "q_hill_tail"       -> (StatsQueries.qHillTail _),
     "q_pca_power"       -> (MlEvalQueries.qPcaPower _),
     "q_wilson"          -> (StatsQueries.qWilson _),
     "q_vocab_growth"    -> (TextQueries.qVocabGrowth _),
@@ -953,6 +955,63 @@ object SparkEntry {
        |FROM cells""".stripMargin
   }
 
+  /** 14-day rolling Pearson between the click/purchase daily series —
+    * decimal moment window sums, exact zero-variance guards, one
+    * rounded division (see `TimeSeriesQueries.qRollingCorr`).
+    */
+  private val RollingCorrSql: String = {
+    val d = operators.TimeSeriesQueries.RollingCorrDays
+    s"""WITH byday AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+       |  FROM events WHERE event_type IN ('click', 'purchase')
+       |  GROUP BY 1),
+       |rolled AS (
+       |  SELECT day,
+       |    row_number() OVER (ORDER BY day) AS rn,
+       |    count(*) OVER w AS n,
+       |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+       |    sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx,
+       |    sum(y * y) OVER w AS syy
+       |  FROM byday
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN ${d - 1} PRECEDING
+       |               AND CURRENT ROW))
+       |SELECT day, CAST(n AS BIGINT) AS n_days,
+       |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+       |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+       |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+       |       sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0
+       |  END AS roll_corr
+       |FROM rolled WHERE rn >= $d
+       |ORDER BY day NULLS FIRST""".stripMargin
+  }
+
+  /** Hill tail-index over the top-[[operators.StatsQueries.HillK]]
+    * order totals — micro-nat log terms off the (k+1)-th order
+    * statistic, one final division (see `StatsQueries.qHillTail`).
+    */
+  private val HillTailSql: String = {
+    val k = operators.StatsQueries.HillK
+    s"""WITH top AS (
+       |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c, o_orderkey
+       |  FROM orders ORDER BY c DESC, o_orderkey ASC LIMIT ${k + 1}),
+       |ranked AS (
+       |  SELECT c, row_number() OVER (ORDER BY c DESC, o_orderkey ASC) AS rn
+       |  FROM top),
+       |ref AS (SELECT c AS c_ref FROM ranked WHERE rn = ${k + 1}),
+       |terms AS (
+       |  SELECT CAST(round(ln(CAST(r.c AS DOUBLE) / f.c_ref) * 1000000, 0)
+       |    AS BIGINT) AS term_micro, f.c_ref
+       |  FROM ranked r CROSS JOIN ref f WHERE r.rn <= $k)
+       |SELECT count(*) AS k, max(c_ref) AS x_ref_cents,
+       |  CAST(sum(term_micro) AS BIGINT) AS sum_log_micro,
+       |  CASE WHEN sum(term_micro) > 0 THEN
+       |    round(count(*) * 1000000.0 / sum(term_micro), 6) + 0.0
+       |  END AS tail_index
+       |FROM terms""".stripMargin
+  }
+
   private val BpeMergesSql: String = {
     val k = operators.AdvancedTextQueries.BpeMergeRounds
     val steps = (1 to k).map { r =>
@@ -1116,6 +1175,8 @@ object SparkEntry {
     "q_assortativity" -> AssortativitySql,
     "q_naive_bayes" -> NaiveBayesSql,
     "q_cohen_kappa" -> CohenKappaSql,
+    "q_rolling_corr" -> RollingCorrSql,
+    "q_hill_tail" -> HillTailSql,
     "q_bpe_merges" -> BpeMergesSql,
     "q_kmeans" -> KmeansSql,
     "q_kmeans_inertia" -> KmeansInertiaSql,

@@ -1066,4 +1066,53 @@ object StatsQueries {
         + lit(0.0)).as("f_stat"),
       (round(ssb / sst, 6) + lit(0.0)).as("eta_sq"))
   }
+
+  /** Hill-estimator order-statistic count, shared with the oracle. */
+  val HillK = 500
+
+  /** Hill estimator of the order-value tail index: over the top
+    * k = [[HillK]] order totals, α̂ = k / Σᵢ ln(xᵢ / x₍ₖ₊₁₎) — the
+    * standard answer to "how heavy is the revenue tail?" that a mean/
+    * variance summary cannot give (for a Pareto tail P(X>x) ~ x^−α,
+    * α ≤ 2 means infinite variance and sampling-based revenue
+    * estimates stop converging). Complements q_zipf_slope (rank-
+    * frequency) and q_gini/q_lorenz (full-distribution inequality)
+    * with the extreme-value view.
+    *
+    * Determinism: the top-(k+1) cut orders by (cents DESC, orderkey
+    * ASC) — ties at the boundary don't matter because equal cents
+    * contribute equal log terms; each ln(xᵢ/x_ref) of two exact cent
+    * values rounds to integer micro-nats BEFORE the sum (q_lm_score's
+    * move), and α̂ divides once.
+    *
+    * Scale: the ONLY global operation is a TakeOrdered(k+1) — Spark's
+    * per-partition top-k + driver merge, no global sort, no full
+    * shuffle; everything after runs on k+1 rows with the reference
+    * value as a declared 1-row broadcast.
+    */
+  def qHillTail(spark: SparkSession, sfDir: String): DataFrame = {
+    val top = Tables.orders(spark, sfDir)
+      .select(cents(col("o_totalprice")).as("c"), col("o_orderkey"))
+      .orderBy(col("c").desc, col("o_orderkey").asc)
+      .limit(HillK + 1)
+    val ranked = top.withColumn("rn",
+      row_number().over(Window.orderBy(col("c").desc, col("o_orderkey").asc)))
+    val ref = ranked.filter(col("rn") === HillK + 1)
+      .select(col("c").as("c_ref"))
+    ranked.filter(col("rn") <= HillK)
+      .crossJoin(broadcast(ref))
+      .select(
+        round(log(col("c").cast("double") / col("c_ref")) * 1000000.0, 0)
+          .cast("long").as("term_micro"),
+        col("c_ref"))
+      .agg(
+        count(lit(1)).as("k"),
+        max(col("c_ref")).as("x_ref_cents"),
+        sum(col("term_micro")).as("sum_log_micro"))
+      .select(
+        col("k"), col("x_ref_cents"), col("sum_log_micro"),
+        when(col("sum_log_micro") > 0,
+          round(col("k") * 1000000.0 / col("sum_log_micro"), 6) + lit(0.0))
+          .as("tail_index"))
+  }
 }

@@ -534,4 +534,59 @@ object TimeSeriesQueries {
         .as("burstiness"))
       .orderBy(asc_nulls_first("event_type"))
   }
+
+  /** Rolling-correlation window length (days), shared with the oracle. */
+  val RollingCorrDays = 14
+
+  /** 14-day rolling Pearson correlation between the click and purchase
+    * daily-count series — the time-LOCAL version of q_corr's global
+    * coefficient and the monitoring question behind it: did the
+    * click→purchase coupling break this week, even if the all-time
+    * correlation still looks fine? Days align on the observed day axis
+    * (q_autocorr's convention); each day's x/y are conditional counts,
+    * so a day with clicks but no purchases contributes (x, 0), not a
+    * gap. Only FULL windows emit (row_number ≥ 14) and zero-variance
+    * windows yield NULL by exact integer guards — no engine divides
+    * by zero.
+    *
+    * Determinism: the window folds DECIMAL(38,0) moment sums of exact
+    * integer counts; the one double division rounds to 6 dp.
+    *
+    * Scale: the corpus folds to |days| rows before any window; the
+    * unpartitioned rolling window runs over that days-bounded frame
+    * (the TimeSeriesQueries contract), never over raw events.
+    */
+  def qRollingCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDay = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("y"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(-(RollingCorrDays - 1), Window.currentRow)
+    val wRn = Window.orderBy(col("day").asc)
+    val rolled = byDay
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .filter(col("rn") >= RollingCorrDays)
+    rolled.select(
+      col("day"), col("n").as("n_days"),
+      when(
+        col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+          col("n") * col("syy") - col("sy") * col("sy") > 0,
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6) + lit(0.0)).as("roll_corr"))
+      .orderBy(asc_nulls_first("day"))
+  }
 }
