@@ -471,4 +471,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == more, "6 rounds did not reach the peeling fixpoint")
     assert(got.values.forall(_ >= AnalyticsQueries.KcoreK))
   }
+
+  test("q_modularity: handshake + edge conservation; Q in its classical bounds") {
+    val out = q("q_modularity").collect()
+    assert(out.nonEmpty)
+    val degSum = out.map(_.getAs[Long]("deg_sum")).sum
+    val internal = out.map(_.getAs[Long]("internal_edges")).sum
+    val denom = out.map(_.getAs[Long]("q_denom")).distinct
+    assert(denom.length == 1, "q_denom must be the shared 4m²")
+    // denom = 4m² and handshake Σdeg = 2m → denom == (Σdeg)²
+    assert(denom.head == degSum * degSum)
+    val m = degSum / 2
+    assert(degSum % 2 == 0 && internal <= m)
+    // per-row numerator re-derives from the emitted integers
+    out.foreach { r =>
+      assert(r.getAs[Long]("q_num") ==
+        4L * m * r.getAs[Long]("internal_edges") -
+          r.getAs[Long]("deg_sum") * r.getAs[Long]("deg_sum"))
+    }
+    val qTot = out.map(_.getAs[Long]("q_num")).sum.toDouble / denom.head
+    assert(qTot >= -0.5 && qTot <= 1.0, s"modularity $qTot out of bounds")
+  }
+
+  test("q_assortativity: moments consistent and r within [-1, 1]") {
+    val r = q("q_assortativity").collect().head
+    val n = r.getAs[Long]("n_edges")
+    assert(n % 2 == 0, "symmetrized edge list must have even row count")
+    // Σdeg(src) over the symmetrized edges = Σ deg² ≥ n (every deg ≥ 1)
+    assert(r.getAs[Long]("sum_deg") >= n)
+    // Cauchy-Schwarz on the moment sums: (Σxy)² ≤ Σx²·Σy² = (Σx²)²
+    assert(r.getAs[Long]("sum_xy") <= r.getAs[Long]("sum_xx"))
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"assortativity $a")
+  }
 }

@@ -169,4 +169,47 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(math.abs(h.values.sum - 1000000000000L) <= h.size)
     assert(math.abs(a.values.sum - 1000000000000L) <= a.size)
   }
+
+  test("labelPropagation: disjoint triangles and an isolated edge settle on their min ids") {
+    // two triangles + an edge, symmetrized; with the self-vote and the
+    // smallest-label tie-break every component unanimously adopts its
+    // minimum id (round 1 already — later rounds are no-ops)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1,
+      10L -> 10, 11L -> 10, 12L -> 10, 20L -> 20, 21L -> 20))
+  }
+
+  test("labelPropagation: a 5-path drains to label 0 within 4 rounds") {
+    // hand-replayed synchronous rounds with self-vote + min tie-break:
+    // [0,0,1,2,3] → [0,0,0,1,2] → [0,0,0,0,1] → [0,0,0,0,0]
+    val und = (0L until 4L).map(i => (i, i + 1))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.forall(_ == 0L), s"expected all 0, got $got")
+  }
+
+  test("q_label_prop: communities nest inside connected components; labels are member ids") {
+    val lp = q("q_label_prop").as[(Long, Long)].collect()
+    val nodes = lp.map(_._1).toSet
+    // every community label is itself a node of the graph
+    assert(lp.map(_._2).toSet.subsetOf(nodes))
+    // propagation can never cross a component boundary: rebuild the
+    // edge list and check each (node, community) pair co-resides
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val pairs = operators.BehaviorQueries.cooccurPairCounts(li)
+      .filter(col("n_orders") >= operators.AnalyticsQueries.PagerankMinCooccur)
+      .select("p1", "p2")
+    val cc = localComponents(pairs.as[(Long, Long)].collect().toSeq)
+    lp.foreach { case (node, community) =>
+      assert(cc(node) == cc(community),
+        s"node $node labeled $community from a different component")
+    }
+  }
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
 }

@@ -236,4 +236,39 @@ class MlEvalSpec extends AnyFunSuite {
       assert(v >= 0.0 && v <= 1.0 + 1e-9, s"ndcg $v out of range")
     }
   }
+
+  test("q_naive_bayes: test docs conserved; the generative model beats chance") {
+    val out = SparkEntry.queries("q_naive_bayes")(spark, sfDir).collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    // confusion cells partition exactly the md5 test bucket (b >= 90)
+    val nTest = Tables.documents(spark, sfDir)
+      .filter(conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long") % 100 >= 90)
+      .count()
+    assert(total == nTest, s"confusion covers $total of $nTest test docs")
+    val correct = out.filter(r =>
+      r.getAs[String]("true_lang") == r.getAs[String]("pred_lang"))
+      .map(_.getAs[Long]("n_docs")).sum
+    // 5 balanced classes: chance is ~0.2. The sf0.001 fixture trains
+    // on ~400 heavily-overlapping synthetic docs and scores ~0.48 —
+    // 2.4× chance; assert a wide margin over chance, not fixture-tuned
+    // accuracy (a broken model join or dropped prior lands at ≤0.25)
+    assert(correct.toDouble / total > 0.35,
+      s"NB accuracy ${correct.toDouble / total} barely beats chance")
+  }
+
+  test("q_cohen_kappa: cells partition the corpus; kappa re-derives and is bounded") {
+    val r = SparkEntry.queries("q_cohen_kappa")(spark, sfDir).collect().head
+    val (a, b, c, d) = (r.getAs[Long]("keep_keep"), r.getAs[Long]("keep_drop"),
+      r.getAs[Long]("drop_keep"), r.getAs[Long]("drop_drop"))
+    assert(a + b + c + d == r.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("n_docs") ==
+      Tables.documents(spark, sfDir).count())
+    val kappa = r.getAs[Double]("kappa")
+    assert(kappa >= -1.0 - 1e-9 && kappa <= 1.0 + 1e-9, s"kappa $kappa")
+    val expect = 2.0 * (a * d - b * c) /
+      ((a + b).toDouble * (b + d) + (a + c).toDouble * (c + d))
+    assert(math.abs(kappa - expect) < 1e-6)
+  }
 }

@@ -74,7 +74,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // scale, q_tfidf's shape
     "q_keyness",
     // 1-row purchase-sample total entering the dominance products
-    "q_cliff_delta")
+    "q_cliff_delta",
+    // 1-row edge-count m entering the modularity numerator/denominator
+    "q_modularity",
+    // 1-row (k+1)-th order statistic entering the log-ratio terms of
+    // the post-TakeOrdered 500-row frame
+    "q_hill_tail")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —
@@ -97,7 +102,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_eop_balance",
     // vocab × other-sources grid for the pairwise KL sums: the source
     // list is |sources| rows at any scale and must broadcast
-    "q_js_divergence")
+    "q_js_divergence",
+    // test-doc × class grid (k classes at any scale) plus the 1-row
+    // vocab-size and train-count scalars entering the class stats —
+    // every build side must broadcast
+    "q_naive_bayes")
 
   private def flatten(plan: SparkPlan): Seq[SparkPlan] = plan match {
     case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)

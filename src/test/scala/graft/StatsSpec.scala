@@ -442,4 +442,25 @@ class StatsSpec extends AnyFunSuite {
     val cums = out.map(_.getAs[Double]("cum_share")).toSeq
     assert(cums.zip(cums.tail).forall { case (a, b) => a <= b + 1e-9 })
   }
+
+  test("hill tail: matches a local replay of the top-k order statistics") {
+    val r = SparkEntry.queries("q_hill_tail")(spark, sfDir).collect().head
+    val k = operators.StatsQueries.HillK
+    assert(r.getAs[Long]("k") == k)
+    // local replay: same cents, same (desc, key asc) cut, same
+    // micro-nat term rounding
+    val all = Tables.orders(spark, sfDir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("c"),
+        col("o_orderkey"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy { case (c, key) => (-c, key) }
+    val ref = all(k)._1
+    assert(r.getAs[Long]("x_ref_cents") == ref)
+    val sumLog = all.take(k)
+      .map { case (c, _) => math.round(math.log(c.toDouble / ref) * 1e6) }
+      .sum
+    assert(r.getAs[Long]("sum_log_micro") == sumLog)
+    val alpha = r.getAs[Double]("tail_index")
+    assert(alpha > 0 && math.abs(alpha - k * 1e6 / sumLog) < 1e-6)
+  }
 }

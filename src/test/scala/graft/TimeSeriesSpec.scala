@@ -256,4 +256,21 @@ class TimeSeriesSpec extends AnyFunSuite {
       } else assert(r.isNullAt(r.fieldIndex("breakout")))
     }
   }
+
+  test("rolling corr: full windows only, r bounded, day axis conserved") {
+    val out = SparkEntry.queries("q_rolling_corr")(spark, sfDir).collect()
+    val win = operators.TimeSeriesQueries.RollingCorrDays
+    val nDays = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(to_date(col("ts"))).distinct().count()
+    assert(out.length == nDays - win + 1,
+      s"${out.length} windows from $nDays days")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_days") == win)
+      if (!r.isNullAt(r.fieldIndex("roll_corr"))) {
+        val v = r.getAs[Double]("roll_corr")
+        assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"roll_corr $v")
+      }
+    }
+  }
 }
