@@ -244,6 +244,9 @@ object SparkEntry {
     "q_cohen_kappa"     -> (MlEvalQueries.qCohenKappa _),
     "q_rolling_corr"    -> (TimeSeriesQueries.qRollingCorr _),
     "q_hill_tail"       -> (StatsQueries.qHillTail _),
+    "q_kruskal_wallis"  -> (StatsQueries.qKruskalWallis _),
+    "q_emd"             -> (StatsQueries.qEmd _),
+    "q_kendall_tau"     -> (TimeSeriesQueries.qKendallTau _),
     "q_pca_power"       -> (MlEvalQueries.qPcaPower _),
     "q_wilson"          -> (StatsQueries.qWilson _),
     "q_vocab_growth"    -> (TextQueries.qVocabGrowth _),
@@ -1012,6 +1015,88 @@ object SparkEntry {
        |FROM terms""".stripMargin
   }
 
+  /** Kruskal–Wallis sufficient statistics — exact doubled rank sums
+    * over the value-domain fold; H left to the reader like
+    * q_contingency's χ² (see `StatsQueries.qKruskalWallis`).
+    */
+  private val KruskalWallisSql: String =
+    """WITH j AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, c.c_mktsegment
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      |bvs AS (SELECT v, c_mktsegment, count(*) AS c_g FROM j GROUP BY 1, 2),
+      |bv AS (
+      |  SELECT v, t,
+      |    sum(t) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) - t AS p
+      |  FROM (SELECT v, CAST(sum(c_g) AS BIGINT) AS t FROM bvs GROUP BY v) q),
+      |shared AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n_total,
+      |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+      |  FROM bv)
+      |SELECT s.c_mktsegment, CAST(sum(s.c_g) AS BIGINT) AS n_g,
+      |  CAST(sum(s.c_g * (2 * b.p + b.t + 1)) AS BIGINT) AS r2_g,
+      |  max(sh.n_total) AS n_total, max(sh.tie_sum) AS tie_sum
+      |FROM bvs s JOIN bv b USING (v) CROSS JOIN shared sh
+      |GROUP BY 1
+      |ORDER BY c_mktsegment NULLS FIRST""".stripMargin
+
+  /** 1-D Wasserstein-1 between the click/purchase value ECDFs —
+    * per-segment area terms snapped to micro units before the exact
+    * sum (see `StatsQueries.qEmd`).
+    */
+  // lazy: TwoSampleCte is initialized later in the object body
+  private lazy val EmdSql: String =
+    (TwoSampleCte +
+      """,
+      |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+      |  CAST(sum(c_b) AS BIGINT) AS n_b FROM bv),
+      |seg AS (
+      |  SELECT n_a, n_b,
+      |    CAST(round(CAST(abs(cum_a * n_b - cum_b * n_a) AS DOUBLE) /
+      |      CAST(n_a * n_b AS DOUBLE) *
+      |      (lead(value) OVER (ORDER BY value ASC) - value) * 1000000, 0)
+      |      AS BIGINT) AS term_micro
+      |  FROM cum CROSS JOIN tot)
+      |SELECT n_a, n_b, count(*) AS n_segments,
+      |  round(CAST(sum(term_micro) AS DOUBLE) / 1000000, 6) + 0.0 AS emd
+      |FROM seg WHERE term_micro IS NOT NULL
+      |GROUP BY 1, 2""").stripMargin
+
+  /** Kendall tau-b over the daily click/purchase pair classes — exact
+    * integer cells, one tie-corrected division (see
+    * `TimeSeriesQueries.qKendallTau`).
+    */
+  private val KendallTauSql: String =
+    """WITH byday AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.x - b.x AS dx, a.y - b.y AS dy
+      |  FROM byday a JOIN byday b ON a.day < b.day),
+      |cells AS (
+      |  SELECT count(*) AS n_pairs,
+      |    CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS concordant,
+      |    CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS discordant,
+      |    CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ties_x_only,
+      |    CAST(sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ties_y_only,
+      |    CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ties_both
+      |  FROM pairs)
+      |SELECT n_pairs, concordant, discordant, ties_x_only, ties_y_only,
+      |  ties_both,
+      |  round(CAST(concordant - discordant AS DOUBLE) /
+      |    (sqrt(CAST(n_pairs - ties_x_only - ties_both AS DOUBLE)) *
+      |     sqrt(CAST(n_pairs - ties_y_only - ties_both AS DOUBLE))), 6) + 0.0
+      |    AS tau_b
+      |FROM cells""".stripMargin
+
   private val BpeMergesSql: String = {
     val k = operators.AdvancedTextQueries.BpeMergeRounds
     val steps = (1 to k).map { r =>
@@ -1177,6 +1262,9 @@ object SparkEntry {
     "q_cohen_kappa" -> CohenKappaSql,
     "q_rolling_corr" -> RollingCorrSql,
     "q_hill_tail" -> HillTailSql,
+    "q_kruskal_wallis" -> KruskalWallisSql,
+    "q_emd" -> EmdSql,
+    "q_kendall_tau" -> KendallTauSql,
     "q_bpe_merges" -> BpeMergesSql,
     "q_kmeans" -> KmeansSql,
     "q_kmeans_inertia" -> KmeansInertiaSql,

@@ -1067,6 +1067,88 @@ object StatsQueries {
       (round(ssb / sst, 6) + lit(0.0)).as("eta_sq"))
   }
 
+  /** Kruskal–Wallis sufficient statistics across the 5 market
+    * segments on order totals — the k-sample nonparametric extension
+    * of q_mannwhitney (2 samples) and q_anova (parametric k-sample):
+    * per segment the EXACT DOUBLED rank sum R2_g = Σ c_g·(2p + t + 1)
+    * (midranks carry .5, doubling keeps every rank an integer — the
+    * q_corr_spearman move), plus the shared N and tie term Σ(t³−t).
+    * The H statistic itself — 3·Σ(R2_g²/4n_g)... one division per
+    * group — is deliberately left to the reader exactly like
+    * q_contingency leaves χ²: a cross-group double sum is engine-
+    * order-dependent, while these sufficient statistics are
+    * bit-exact; StatsSpec replays H locally from the emitted row.
+    *
+    * Scale: the fact join folds to the value DOMAIN before the
+    * cumulative window (q_mannwhitney's shape — the window frame is
+    * distinct-cents-bounded, not row-bounded); the per-group fold is
+    * a map-combinable agg to k rows; N and the tie sum enter as a
+    * declared 1-row broadcast. t³ runs in decimal(38,0) — explicit
+    * overflow, q_gini's convention.
+    */
+  def qKruskalWallis(spark: SparkSession, sfDir: String): DataFrame = {
+    val joined = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("v"))
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val byValSeg = joined.groupBy("v", "c_mktsegment")
+      .agg(count(lit(1)).as("c_g"))
+    val wOrd = Window.orderBy(asc_nulls_first("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byVal = byValSeg.groupBy("v").agg(sum(col("c_g")).as("t"))
+      .withColumn("p", sum(col("t")).over(wOrd) - col("t"))
+    val shared = byVal.agg(
+      sum(col("t")).as("n_total"),
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .cast("bigint").as("tie_sum"))
+    byValSeg.join(byVal, Seq("v"))
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(col("c_g")).as("n_g"),
+        sum(col("c_g") * (lit(2) * col("p") + col("t") + 1)).as("r2_g"))
+      .crossJoin(broadcast(shared))
+      .select(col("c_mktsegment"), col("n_g"), col("r2_g"),
+        col("n_total"), col("tie_sum"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
+
+  /** 1-D Wasserstein-1 (earth mover's) distance between the click and
+    * purchase value distributions: W₁ = ∫|F_a − F_b| dx over the
+    * shared value axis — the AREA between the ECDFs, where q_ks_test
+    * reports only their maximum gap: two distributions with the same
+    * KS D but different tail mass separate here. Same two-sample
+    * value-domain fold as KS/Mann–Whitney/Cliff's delta.
+    *
+    * Determinism: the scaled gap |cum_a·n_b − cum_b·n_a| is exact at
+    * every distinct value; each segment's area term normalizes and
+    * snaps to the 1e-6 micro grid BEFORE the sum (q_lm_score's move:
+    * one IEEE div·mul·round per distinct value from exact integers),
+    * so the total is an exact long sum.
+    *
+    * Scale: everything after the fold is value-domain-bounded; the
+    * sample sizes enter as a declared 1-row broadcast.
+    */
+  def qEmd(spark: SparkSession, sfDir: String): DataFrame = {
+    val cum = twoSampleValueCounts(spark, sfDir)
+    val tot = cum.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    val wOrd = Window.orderBy(asc_nulls_first("value"))
+    cum
+      .withColumn("width", lead(col("value"), 1).over(wOrd) - col("value"))
+      .crossJoin(broadcast(tot))
+      .filter(col("width").isNotNull)
+      .select(col("n_a"), col("n_b"),
+        round(
+          abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
+            .cast("double") /
+            (col("n_a") * col("n_b")).cast("double") *
+            col("width") * 1000000.0, 0).cast("long").as("term_micro"))
+      .groupBy("n_a", "n_b")
+      .agg(count(lit(1)).as("n_segments"), sum(col("term_micro")).as("tm"))
+      .select(col("n_a"), col("n_b"), col("n_segments"),
+        (round(col("tm").cast("double") / 1000000.0, 6) + lit(0.0)).as("emd"))
+  }
+
   /** Hill-estimator order-statistic count, shared with the oracle. */
   val HillK = 500
 

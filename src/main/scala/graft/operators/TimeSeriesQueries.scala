@@ -535,6 +535,52 @@ object TimeSeriesQueries {
       .orderBy(asc_nulls_first("event_type"))
   }
 
+  /** Kendall's tau-b between the click and purchase daily-count
+    * series — the rank-based dependence companion to q_rolling_corr's
+    * Pearson view (outlier-days can't move it) and the two-series
+    * analogue of q_mann_kendall's one-series S statistic. All five
+    * pair classes (concordant, discordant, x-only/y-only/both ties)
+    * are emitted as exact integers; tau_b = (C−D)/√((n₀−n₁)(n₀−n₂))
+    * divides once at the end with the tie-corrected denominators.
+    *
+    * Scale: the corpus folds to |days| rows before the d1 < d2 pair
+    * join (q_mann_kendall's shape — days-bounded, ~n²/2 tiny rows at
+    * any corpus scale).
+    */
+  def qKendallTau(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDay = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val a = byDay.select(col("day").as("d1"), col("x").as("x1"), col("y").as("y1"))
+    val b = byDay.select(col("day").as("d2"), col("x").as("x2"), col("y").as("y2"))
+    val pairs = a.join(b, col("d1") < col("d2"))
+      .select(
+        (col("x1") - col("x2")).as("dx"),
+        (col("y1") - col("y2")).as("dy"))
+    val cells = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("concordant"),
+      sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("discordant"),
+      sum(when(col("dx") === 0 && col("dy") =!= 0, 1L).otherwise(0L))
+        .as("ties_x_only"),
+      sum(when(col("dy") === 0 && col("dx") =!= 0, 1L).otherwise(0L))
+        .as("ties_y_only"),
+      sum(when(col("dx") === 0 && col("dy") === 0, 1L).otherwise(0L))
+        .as("ties_both"))
+    cells.select(
+      col("n_pairs"), col("concordant"), col("discordant"),
+      col("ties_x_only"), col("ties_y_only"), col("ties_both"),
+      (round(
+        (col("concordant") - col("discordant")).cast("double") /
+          (sqrt((col("n_pairs") - col("ties_x_only") - col("ties_both"))
+            .cast("double")) *
+            sqrt((col("n_pairs") - col("ties_y_only") - col("ties_both"))
+              .cast("double"))), 6) + lit(0.0)).as("tau_b"))
+  }
+
   /** Rolling-correlation window length (days), shared with the oracle. */
   val RollingCorrDays = 14
 

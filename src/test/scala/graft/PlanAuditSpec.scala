@@ -79,7 +79,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_modularity",
     // 1-row (k+1)-th order statistic entering the log-ratio terms of
     // the post-TakeOrdered 500-row frame
-    "q_hill_tail")
+    "q_hill_tail",
+    // 1-row (N, tie-sum) aggregate entering the per-segment rank rows
+    "q_kruskal_wallis",
+    // 1-row (n_a, n_b) sample sizes entering the ECDF area terms
+    "q_emd")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —
@@ -106,7 +110,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // test-doc × class grid (k classes at any scale) plus the 1-row
     // vocab-size and train-count scalars entering the class stats —
     // every build side must broadcast
-    "q_naive_bayes")
+    "q_naive_bayes",
+    // day × day pair grid under d1 < d2 (q_mann_kendall's shape on a
+    // days-bounded fold) — both sides tiny, build must broadcast
+    "q_kendall_tau")
 
   private def flatten(plan: SparkPlan): Seq[SparkPlan] = plan match {
     case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)

@@ -443,6 +443,48 @@ class StatsSpec extends AnyFunSuite {
     assert(cums.zip(cums.tail).forall { case (a, b) => a <= b + 1e-9 })
   }
 
+  test("kruskal-wallis: rank-sum identity, tie bounds, H replays nonnegative") {
+    val out = SparkEntry.queries("q_kruskal_wallis")(spark, sfDir).collect()
+    val n = out.head.getAs[Long]("n_total")
+    assert(out.map(_.getAs[Long]("n_g")).sum == n)
+    // Σ midranks = N(N+1)/2, so the doubled rank sums total N(N+1)
+    assert(out.map(_.getAs[Long]("r2_g")).sum == n * (n + 1))
+    val tie = out.head.getAs[Long]("tie_sum")
+    assert(tie >= 0 && tie < n * n * n - n)
+    // the reader's H from the sufficient statistics: nonnegative and
+    // finite after tie correction
+    val h = 12.0 / (n.toDouble * (n + 1)) * out.map { r =>
+      val rg = r.getAs[Long]("r2_g").toDouble / 2
+      rg * rg / r.getAs[Long]("n_g")
+    }.sum - 3.0 * (n + 1)
+    val c = 1.0 - tie.toDouble / (n.toDouble * n * n - n)
+    assert(h >= -1e-6, s"H $h negative")
+    assert(c > 0 && (h / c).isFinite)
+  }
+
+  test("emd: equals a local ECDF-area replay with the same micro rounding") {
+    val r = SparkEntry.queries("q_emd")(spark, sfDir).collect().head
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val na = ev.count(_._1 == "click").toLong
+    val nb = ev.length - na
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    val byV = ev.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (v, xs) => (v, xs.count(_._1 == "click").toLong,
+        xs.count(_._1 == "purchase").toLong) }
+    var (ca, cb) = (0L, 0L)
+    val terms = byV.zip(byV.tail).map { case ((v, a, b), (v2, _, _)) =>
+      ca += a; cb += b
+      math.round(math.abs(ca * nb - cb * na).toDouble /
+        (na * nb).toDouble * (v2 - v) * 1e6)
+    }
+    assert(r.getAs[Long]("n_segments") == terms.length)
+    assert(math.abs(r.getAs[Double]("emd") - terms.sum / 1e6) < 1e-6)
+    assert(r.getAs[Double]("emd") >= 0)
+  }
+
   test("hill tail: matches a local replay of the top-k order statistics") {
     val r = SparkEntry.queries("q_hill_tail")(spark, sfDir).collect().head
     val k = operators.StatsQueries.HillK

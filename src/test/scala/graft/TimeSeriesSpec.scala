@@ -257,6 +257,34 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("kendall tau: pair classes partition n(n-1)/2 and match a brute-force replay") {
+    val r = SparkEntry.queries("q_kendall_tau")(spark, sfDir).collect().head
+    val series = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    val n = series.length.toLong
+    assert(r.getAs[Long]("n_pairs") == n * (n - 1) / 2)
+    var (c, d, tx, ty, txy) = (0L, 0L, 0L, 0L, 0L)
+    for (i <- series.indices; j <- (i + 1) until series.length) {
+      val dx = series(i)._1 - series(j)._1
+      val dy = series(i)._2 - series(j)._2
+      if (dx == 0 && dy == 0) txy += 1
+      else if (dx == 0) tx += 1
+      else if (dy == 0) ty += 1
+      else if (dx * dy > 0) c += 1 else d += 1
+    }
+    assert(r.getAs[Long]("concordant") == c)
+    assert(r.getAs[Long]("discordant") == d)
+    assert(r.getAs[Long]("ties_x_only") == tx)
+    assert(r.getAs[Long]("ties_y_only") == ty)
+    assert(r.getAs[Long]("ties_both") == txy)
+    val tau = r.getAs[Double]("tau_b")
+    assert(tau >= -1.0 - 1e-9 && tau <= 1.0 + 1e-9)
+  }
+
   test("rolling corr: full windows only, r bounded, day axis conserved") {
     val out = SparkEntry.queries("q_rolling_corr")(spark, sfDir).collect()
     val win = operators.TimeSeriesQueries.RollingCorrDays
