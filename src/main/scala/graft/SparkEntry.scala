@@ -247,6 +247,8 @@ object SparkEntry {
     "q_kruskal_wallis"  -> (StatsQueries.qKruskalWallis _),
     "q_emd"             -> (StatsQueries.qEmd _),
     "q_kendall_tau"     -> (TimeSeriesQueries.qKendallTau _),
+    "q_partial_corr"    -> (StatsQueries.qPartialCorr _),
+    "q_ols2"            -> (StatsQueries.qOls2 _),
     "q_pca_power"       -> (MlEvalQueries.qPcaPower _),
     "q_wilson"          -> (StatsQueries.qWilson _),
     "q_vocab_growth"    -> (TextQueries.qVocabGrowth _),
@@ -1097,6 +1099,86 @@ object SparkEntry {
       |    AS tau_b
       |FROM cells""".stripMargin
 
+  /** Partial correlation — the identical IEEE op tree over the same
+    * decimal moment sums (see `StatsQueries.qPartialCorr`).
+    */
+  private val PartialCorrSql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(z) AS DOUBLE) AS sz,
+      |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+      |    CAST(sum(x * z) AS DOUBLE) AS sxz,
+      |    CAST(sum(y * z) AS DOUBLE) AS syz,
+      |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+      |    CAST(sum(y * y) AS DOUBLE) AS syy,
+      |    CAST(sum(z * z) AS DOUBLE) AS szz
+      |  FROM (
+      |    SELECT l_returnflag,
+      |      CAST(round(l_quantity * 100) AS BIGINT) AS x,
+      |      CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+      |      CAST(round(l_discount * 1000000) AS BIGINT) AS z
+      |    FROM lineitem) t
+      |  GROUP BY 1),
+      |r AS (
+      |  SELECT l_returnflag, n,
+      |    (n * sxy - sx * sy) /
+      |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS rxy,
+      |    (n * sxz - sx * sz) /
+      |      (sqrt(n * sxx - sx * sx) * sqrt(n * szz - sz * sz)) AS rxz,
+      |    (n * syz - sy * sz) /
+      |      (sqrt(n * syy - sy * sy) * sqrt(n * szz - sz * sz)) AS ryz
+      |  FROM base)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  round(rxy, 6) + 0.0 AS r_xy,
+      |  round(rxz, 6) + 0.0 AS r_xz,
+      |  round(ryz, 6) + 0.0 AS r_yz,
+      |  round((rxy - rxz * ryz) /
+      |    (sqrt(1 - rxz * rxz) * sqrt(1 - ryz * ryz)), 6) + 0.0 AS partial_r
+      |FROM r ORDER BY l_returnflag NULLS FIRST""".stripMargin
+
+  /** Two-feature OLS — same centered-moment determinant solve (see
+    * `StatsQueries.qOls2`).
+    */
+  private val Ols2Sql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+      |    CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+      |    CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+      |    CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+      |    CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+      |    CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+      |    CAST(sum(y * y) AS DOUBLE) AS syy
+      |  FROM (
+      |    SELECT l_returnflag,
+      |      CAST(round(l_quantity * 100) AS BIGINT) AS x1,
+      |      CAST(round(l_discount * 1000000) AS BIGINT) AS x2,
+      |      CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |    FROM lineitem) t
+      |  GROUP BY 1),
+      |c AS (
+      |  SELECT l_returnflag, n, s1, s2, sy,
+      |    n * s11 - s1 * s1 AS c11, n * s22 - s2 * s2 AS c22,
+      |    n * s12 - s1 * s2 AS c12,
+      |    n * s1y - s1 * sy AS c1y, n * s2y - s2 * sy AS c2y,
+      |    n * syy - sy * sy AS sst
+      |  FROM base),
+      |b AS (
+      |  SELECT *,
+      |    (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+      |    (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+      |  FROM c)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  round(b1, 6) + 0.0 AS b_qty,
+      |  round(b2, 6) + 0.0 AS b_disc,
+      |  round((sy - b1 * s1 - b2 * s2) / n / 100.0, 6) + 0.0 AS intercept,
+      |  round((b1 * c1y + b2 * c2y) / sst, 6) + 0.0 AS r2
+      |FROM b ORDER BY l_returnflag NULLS FIRST""".stripMargin
+
   private val BpeMergesSql: String = {
     val k = operators.AdvancedTextQueries.BpeMergeRounds
     val steps = (1 to k).map { r =>
@@ -1265,6 +1347,8 @@ object SparkEntry {
     "q_kruskal_wallis" -> KruskalWallisSql,
     "q_emd" -> EmdSql,
     "q_kendall_tau" -> KendallTauSql,
+    "q_partial_corr" -> PartialCorrSql,
+    "q_ols2" -> Ols2Sql,
     "q_bpe_merges" -> BpeMergesSql,
     "q_kmeans" -> KmeansSql,
     "q_kmeans_inertia" -> KmeansInertiaSql,

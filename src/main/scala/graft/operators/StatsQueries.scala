@@ -1149,6 +1149,107 @@ object StatsQueries {
         (round(col("tm").cast("double") / 1000000.0, 6) + lit(0.0)).as("emd"))
   }
 
+  /** Partial correlation r(quantity, price | discount) per return
+    * flag: does quantity still track revenue once the discount channel
+    * is held fixed? First-order partial from the three pairwise
+    * Pearson coefficients, r_xy·z = (r_xy − r_xz·r_yz)/
+    * (√(1−r_xz²)·√(1−r_yz²)) — the confounder-adjusted view q_corr
+    * cannot give. Emits the three raw coefficients next to the
+    * partial.
+    *
+    * Determinism: all ten moment sums are DECIMAL(38,0) over exact
+    * integer units (cents for qty/price, micro for the discount
+    * fraction); every emitted value is one deterministic double
+    * expression over those exact moments, rounded once (q_corr's
+    * convention — the oracle spells the identical IEEE op tree).
+    *
+    * Scale: single scan, one map-combinable agg to |flags| rows of
+    * power sums — O(groups) state, nothing else.
+    */
+  def qPartialCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = cents(col("l_quantity")).cast("decimal(38,0)")
+    val y = cents(col("l_extendedprice")).cast("decimal(38,0)")
+    val z = round(col("l_discount") * 1000000).cast("long").cast("decimal(38,0)")
+    val agged = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(z).cast("double").as("sz"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * z).cast("double").as("sxz"),
+        sum(y * z).cast("double").as("syz"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        sum(z * z).cast("double").as("szz"))
+    def r(ab: Column, a: Column, aa: Column, b: Column, bb: Column): Column =
+      (col("n") * ab - a * b) /
+        (sqrt(col("n") * aa - a * a) * sqrt(col("n") * bb - b * b))
+    val rxy = r(col("sxy"), col("sx"), col("sxx"), col("sy"), col("syy"))
+    val rxz = r(col("sxz"), col("sx"), col("sxx"), col("sz"), col("szz"))
+    val ryz = r(col("syz"), col("sy"), col("syy"), col("sz"), col("szz"))
+    agged.select(
+      col("l_returnflag"),
+      col("n").cast("long").as("n_rows"),
+      (round(rxy, 6) + lit(0.0)).as("r_xy"),
+      (round(rxz, 6) + lit(0.0)).as("r_xz"),
+      (round(ryz, 6) + lit(0.0)).as("r_yz"),
+      (round((rxy - rxz * ryz) /
+        (sqrt(lit(1.0) - rxz * rxz) * sqrt(lit(1.0) - ryz * ryz)), 6)
+        + lit(0.0)).as("partial_r"))
+      .orderBy(asc_nulls_first("l_returnflag"))
+  }
+
+  /** Two-feature OLS — extended price regressed on quantity AND
+    * discount per return flag, the closed-form 2×2 normal-equation
+    * solve (centered moments S₁₁S₂₂−S₁₂² determinant): the
+    * multivariate step up from q_regression's simple slope, with the
+    * usual "does the discount coefficient survive controlling for
+    * quantity?" reading next to q_partial_corr. Emits both
+    * coefficients, the intercept (dollars), and the multiple R².
+    *
+    * Determinism: q_corr's recipe — DECIMAL(38,0) power sums, each
+    * output one deterministic double expression, rounded once.
+    *
+    * Scale: identical to q_partial_corr — one map-combinable agg to
+    * |flags| moment rows.
+    */
+  def qOls2(spark: SparkSession, sfDir: String): DataFrame = {
+    val y = cents(col("l_extendedprice")).cast("decimal(38,0)")
+    val x1 = cents(col("l_quantity")).cast("decimal(38,0)")
+    val x2 = round(col("l_discount") * 1000000).cast("long").cast("decimal(38,0)")
+    val agged = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x1).cast("double").as("s1"), sum(x2).cast("double").as("s2"),
+        sum(y).cast("double").as("sy"),
+        sum(x1 * x1).cast("double").as("s11"),
+        sum(x2 * x2).cast("double").as("s22"),
+        sum(x1 * x2).cast("double").as("s12"),
+        sum(x1 * y).cast("double").as("s1y"),
+        sum(x2 * y).cast("double").as("s2y"),
+        sum(y * y).cast("double").as("syy"))
+    val c11 = col("n") * col("s11") - col("s1") * col("s1")
+    val c22 = col("n") * col("s22") - col("s2") * col("s2")
+    val c12 = col("n") * col("s12") - col("s1") * col("s2")
+    val c1y = col("n") * col("s1y") - col("s1") * col("sy")
+    val c2y = col("n") * col("s2y") - col("s2") * col("sy")
+    val sst = col("n") * col("syy") - col("sy") * col("sy")
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c22 * c1y - c12 * c2y) / det
+    val b2 = (c11 * c2y - c12 * c1y) / det
+    agged.select(
+      col("l_returnflag"),
+      col("n").cast("long").as("n_rows"),
+      (round(b1, 6) + lit(0.0)).as("b_qty"),
+      (round(b2, 6) + lit(0.0)).as("b_disc"),
+      (round((col("sy") - b1 * col("s1") - b2 * col("s2")) / col("n") / 100.0,
+        6) + lit(0.0)).as("intercept"),
+      (round((b1 * c1y + b2 * c2y) / sst, 6) + lit(0.0)).as("r2"))
+      .orderBy(asc_nulls_first("l_returnflag"))
+  }
+
   /** Hill-estimator order-statistic count, shared with the oracle. */
   val HillK = 500
 

@@ -485,6 +485,51 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("emd") >= 0)
   }
 
+  test("partial corr: raw r's match built-in corr; partial re-derives and is bounded") {
+    val out = SparkEntry.queries("q_partial_corr")(spark, sfDir).collect()
+    val ref = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").cast("double").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").cast("double").as("y"),
+        round(col("l_discount") * 1000000).cast("long").cast("double").as("z"))
+      .groupBy("l_returnflag")
+      .agg(corr(col("x"), col("y")).as("rxy"), corr(col("x"), col("z")).as("rxz"),
+        corr(col("y"), col("z")).as("ryz"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    out.foreach { r =>
+      val (exy, exz, eyz) = ref(r.getAs[String]("l_returnflag"))
+      assert(math.abs(r.getAs[Double]("r_xy") - exy) < 1e-4)
+      assert(math.abs(r.getAs[Double]("r_xz") - exz) < 1e-4)
+      assert(math.abs(r.getAs[Double]("r_yz") - eyz) < 1e-4)
+      val p = r.getAs[Double]("partial_r")
+      assert(p >= -1.0 - 1e-9 && p <= 1.0 + 1e-9)
+      val expect = (exy - exz * eyz) /
+        (math.sqrt(1 - exz * exz) * math.sqrt(1 - eyz * eyz))
+      assert(math.abs(p - expect) < 1e-3, s"partial $p vs $expect")
+    }
+  }
+
+  test("ols2: multiple R2 bounded and never below either simple R2") {
+    val out = SparkEntry.queries("q_ols2")(spark, sfDir).collect()
+    val ref = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").cast("double").as("x1"),
+        round(col("l_discount") * 1000000).cast("long").cast("double").as("x2"),
+        round(col("l_extendedprice") * 100).cast("long").cast("double").as("y"))
+      .groupBy("l_returnflag")
+      .agg(corr(col("x1"), col("y")).as("r1"), corr(col("x2"), col("y")).as("r2"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    out.foreach { r =>
+      val m = r.getAs[Double]("r2")
+      assert(m >= 0 && m <= 1 + 1e-9, s"R2 $m")
+      val (r1, r2) = ref(r.getAs[String]("l_returnflag"))
+      // adding a regressor never reduces R²
+      assert(m >= r1 * r1 - 1e-6 && m >= r2 * r2 - 1e-6,
+        s"multiple R2 $m below a simple R2 (${r1 * r1}, ${r2 * r2})")
+    }
+  }
+
   test("hill tail: matches a local replay of the top-k order statistics") {
     val r = SparkEntry.queries("q_hill_tail")(spark, sfDir).collect().head
     val k = operators.StatsQueries.HillK
