@@ -249,6 +249,9 @@ object SparkEntry {
     "q_kendall_tau"     -> (TimeSeriesQueries.qKendallTau _),
     "q_partial_corr"    -> (StatsQueries.qPartialCorr _),
     "q_ols2"            -> (StatsQueries.qOls2 _),
+    "q_minhash_calibration" -> (AdvancedTextQueries.qMinhashCalibration _),
+    "q_dedup_survivorship" -> (AdvancedTextQueries.qDedupSurvivorship _),
+    "q_decontaminate_ladder" -> (TextQueries.qDecontaminateLadder _),
     "q_pca_power"       -> (MlEvalQueries.qPcaPower _),
     "q_wilson"          -> (StatsQueries.qWilson _),
     "q_vocab_growth"    -> (TextQueries.qVocabGrowth _),
@@ -1179,6 +1182,130 @@ object SparkEntry {
       |  round((b1 * c1y + b2 * c2y) / sst, 6) + 0.0 AS r2
       |FROM b ORDER BY l_returnflag NULLS FIRST""".stripMargin
 
+  /** MinHash calibration — the same 4-band bucket pairs, 16 estimator
+    * hashes, and exact token-set Jaccard (see
+    * `AdvancedTextQueries.qMinhashCalibration`).
+    */
+  private val MinhashCalibrationSql: String = {
+    val h = operators.AdvancedTextQueries.CalibrationHashes
+    val sig16 = (1 to h)
+      .map(i => s"list_min(list_transform(toks, t -> md5('c$i:' || t)))")
+      .mkString("[\n      ", ",\n      ", "]")
+    s"""WITH d AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_filter(
+       |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))) AS toks
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    concat_ws('|',
+       |      list_min(list_transform(toks, t -> md5('s1:' || t))),
+       |      list_min(list_transform(toks, t -> md5('s2:' || t))),
+       |      list_min(list_transform(toks, t -> md5('s3:' || t))),
+       |      list_min(list_transform(toks, t -> md5('s4:' || t)))) AS sig4,
+       |    $sig16 AS sig16
+       |  FROM d),
+       |mind AS (SELECT sig4, min(doc_id) AS doc_id_1 FROM base GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS shared,
+       |    CAST(a.n AS BIGINT) AS n1, CAST(b.n AS BIGINT) AS n2,
+       |    CAST(list_sum(list_transform(range(1, ${h + 1}),
+       |      i -> CASE WHEN a.sig16[i] = b.sig16[i] THEN 1 ELSE 0 END))
+       |      AS BIGINT) AS agree
+       |  FROM base b
+       |  JOIN mind m ON m.sig4 = b.sig4 AND b.doc_id > m.doc_id_1
+       |  JOIN base a ON a.doc_id = m.doc_id_1)
+       |SELECT doc_id_1, doc_id_2, agree, shared, n1, n2,
+       |  round(agree / 16.0, 6) + 0.0 AS est_sim,
+       |  round(CAST(shared AS DOUBLE) / (n1 + n2 - shared), 6) + 0.0
+       |    AS true_jaccard,
+       |  round(abs(agree / 16.0 - CAST(shared AS DOUBLE) / (n1 + n2 - shared)),
+       |    6) + 0.0 AS abs_err
+       |FROM pairs
+       |ORDER BY doc_id_1 NULLS FIRST, doc_id_2 NULLS FIRST""".stripMargin
+  }
+
+  /** Per-source survivorship of the keep-best dedup — the same
+    * recursive-CTE clusters and quality ranking as q_dedup_keep_best,
+    * folded by source (see `AdvancedTextQueries.qDedupSurvivorship`).
+    * lazy: ClusterCompCte initializes later in the object body.
+    */
+  private lazy val DedupSurvivorshipSql: String = (ClusterCompCte + ",\n" +
+    """q AS (
+      |  SELECT doc_id,
+      |    round(0.4 * (len(list_distinct(toks)) * 1.0 / len(toks)) +
+      |          0.4 * (1.0 - len(list_filter(toks, t -> t = 'the' OR t = 'a'))
+      |                 * 1.0 / len(toks)) +
+      |          0.2 * least(CAST(list_sum(list_transform(toks, t -> length(t)))
+      |                 AS DOUBLE) / len(toks) / 10.0, 1.0), 6) + 0.0
+      |      AS keep_quality
+      |  FROM docs),
+      |lab AS (
+      |  SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component,
+      |         q.keep_quality
+      |  FROM q LEFT JOIN comp c ON c.id = q.doc_id),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY component
+      |                       ORDER BY keep_quality DESC, doc_id ASC) AS rn
+      |  FROM lab),
+      |sur AS (SELECT doc_id FROM r WHERE rn = 1),
+      |per AS (
+      |  SELECT d.source, count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_kept
+      |  FROM documents d LEFT JOIN sur s ON s.doc_id = d.doc_id
+      |  GROUP BY 1)
+      |SELECT source, n_docs, n_kept, n_docs - n_kept AS n_dropped,
+      |  round(CAST(n_kept AS DOUBLE) / n_docs, 6) + 0.0 AS kept_rate
+      |FROM per ORDER BY source NULLS FIRST""").stripMargin
+
+  /** Decontamination n-gram-length ladder — one windowed token CTE
+    * feeds every length (see `TextQueries.qDecontaminateLadder`).
+    */
+  private val DecontaminateLadderSql: String = {
+    val ns = operators.TextQueries.DecontaminateLadderNs
+    val maxN = ns.max
+    val leadCols = (1 until maxN)
+      .map(i => s"lead(t, $i) OVER w AS t$i").mkString(",\n    ")
+    val shSelects = ns.map { n =>
+      val parts = ("t" +: (1 until n).map(i => s"t$i")).mkString(", ")
+      s"""SELECT doc_id, $n AS n, concat_ws(' ', $parts) AS sh
+         |    FROM tok WHERE t${n - 1} IS NOT NULL""".stripMargin
+    }.mkString("\n    UNION ALL\n    ")
+    val gridNs = ns.mkString("[", ", ", "]")
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                       x -> x <> '')) AS t,
+       |    generate_subscripts(
+       |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                  x -> x <> ''), 1) - 1 AS pos
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, t,
+       |    $leadCols
+       |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, n, sh FROM (
+       |    $shSelects) u),
+       |probe AS (SELECT DISTINCT n, sh FROM sh WHERE doc_id % 97 = 0),
+       |flagged AS (
+       |  SELECT s.n, CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_contaminated
+       |  FROM sh s JOIN probe p ON p.n = s.n AND p.sh = s.sh
+       |  WHERE s.doc_id % 97 <> 0
+       |  GROUP BY 1),
+       |den AS (
+       |  SELECT count(*) AS n_docs FROM documents WHERE doc_id % 97 <> 0),
+       |grid AS (SELECT unnest($gridNs) AS n)
+       |SELECT g.n, den.n_docs,
+       |  CAST(coalesce(f.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       |  round(CAST(coalesce(f.n_contaminated, 0) AS DOUBLE) / den.n_docs, 6)
+       |    + 0.0 AS flag_rate
+       |FROM grid g CROSS JOIN den LEFT JOIN flagged f ON f.n = g.n
+       |ORDER BY g.n NULLS FIRST""".stripMargin
+  }
+
   private val BpeMergesSql: String = {
     val k = operators.AdvancedTextQueries.BpeMergeRounds
     val steps = (1 to k).map { r =>
@@ -1349,6 +1476,9 @@ object SparkEntry {
     "q_kendall_tau" -> KendallTauSql,
     "q_partial_corr" -> PartialCorrSql,
     "q_ols2" -> Ols2Sql,
+    "q_minhash_calibration" -> MinhashCalibrationSql,
+    "q_dedup_survivorship" -> DedupSurvivorshipSql,
+    "q_decontaminate_ladder" -> DecontaminateLadderSql,
     "q_bpe_merges" -> BpeMergesSql,
     "q_kmeans" -> KmeansSql,
     "q_kmeans_inertia" -> KmeansInertiaSql,

@@ -1262,4 +1262,99 @@ object AdvancedTextQueries {
           (den * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
           + lit(0.0)).as("r2"))
   }
+
+  /** Estimator hash count for [[qMinhashCalibration]], shared with the
+    * oracle. 16 independent seed-free md5 min-hashes: enough that the
+    * agree/16 estimate has visible resolution while the per-doc cost
+    * stays one transform per hash.
+    */
+  val CalibrationHashes = 16
+
+  /** MinHash CALIBRATION report — the measurement a dedup operator
+    * owner reads before trusting the sketch: for every pair the 4-band
+    * signature grouping (q_dedup_minhash's exact construction) puts in
+    * the same bucket, the 16-hash similarity ESTIMATE (agreeing
+    * min-hashes / 16) next to the TRUE token-set Jaccard and the
+    * absolute error. MinHash theory says E[agree/H] = J; this query
+    * makes that testable per pair on the corpus itself (PropertySpec
+    * asserts the mean gap), with the exact integers (agree, shared,
+    * set sizes) emitted so the floats never carry information.
+    *
+    * Determinism: estimator seeds c1..c16 are independent of the
+    * banding seeds s1..s4; all counts exact (the codegen'd
+    * [[graft.functions.SortedOverlapCount]] two-pointer merge computes
+    * `shared` on the sorted distinct-token arrays); est/true/err are
+    * one rounded double expression each.
+    *
+    * Scale: pairs are STAR-shaped — every bucket member against the
+    * bucket's minimum-id canonical, never the full clique (a hot
+    * bucket of g docs yields g−1 calibration rows, not g²/2; at
+    * sf0.01 the densest bucket alone would otherwise emit 36k pairs).
+    * Output is therefore bounded by corpus size. Signatures are 16
+    * md5-min folds per doc computed once (eager checkpoint feeds all
+    * three join sides).
+    */
+  def qMinhashCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val toksD = array_sort(array_distinct(tokens(col("text"))))
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toksD.as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("sig4", concat_ws("|",
+        (1 to 4).map(i => array_min(transform(col("toks"),
+          t => md5(concat(lit(s"s$i:"), t))))): _*))
+      .withColumn("sig16", array(
+        (1 to CalibrationHashes).map(i => array_min(transform(col("toks"),
+          t => md5(concat(lit(s"c$i:"), t))))): _*))
+      .localCheckpoint(true)
+    val minDoc = base.groupBy("sig4").agg(min(col("doc_id")).as("doc_id_1"))
+    val b = base.join(minDoc, Seq("sig4"))
+      .filter(col("doc_id") > col("doc_id_1"))
+      .select(col("doc_id_1"), col("doc_id").as("doc_id_2"),
+        col("toks").as("t2"), col("n").as("n2"), col("sig16").as("g2"))
+    val a = base.select(col("doc_id").as("doc_id_1"),
+      col("toks").as("t1"), col("n").as("n1"), col("sig16").as("g1"))
+    b.join(a, Seq("doc_id_1"))
+      .withColumn("shared",
+        graft.functions.SetFunctions.sortedOverlap(col("t1"), col("t2")))
+      .withColumn("agree",
+        size(filter(zip_with(col("g1"), col("g2"), (x, y) => x === y),
+          p => p)).cast("long"))
+      .select(col("doc_id_1"), col("doc_id_2"), col("agree"), col("shared"),
+        col("n1"), col("n2"),
+        (round(col("agree") / lit(16.0), 6) + lit(0.0)).as("est_sim"),
+        (round(col("shared").cast("double") /
+          (col("n1") + col("n2") - col("shared")), 6) + lit(0.0))
+          .as("true_jaccard"),
+        (round(abs(col("agree") / lit(16.0) - col("shared").cast("double") /
+          (col("n1") + col("n2") - col("shared"))), 6) + lit(0.0))
+          .as("abs_err"))
+      .orderBy(asc_nulls_first("doc_id_1"), asc_nulls_first("doc_id_2"))
+  }
+
+  /** Per-source SURVIVORSHIP under the keep-best near-dup dedup
+    * ([[keepBestFrom]]'s exact clusters and quality ranking): how much
+    * of each source survives canonicalization — the governance number
+    * behind "is the dedup pass silently erasing one provider?", the
+    * per-source refinement of q_cluster_sizes' global histogram and
+    * q_dup_by_source's raw exposure counts.
+    *
+    * Scale: everything heavy is the shared keep-best machinery
+    * (bounded shingle join + CC); the survivor set joins back on
+    * doc_id and folds to \|sources\| rows.
+    */
+  def qDedupSurvivorship(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val kept = keepBestFrom(docs)
+      .select(col("keep_doc_id").as("doc_id"), lit(1L).as("kept"))
+    docs.select(col("doc_id"), col("source"))
+      .join(kept, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("kept"), lit(0L))).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        (round(col("n_kept").cast("double") / col("n_docs"), 6) + lit(0.0))
+          .as("kept_rate"))
+      .orderBy(asc_nulls_first("source"))
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-pipeline text operators over the documents corpus:
@@ -714,5 +715,59 @@ object TextQueries {
       .withColumn("cum_vocab", sum(col("n_new_types")).over(w))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .orderBy(asc_nulls_first("bucket"))
+  }
+
+  /** N-gram lengths of [[qDecontaminateLadder]], shared with the
+    * oracle. 3 is q_decontaminate's production cut; 5/8 show how the
+    * flag rate collapses as the match requirement lengthens.
+    */
+  val DecontaminateLadderNs = Seq(3, 5, 8)
+
+  /** Decontamination THRESHOLD LADDER — the tuning table behind
+    * q_decontaminate's fixed n = 3: for each n-gram length, how many
+    * corpus documents share at least one n-gram with the held-out
+    * probe set (doc_id % 97 — the same probe convention). Short
+    * n-grams over-flag (stock phrases), long ones under-flag
+    * (paraphrase escapes); a pipeline owner reads this curve to pick
+    * n before committing a corpus-wide purge.
+    *
+    * Scale: ONE token explode feeds all three lengths (seven lead()
+    * taps on the same doc-partitioned window — no second scan, no
+    * second exchange); each length's probe set stays a broadcast
+    * semi-join like the production query; the denominator enters as a
+    * declared 1-row broadcast.
+    */
+  def qDecontaminateLadder(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val maxN = DecontaminateLadderNs.max
+    val leads = (1 until maxN).foldLeft(
+      docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))) {
+      case (df, i) => df.withColumn(s"t$i", lead(col("t"), i).over(w))
+    }
+    val shingles = DecontaminateLadderNs.map { n =>
+      leads
+        .filter(col(s"t${n - 1}").isNotNull)
+        .select(col("doc_id"), lit(n).as("n"),
+          concat_ws(" ", col("t") +: (1 until n).map(i => col(s"t$i")): _*)
+            .as("sh"))
+    }.reduce(_ unionAll _).distinct()
+    val probe = shingles.filter(col("doc_id") % 97 === 0)
+      .select("n", "sh").distinct()
+    val flagged = shingles.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(probe), Seq("n", "sh"), "left_semi")
+      .select("n", "doc_id").distinct()
+      .groupBy("n").agg(count(lit(1)).as("n_contaminated"))
+    val denom = docs.filter(col("doc_id") % 97 =!= 0)
+      .agg(count(lit(1)).as("n_docs"))
+    val grid = DecontaminateLadderNs.toDF("n")
+    broadcast(grid).crossJoin(broadcast(denom))
+      .join(flagged, Seq("n"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .select(col("n"), col("n_docs"), col("n_contaminated"),
+        (round(col("n_contaminated").cast("double") / col("n_docs"), 6)
+          + lit(0.0)).as("flag_rate"))
+      .orderBy(asc_nulls_first("n"))
   }
 }

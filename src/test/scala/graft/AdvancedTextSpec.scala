@@ -614,4 +614,54 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_docs")).sum ==
       Tables.documents(spark, sfDir).count())
   }
+
+  test("minhash calibration: exact bounds per pair; 16-hash estimate is near-unbiased") {
+    val out = q("q_minhash_calibration").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id_1") < r.getAs[Long]("doc_id_2"))
+      val agree = r.getAs[Long]("agree")
+      assert(agree >= 0 && agree <= 16)
+      assert(r.getAs[Long]("shared") <=
+        math.min(r.getAs[Long]("n1"), r.getAs[Long]("n2")))
+      val est = r.getAs[Double]("est_sim")
+      val truth = r.getAs[Double]("true_jaccard")
+      assert(est >= 0 && est <= 1 && truth >= 0 && truth <= 1)
+      assert(math.abs(r.getAs[Double]("abs_err") - math.abs(est - truth)) < 2e-6)
+    }
+    // E[agree/H] = J per pair; averaged over all pairs the signed gap
+    // must be small (variance J(1-J)/16 per pair, n pairs to average)
+    val bias = out.map(r =>
+      r.getAs[Double]("est_sim") - r.getAs[Double]("true_jaccard")).sum / out.length
+    assert(math.abs(bias) < 0.1, s"minhash estimator bias $bias")
+  }
+
+  test("dedup survivorship: sources partition the corpus; kept totals match keep-best") {
+    val out = q("q_dedup_survivorship").collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val totalKept = out.map(_.getAs[Long]("n_kept")).sum
+    assert(totalKept == q("q_dedup_keep_best").count(),
+      "per-source kept totals must equal the keep-best survivor count")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") >= 1 &&
+        r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      val rate = r.getAs[Double]("kept_rate")
+      assert(rate > 0 && rate <= 1)
+    }
+  }
+
+  test("decontaminate ladder: flag rate monotone in n; n=3 row matches q_decontaminate") {
+    val out = q("q_decontaminate_ladder").collect().sortBy(_.getAs[Int]("n"))
+    assert(out.map(_.getAs[Int]("n")).toSeq == Seq(3, 5, 8))
+    // an 8-gram match implies every inner 3-gram also matches, so the
+    // flagged set can only shrink as n grows
+    val flags = out.map(_.getAs[Long]("n_contaminated")).toSeq
+    assert(flags.zip(flags.tail).forall { case (a, b) => a >= b },
+      s"flag counts $flags not monotone")
+    // cross-check n=3 against the production decontaminate query
+    val clean = q("q_decontaminate").collect()
+      .map(_.getAs[Long]("clean_docs")).sum
+    assert(out.head.getAs[Long]("n_docs") - flags.head == clean,
+      "ladder n=3 disagrees with q_decontaminate's clean count")
+  }
 }

@@ -113,7 +113,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_naive_bayes",
     // day × day pair grid under d1 < d2 (q_mann_kendall's shape on a
     // days-bounded fold) — both sides tiny, build must broadcast
-    "q_kendall_tau")
+    "q_kendall_tau",
+    // 3-row n-gram-length grid × 1-row denominator — both broadcast
+    "q_decontaminate_ladder")
 
   private def flatten(plan: SparkPlan): Seq[SparkPlan] = plan match {
     case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
