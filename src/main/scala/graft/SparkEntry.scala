@@ -65,6 +65,8 @@ object SparkEntry {
     "q_embed_centroid"  -> (SimilarityQueries.qEmbedCentroid _),
     "q_kmeans"          -> (ClusterQueries.qKmeans _),
     "q_kmeans_inertia"  -> (ClusterQueries.qKmeansInertia _),
+    "q_silhouette"      -> (ClusterQueries.qSilhouette _),
+    "q_ldiversity"      -> (ValidationQueries.qLdiversity _),
     "q_drift_psi"       -> (AnalyticsQueries.qDriftPsi _),
     "q_diversity_sample" -> ((s: SparkSession, d: String) =>
       ClusterQueries.qDiversitySample(s, d)),
@@ -1413,6 +1415,26 @@ object SparkEntry {
     head + ",\n" + rounds + ",\n" + fin
   }
 
+  /** Simplified silhouette off the same chain: `af` holds every
+    * vec × centroid distance under the final model, so a = the rn = 1
+    * row, b = the minimum over rn > 1 (see
+    * `ClusterQueries.qSilhouette`).
+    */
+  private val SilhouetteSql: String =
+    kmeansChainSql +
+      """,
+        |s AS (
+        |  SELECT vec_id,
+        |    min(CASE WHEN rn = 1 THEN cid END) AS cluster,
+        |    min(CASE WHEN rn = 1 THEN dist END) AS a_sq,
+        |    min(CASE WHEN rn > 1 THEN dist END) AS b_sq
+        |  FROM af GROUP BY vec_id)
+        |SELECT vec_id, cluster, a_sq, b_sq,
+        |  CASE WHEN greatest(a_sq, b_sq) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE round(CAST(b_sq - a_sq AS DOUBLE) /
+        |              greatest(a_sq, b_sq), 6) + 0.0 END AS sil
+        |FROM s ORDER BY vec_id NULLS FIRST""".stripMargin
+
   private val KmeansSql: String =
     kmeansChainSql +
       """
@@ -1482,6 +1504,7 @@ object SparkEntry {
     "q_bpe_merges" -> BpeMergesSql,
     "q_kmeans" -> KmeansSql,
     "q_kmeans_inertia" -> KmeansInertiaSql,
+    "q_silhouette" -> SilhouetteSql,
     // q_histogram's binning + q_lm_score's micro-nat term rounding;
     // add-one smoothing over the fixed 10-bin domain keeps ln finite,
     // the observed-bin domain (empty-in-both excluded) is deterministic.
@@ -1930,6 +1953,26 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE) /
         |    sum(n), 6) + 0.0 AS exposure_rate
         |FROM grid GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    "q_ldiversity" ->
+      """WITH cells AS (
+        |  SELECT c.c_mktsegment, c.c_nationkey,
+        |    CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |    CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l,
+        |    CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_cust
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT c_mktsegment,
+        |  count(*) AS n_cells,
+        |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_div_cells,
+        |  CAST(sum(CASE WHEN l < 3 THEN n_cust ELSE 0 END) AS BIGINT)
+        |    AS n_exposed,
+        |  CAST(sum(n_cust) AS BIGINT) AS n_customers,
+        |  min(l) AS min_l,
+        |  round(CAST(sum(CASE WHEN l < 3 THEN n_cust ELSE 0 END) AS DOUBLE) /
+        |    sum(n_cust), 6) + 0.0 AS exposure_rate
+        |FROM cells GROUP BY c_mktsegment
         |ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
     "q_decayed_sum" ->
       """WITH ev AS (

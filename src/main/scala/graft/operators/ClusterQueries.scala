@@ -70,26 +70,31 @@ object ClusterQueries {
       case (r, i) => (i, r.getSeq[Double](2).toArray)
     }
 
-  /** Nearest-centroid assignment as a pure projection: per-centroid
-    * distance structs (dist, cid) with the model inlined as literals;
-    * array_min's lexicographic struct order gives argmin with the
-    * smaller-cid tie-break.
+  /** Per-centroid distance structs (dist, cid) with the model inlined
+    * as literals — the shared projection under both the argmin
+    * assignment and the silhouette's full distance profile.
     */
-  private def assignWith(q: DataFrame,
-      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+  private def distCands(centroids: Seq[(Int, Array[Double])]): Seq[Column] = {
     val self = vecDot(col("qv"), col("qv"))
-    val cands = centroids.map { case (cid, c) =>
+    centroids.map { case (cid, c) =>
       val cSelf = c.map(x => x * x).sum // exact: integer-valued, < 2^53
       struct(
         (self - lit(2.0) * vecDot(col("qv"), typedLit(c.toSeq)) + lit(cSelf))
           .cast("long").as("d"),
         lit(cid).as("cid"))
     }
+  }
+
+  /** Nearest-centroid assignment as a pure projection: array_min's
+    * lexicographic struct order gives argmin with the smaller-cid
+    * tie-break.
+    */
+  private def assignWith(q: DataFrame,
+      centroids: Seq[(Int, Array[Double])]): DataFrame =
     q.select(col("vec_id"), col("label"), col("qv"),
-        array_min(array(cands: _*)).as("best"))
+        array_min(array(distCands(centroids): _*)).as("best"))
       .select(col("vec_id"), col("label"), col("qv"),
         col("best.cid").as("cluster"), col("best.d").as("dist_sq"))
-  }
 
   /** New model from an assignment: per-(cluster, dim) mean on the 1e-6
     * grid. The agg output is ≤ k·dim rows — a fixed-size model, the
@@ -166,6 +171,50 @@ object ClusterQueries {
       .select(col("round").cast("int").as("round"), col("inertia"),
         col("n_vecs"), col("n_clusters").cast("int").as("n_clusters"))
       .orderBy("round")
+  }
+
+  /** Simplified (centroid-based) SILHOUETTE under the final k-means
+    * model — the cluster-quality report read next to [[qKmeansInertia]]'s
+    * convergence curve: per vector, `a_sq` = squared distance to its OWN
+    * centroid, `b_sq` = the smallest squared distance to any OTHER
+    * centroid, and sil = (b_sq − a_sq) / max(a_sq, b_sq) ∈ [−1, 1]
+    * (0 when both are 0). Classic silhouette averages point-to-POINT
+    * distances — O(n²) pairs, a non-starter at corpus scale; the
+    * centroid form is the standard at-scale substitute (one model pass,
+    * no pair explosion) and keeps the sign semantics: sil < 0 means the
+    * vector sits closer to a rival centroid than its own, the rows a
+    * curation owner reads before trusting cluster-stratified quotas
+    * ([[qDiversitySample]]).
+    *
+    * Determinism: a_sq/b_sq are the exact integer squared
+    * micro-distances of the shared model chain, emitted as longs so the
+    * one rounded double division never carries information. Computed on
+    * SQUARED distances (documented choice: monotone per vector, so
+    * argmin, sign, and zero structure match the unsquared form while
+    * every input stays integer-exact; magnitudes are not comparable to
+    * the classic [-1,1] calibration tables).
+    *
+    * Scale: the final model is k·dim literals inlined into ONE
+    * codegen'd projection — no join, no shuffle besides the output
+    * sort; the loop cost is [[qKmeans]]'s own (iters+1 scans).
+    */
+  def qSilhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantized(Tables.embeddings(spark, sfDir)).localCheckpoint(false)
+    var centroids = initModel(q, K)
+    for (_ <- 1 to Iters) centroids = updateModel(assignWith(q, centroids))
+    q.select(col("vec_id"),
+        array_sort(array(distCands(centroids): _*)).as("ds"))
+      .select(col("vec_id"),
+        col("ds").getItem(0).getField("cid").as("cluster"),
+        col("ds").getItem(0).getField("d").as("a_sq"),
+        col("ds").getItem(1).getField("d").as("b_sq"))
+      .select(col("vec_id"), col("cluster"), col("a_sq"), col("b_sq"),
+        when(greatest(col("a_sq"), col("b_sq")) === 0, lit(0.0))
+          .otherwise(
+            round((col("b_sq") - col("a_sq")).cast("double") /
+              greatest(col("a_sq"), col("b_sq")), 6) + lit(0.0))
+          .as("sil"))
+      .orderBy(asc_nulls_first("vec_id"))
   }
 
   /** Cluster-stratified diversity sample: the top-`perCluster` documents

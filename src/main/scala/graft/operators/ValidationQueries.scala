@@ -145,6 +145,51 @@ object ValidationQueries {
       .orderBy(asc_nulls_first("c_mktsegment"))
   }
 
+  /** L-DIVERSITY audit — [[qKanon]]'s companion: k-anonymity asks "how
+    * many people share this quasi-identifier cell?"; l-diversity asks
+    * "once you know the cell, do you learn the SENSITIVE value anyway?".
+    * Same QI grid (mktsegment, nationkey, 1000-unit balance bucket);
+    * sensitive attribute = the order priority on the cell members'
+    * orders. A cell whose orders all carry ONE priority (l = 1) leaks
+    * that priority for every member even when it passes k-anonymity
+    * (Machanavajjhala et al.'s homogeneity attack). Per segment: cell
+    * count, cells with l < 3, customers exposed in them, the worst
+    * cell's l, and the exposure rate. Customers with no orders have no
+    * sensitive value to leak and drop out of the audit (inner join) —
+    * the oracle says the same.
+    *
+    * Scale: ONE customer⋈orders equi-join on the natural shuffle key
+    * custkey (both sides corpus-sized — no broadcast), the grid agg's
+    * two exact distincts (priority, custkey) in one pass, then a
+    * |segments| fold of the schema-bounded grid. All integers + one
+    * rounded rate.
+    */
+  def qLdiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = 3
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+    val ords = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderpriority"))
+    val cells = cust
+      .join(ords, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_bucket"))
+      .agg(countDistinct(col("o_orderpriority")).as("l"),
+        countDistinct(col("c_custkey")).as("n_cust"))
+    cells.groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(col("l") < l, 1L).otherwise(0L)).as("n_low_div_cells"),
+        sum(when(col("l") < l, col("n_cust")).otherwise(0L)).as("n_exposed"),
+        sum(col("n_cust")).as("n_customers"),
+        min(col("l")).as("min_l"))
+      .select(col("c_mktsegment"), col("n_cells"), col("n_low_div_cells"),
+        col("n_exposed"), col("n_customers"), col("min_l"),
+        (round(col("n_exposed").cast("double") / col("n_customers"), 6)
+          + lit(0.0)).as("exposure_rate"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
+
   /** Column profile — the DISCOVERY side of data quality (qDqReport is
     * the assertion side): per column of `orders`, null count, exact
     * distinct count, and completeness ratio, in long format. What a

@@ -97,6 +97,29 @@ class ClusterSpec extends AnyFunSuite {
     assert(rows.forall(r => r._4 <= graft.operators.ClusterQueries.K))
   }
 
+  test("silhouette: agrees with the kmeans assignment; b >= a; sil bounded") {
+    val sil = ClusterQueries.qSilhouette(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val assign = ClusterQueries
+      .kmeansAssign(spark, Tables.embeddings(spark, sfDir))
+      .select("vec_id", "cluster", "dist_sq")
+      .as[(Long, Int, Long)].collect()
+    assert(sil.size == assign.length)
+    assign.foreach { case (vid, cluster, distSq) =>
+      val r = sil(vid)
+      // own-centroid distance and cluster must be EXACTLY the shipped
+      // assignment's — same model, same tie-break
+      assert(r.getAs[Int]("cluster") == cluster)
+      assert(r.getAs[Long]("a_sq") == distSq)
+      // a is the argmin, so every rival distance is >= a, and the
+      // silhouette of an argmin assignment is never negative... only
+      // true when a == argmin, which IS the contract: b >= a => sil in [0, 1]
+      assert(r.getAs[Long]("b_sq") >= r.getAs[Long]("a_sq"))
+      val s = r.getAs[Double]("sil")
+      assert(s >= 0.0 && s <= 1.0, s"sil $s out of [0,1] for vec $vid")
+    }
+  }
+
   test("diversity sample: two-phase ranking equals the naive global window") {
     val got = ClusterQueries.qDiversitySample(spark, sfDir)
       .as[(Int, Int, Long, Double)].collect().toSeq

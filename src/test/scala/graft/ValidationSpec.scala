@@ -195,6 +195,34 @@ class ValidationSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q_ldiversity: covers exactly the ordering customers; l bounds respected") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_ldiversity")(spark, sfDir).cache()
+    // the audit covers every customer WITH orders, each once (inner
+    // join contract: no orders -> no sensitive value -> not audited)
+    val ordering = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .count()
+    assert(out.agg(sum($"n_customers")).as[Long].head() == ordering)
+    // l is between 1 and the 5 distinct order priorities; a cell below
+    // the l=3 bar is counted in both cell and member exposure
+    assert(out.filter($"min_l" < 1 || $"min_l" > 5).count() == 0)
+    assert(out.filter($"n_low_div_cells" > $"n_cells" ||
+      $"n_exposed" > $"n_customers").count() == 0)
+    // cross-check one segment naively
+    val seg = out.orderBy("c_mktsegment").head()
+    val naive = Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === seg.getString(0))
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy($"c_nationkey", floor($"c_acctbal" / 1000.0).as("b"))
+      .agg(countDistinct($"o_orderpriority").as("l"))
+    assert(naive.count() == seg.getAs[Long]("n_cells"))
+    assert(naive.filter($"l" < 3).count() == seg.getAs[Long]("n_low_div_cells"))
+    out.unpersist()
+  }
+
   test("q_decayed_sum: bounded by raw spend, anchored week is undecayed") {
     import spark.implicits._
     val out = SparkEntry.queries("q_decayed_sum")(spark, sfDir).cache()
