@@ -282,6 +282,12 @@ object SparkEntry {
     "q_cliff_delta"     -> (StatsQueries.qCliffDelta _),
     "q_sample_systematic" -> (CurationQueries.qSampleSystematic _),
     "q_trade_volume"    -> (CompositeQueries.qTradeVolume _),
+    "q_levene"          -> (StatsQueries.qLevene _),
+    "q_bartlett"        -> (StatsQueries.qBartlett _),
+    "q_chao1"           -> (AdvancedTextQueries.qChao1 _),
+    "q_stickiness"      -> (BehaviorQueries.qStickiness _),
+    "q_lift"            -> (BehaviorQueries.qLift _),
+    "q_brier"           -> (MlEvalQueries.qBrier _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -5353,6 +5359,180 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY supp_nation NULLS FIRST, cust_nation NULLS FIRST,
         |  l_year NULLS FIRST""".stripMargin,
+    "q_levene" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, x,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY x ASC, o_orderkey ASC) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM o),
+        |m AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN count(*) = 1 THEN sum(x) * 2 ELSE sum(x) END AS m2
+        |  FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT o.o_orderpriority, abs(o.x * 2 - m.m2) AS d
+        |  FROM o JOIN m USING (o_orderpriority)),
+        |g AS (
+        |  SELECT o_orderpriority, count(*) AS n_g, sum(d) AS s_g,
+        |    sum(CAST(d AS DECIMAL(38,0)) * d) AS ss_g
+        |  FROM d GROUP BY 1),
+        |p AS (
+        |  SELECT count(*) AS k, sum(n_g) AS n, sum(s_g) AS s, sum(ss_g) AS ss,
+        |    sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) /
+        |      CAST(n_g AS DOUBLE)) AS sb_raw
+        |  FROM g)
+        |SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_total,
+        |  round((sb_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |      CAST(n AS DOUBLE)) / (k - 1) /
+        |    ((CAST(ss AS DOUBLE) - sb_raw) / (n - k)), 6) + 0.0 AS bf_stat
+        |FROM p""".stripMargin,
+    "q_bartlett" ->
+      """WITH g0 AS (
+        |  SELECT l_returnflag, count(*) AS n_g, sum(x) AS s_g,
+        |    sum(CAST(x AS DECIMAL(38,0)) * x) AS ss_g
+        |  FROM (SELECT l_returnflag,
+        |          CAST(round(l_quantity * 100) AS BIGINT) AS x FROM lineitem)
+        |  GROUP BY 1),
+        |g AS (
+        |  SELECT n_g, ss_g, s_g,
+        |    CAST(round(ln((CAST(ss_g AS DOUBLE) -
+        |        CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) /
+        |          CAST(n_g AS DOUBLE)) /
+        |        CAST(n_g - 1 AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |      AS ln_var_micro,
+        |    CAST(round(1.0e12 / CAST(n_g - 1 AS DOUBLE), 0) AS BIGINT)
+        |      AS inv_pico
+        |  FROM g0),
+        |p AS (
+        |  SELECT count(*) AS k, sum(n_g) AS n, sum(ss_g) AS ss,
+        |    sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) /
+        |      CAST(n_g AS DOUBLE)) AS sb_raw,
+        |    sum((n_g - 1) * ln_var_micro) AS wln_micro,
+        |    sum(inv_pico) AS inv_pico_sum
+        |  FROM g)
+        |SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_total,
+        |  round((CAST(ss AS DOUBLE) - sb_raw) / CAST(n - k AS DOUBLE), 6)
+        |    + 0.0 AS pooled_var,
+        |  round(1.0 + (CAST(inv_pico_sum AS DOUBLE) / 1.0e12 -
+        |      1.0 / CAST(n - k AS DOUBLE)) /
+        |      (3.0 * CAST(k - 1 AS DOUBLE)), 6) + 0.0 AS correction_c,
+        |  round((CAST(n - k AS DOUBLE) *
+        |      ln((CAST(ss AS DOUBLE) - sb_raw) / CAST(n - k AS DOUBLE)) -
+        |      CAST(wln_micro AS DOUBLE) / 1000000.0) /
+        |    (1.0 + (CAST(inv_pico_sum AS DOUBLE) / 1.0e12 -
+        |      1.0 / CAST(n - k AS DOUBLE)) /
+        |      (3.0 * CAST(k - 1 AS DOUBLE))), 6) + 0.0 AS bartlett_chi2
+        |FROM p""".stripMargin,
+    "q_chao1" ->
+      """WITH c AS (
+        |  SELECT word, count(*) AS c FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents) t
+        |  WHERE word <> '' GROUP BY word),
+        |s AS (
+        |  SELECT sum(c) AS n_tokens, count(*) AS vocab_size,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+        |    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+        |  FROM c)
+        |SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(vocab_size AS BIGINT) AS vocab_size,
+        |  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+        |  round(CAST(vocab_size AS DOUBLE) +
+        |    CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE), 6)
+        |    + 0.0 AS chao1,
+        |  round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0
+        |    AS unseen_mass
+        |FROM s""".stripMargin,
+    "q_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day AS target_day FROM du),
+        |mau AS (
+        |  SELECT d.target_day AS day, count(DISTINCT u.user_id) AS mau28
+        |  FROM du u JOIN days d
+        |    ON d.target_day BETWEEN u.day AND u.day + 27
+        |  GROUP BY 1),
+        |dau AS (
+        |  SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1)
+        |SELECT dau.day, dau.dau, mau.mau28,
+        |  round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau28 AS DOUBLE), 6) + 0.0
+        |    AS stickiness
+        |FROM dau JOIN mau ON dau.day = mau.day
+        |ORDER BY dau.day NULLS FIRST""".stripMargin,
+    "q_lift" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-22'
+        |        THEN 1 ELSE 0 END) AS score,
+        |    max(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-22'
+        |        AND event_type = 'purchase' THEN 1 ELSE 0 END) AS buyer
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT user_id, CAST(score AS BIGINT) AS score,
+        |    CAST(buyer AS BIGINT) AS buyer,
+        |    ntile(10) OVER (ORDER BY score DESC, user_id ASC) AS decile
+        |  FROM pu WHERE score >= 1),
+        |t AS (SELECT sum(buyer) AS tot_buyers, count(*) AS tot_users FROM d)
+        |SELECT CAST(decile AS INT) AS decile, count(*) AS n_users,
+        |  CAST(sum(buyer) AS BIGINT) AS n_buyers,
+        |  round(CAST(sum(buyer) AS DOUBLE) / CAST(t.tot_buyers AS DOUBLE), 6)
+        |    + 0.0 AS capture_rate,
+        |  round((CAST(sum(buyer) AS DOUBLE) / count(*)) /
+        |    (CAST(t.tot_buyers AS DOUBLE) / t.tot_users), 6) + 0.0 AS lift
+        |FROM d CROSS JOIN t
+        |GROUP BY decile, t.tot_buyers, t.tot_users
+        |ORDER BY decile ASC""".stripMargin,
+    "q_brier" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |), pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+        |    round(list_dot_product(p.v, c.v) /
+        |      (sqrt(list_dot_product(p.v, p.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))), 6) + 0.0 AS cosine
+        |  FROM e p JOIN e c ON p.vec_id % 100 = 0 AND c.vec_id <> p.vec_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM pairs
+        |), votes AS (
+        |  SELECT probe_id, l.label, count(*) AS votes
+        |  FROM ranked r JOIN e l ON r.vec_id = l.vec_id
+        |  WHERE r.rank <= 5 GROUP BY 1, 2
+        |), pv AS (
+        |  SELECT probe_id, label AS pred_label, votes,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY votes DESC, label ASC) AS rn
+        |  FROM votes
+        |), pred AS (
+        |  SELECT p.probe_id, p.pred_label, p.votes, t.label AS true_label
+        |  FROM pv p JOIN e t ON p.probe_id = t.vec_id WHERE p.rn = 1
+        |), m AS (
+        |  SELECT
+        |    CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS correct,
+        |    CAST(round(pow(CAST(votes AS DOUBLE) / 5 -
+        |      CASE WHEN pred_label = true_label THEN 1 ELSE 0 END, 2)
+        |      * 1000000.0, 0) AS BIGINT) AS brier_micro,
+        |    CAST(round(-ln(CASE WHEN pred_label = true_label
+        |        THEN CAST(votes + 1 AS DOUBLE) / 7
+        |        ELSE 1.0 - CAST(votes + 1 AS DOUBLE) / 7 END)
+        |      * 1000000.0, 0) AS BIGINT) AS ll_micro
+        |  FROM pred)
+        |SELECT count(*) AS n_probes, CAST(sum(correct) AS BIGINT) AS n_correct,
+        |  round(CAST(sum(correct) AS DOUBLE) / count(*), 6) + 0.0 AS accuracy,
+        |  round(CAST(sum(brier_micro) AS DOUBLE) / count(*) / 1000000.0, 6)
+        |    + 0.0 AS brier,
+        |  round(CAST(sum(ll_micro) AS DOUBLE) / count(*) / 1000000.0, 6)
+        |    + 0.0 AS log_loss
+        |FROM m""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

@@ -1357,4 +1357,40 @@ object AdvancedTextQueries {
           .as("kept_rate"))
       .orderBy(asc_nulls_first("source"))
   }
+
+  /** Chao1 vocabulary-richness estimate + Good–Turing unseen mass over
+    * the whole corpus (Chao 1984; Good 1953 — public literature): from
+    * the token frequency-of-frequencies, the bias-corrected
+    * Chao1 = D + f1·(f1−1)/(2·(f2+1)) estimates how many types the
+    * corpus WOULD show at infinite size, and p₀ = f1/N estimates the
+    * probability the next token is a never-seen type. The
+    * have-we-sampled-enough gauge a corpus curator reads next to
+    * q_vocab_growth's empirical Heaps curve — growth says how fast
+    * vocabulary accrues, Chao1 says how far it has to go.
+    *
+    * Determinism: D, f1, f2, N are exact integer counts; the two
+    * estimates are terminal rounded divisions of integer products
+    * (f1·(f1−1) stays well under 2^63 for any vocabulary < 3e9 types).
+    *
+    * Scale: explode folds immediately to the vocabulary (one token
+    * exchange, map-side combined), and the frequency-of-frequencies
+    * fold is a 1-row aggregate — the corpus itself never reaches a
+    * second shuffle. Same scan shape as q_zipf_slope.
+    */
+  def qChao1(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("vocab_size"), col("f1"), col("f2"),
+        (round(col("vocab_size").cast("double") +
+          (col("f1") * (col("f1") - 1)).cast("double") /
+            ((col("f2") + 1) * 2).cast("double"), 6) + lit(0.0))
+          .as("chao1"),
+        (round(col("f1").cast("double") / col("n_tokens").cast("double"), 6)
+          + lit(0.0)).as("unseen_mass"))
 }

@@ -677,4 +677,82 @@ object BehaviorQueries {
         max(col("len")).as("max_streak"))
       .orderBy(asc_nulls_first("user_id"))
   }
+
+  /** Daily stickiness (DAU / trailing-28-day MAU) — the canonical
+    * engagement-intensity ratio product analytics reads next to the
+    * WAU curve (q_rolling_active): how much of the active base shows
+    * up on a given day. Both counts are exact distincts.
+    *
+    * Determinism: integer distinct counts; the ratio is the terminal
+    * rounded division.
+    *
+    * Scale: q_rolling_active's bounded-explode rewrite — the stream
+    * collapses to DISTINCT (user, day) FIRST, each row then fans out
+    * to exactly 28 target days (an equi-join, never a range join),
+    * and target days prune to days that exist via a broadcast of the
+    * tiny day dimension. No data-sized window, fan-out fixed at 28
+    * applied post-collapse.
+    */
+  def qStickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = du.select(col("day").as("target_day")).distinct()
+    val mau = du.withColumn("off", explode(sequence(lit(0), lit(27))))
+      .select(col("user_id"), date_add(col("day"), col("off")).as("target_day"))
+      .join(broadcast(days), Seq("target_day"))
+      .groupBy(col("target_day").as("day"))
+      .agg(countDistinct(col("user_id")).as("mau28"))
+    val dau = du.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau28"),
+        (round(col("dau").cast("double") / col("mau28").cast("double"), 6)
+          + lit(0.0)).as("stickiness"))
+      .orderBy(asc_nulls_first("day"))
+  }
+
+  /** Decile gain/lift chart for a purchase-propensity score — the
+    * model-free targeting readout: score every user by their
+    * first-three-weeks event count, label them by whether they
+    * purchased in the final week (Jan 22+), split the scored
+    * population into 10 equal-depth deciles and report each decile's
+    * buyer capture and lift over the base rate. The validation a
+    * campaign owner runs before spending on the top decile.
+    *
+    * Determinism: the score is an exact integer count; ntile runs
+    * over a fully tie-broken total order (score DESC, user ASC) and
+    * both engines define ntile identically (floor-equal buckets,
+    * remainder to the leading buckets); all outputs are integer
+    * counts plus terminal rounded ratios.
+    *
+    * Scale: one user-level fold of the stream (map-combinable), a
+    * single global ntile over the USER dimension (users ≪ events; at
+    * true 100 TB swap for range-partitioned rank arithmetic), and a
+    * 10-row aggregate.
+    */
+  def qLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit("2024-01-22").cast("date")
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(
+        sum(when(to_date(col("ts")) < cut, 1L).otherwise(0L)).as("score"),
+        max(when(to_date(col("ts")) >= cut &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("buyer"))
+      .filter(col("score") >= 1)
+    val deciled = perUser.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("score").desc, col("user_id").asc)))
+    val tot = deciled.agg(sum(col("buyer")).as("tot_buyers"),
+      count(lit(1)).as("tot_users"))
+    deciled.groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("buyer")).as("n_buyers"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile").cast("int").as("decile"),
+        col("n_users"), col("n_buyers"),
+        (round(col("n_buyers").cast("double") / col("tot_buyers"), 6)
+          + lit(0.0)).as("capture_rate"),
+        (round((col("n_buyers").cast("double") / col("n_users")) /
+          (col("tot_buyers").cast("double") / col("tot_users")), 6)
+          + lit(0.0)).as("lift"))
+      .orderBy(col("decile").asc)
+  }
 }

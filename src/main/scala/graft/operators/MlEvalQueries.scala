@@ -710,4 +710,46 @@ object MlEvalQueries {
               * (col("drop_keep") + col("drop_drop"))).cast("double")), 6)
         + lit(0.0)).as("kappa"))
   }
+
+  /** Proper scoring of the kNN weak labeler: Brier score on the native
+    * vote confidence p = votes/5 and log loss on the Laplace-smoothed
+    * q = (votes+1)/7 (smoothing keeps ln finite when all 5 neighbors
+    * agree and the label is still wrong) — the two PROPER scoring
+    * rules that, unlike q_calibration's binned curve, penalize
+    * overconfidence in a single number. The threshold-free companion
+    * a labeling pipeline tracks per labeler release.
+    *
+    * Determinism: votes and correctness are exact integers; each
+    * probe's Brier term (p−correct)² and log-loss term −ln(·) are one
+    * IEEE expression of the ≤10 distinct (votes, correct) cell values,
+    * rounded to integer micro-units BEFORE the cross-probe sum
+    * (q_drift_psi's recipe), so totals are exact integer sums and the
+    * three reported means are terminal divisions.
+    *
+    * Scale: rides the shared blocked-kNN chain (no probe broadcast);
+    * the scoring itself folds probe rows to one row map-combinably.
+    */
+  def qBrier(spark: SparkSession, sfDir: String): DataFrame =
+    knnPredictions(spark, sfDir)
+      .select(col("votes"),
+        when(col("pred_label") === col("true_label"), 1L).otherwise(0L)
+          .as("correct"))
+      .select(col("correct"),
+        round(pow(col("votes").cast("double") / 5 - col("correct"), 2)
+          * 1000000.0, 0).cast("long").as("brier_micro"),
+        round(-log(when(col("correct") === 1,
+            (col("votes") + 1).cast("double") / 7)
+          .otherwise(lit(1.0) - (col("votes") + 1).cast("double") / 7))
+          * 1000000.0, 0).cast("long").as("ll_micro"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("correct")).as("n_correct"),
+        sum(col("brier_micro")).as("brier_sum"),
+        sum(col("ll_micro")).as("ll_sum"))
+      .select(col("n_probes"), col("n_correct"),
+        (round(col("n_correct").cast("double") / col("n_probes"), 6)
+          + lit(0.0)).as("accuracy"),
+        (round(col("brier_sum").cast("double") / col("n_probes") / 1000000.0,
+          6) + lit(0.0)).as("brier"),
+        (round(col("ll_sum").cast("double") / col("n_probes") / 1000000.0, 6)
+          + lit(0.0)).as("log_loss"))
 }

@@ -1298,4 +1298,119 @@ object StatsQueries {
           round(col("k") * 1000000.0 / col("sum_log_micro"), 6) + lit(0.0))
           .as("tail_index"))
   }
+
+  /** Brown–Forsythe test of variance homogeneity (Levene's test with
+    * the median center — Brown & Forsythe 1974, public literature) of
+    * order totals across the 5 order priorities: the robust
+    * are-the-spreads-equal gate one runs BEFORE trusting q_anova,
+    * whose F assumes equal group variances.
+    *
+    * Determinism: the group median enters DOUBLED (m2 = sum of the
+    * one-or-two middle cents values, the lone middle counted twice —
+    * q_median's row_number selection kept integer), so each absolute
+    * deviation |2x − m2| is an exact long; the deviations then run
+    * through q_anova's exact-power-sum fold (Σd in long, Σd² in
+    * decimal(38,0)) and the F-on-deviations statistic is the single
+    * terminal double expression, spelled identically in the oracle.
+    *
+    * Scale: one window exchange on the 5-group key to pick medians
+    * (the q_median shape; at 100 TB swap exact medians for GK per
+    * q_anomaly_mad's note), a broadcast of the 5-row median table
+    * back onto the fact, then a map-combinable moments aggregate to
+    * 5 rows and a 1-row fold — the fact is shuffled exactly once.
+    */
+  def qLevene(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("x"))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("x").asc, col("o_orderkey").asc)
+    val med2 = ord
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+      .filter(col("rn") === expr("(n + 1) DIV 2") ||
+        col("rn") === expr("n DIV 2 + 1"))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("x")).as("smid"), count(lit(1)).as("cmid"))
+      .select(col("o_orderpriority"),
+        when(col("cmid") === 1, col("smid") * 2)
+          .otherwise(col("smid")).as("m2"))
+    val g = ord.join(broadcast(med2), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"),
+        abs(col("x") * 2 - col("m2")).as("d"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_g"), sum(col("d")).as("s_g"),
+        sum(col("d").cast("decimal(38,0)") * col("d")).as("ss_g"))
+    val parts = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("n_g")).as("n"),
+      sum(col("s_g")).as("s"),
+      sum(col("ss_g")).as("ss"),
+      // Σ s_g²/n_g in pure DOUBLE — qAnova's move: s_g < 2^53 exact,
+      // product/quotient bit-identical across engines
+      sum(col("s_g").cast("double") * col("s_g").cast("double") /
+        col("n_g").cast("double")).as("sb_raw"))
+    val ssb = col("sb_raw") -
+      col("s").cast("double") * col("s").cast("double") / col("n")
+    val ssw = col("ss").cast("double") - col("sb_raw")
+    parts.select(col("k").as("k_groups"), col("n").as("n_total"),
+      (round(ssb / (col("k") - 1) / (ssw / (col("n") - col("k"))), 6)
+        + lit(0.0)).as("bf_stat"))
+  }
+
+  /** Bartlett's test of variance homogeneity of line-item quantities
+    * across the 3 return flags — the parametric (normal-theory)
+    * companion to [[qLevene]]: χ² = [(N−k)·ln(Sp²) −
+    * Σ(n_g−1)·ln(S_g²)] / C with the usual small-sample correction
+    * C = 1 + (Σ1/(n_g−1) − 1/(N−k)) / (3(k−1)).
+    *
+    * Determinism: per-group variances come from exact power sums
+    * (Σx long, Σx² decimal(38,0)) so each S_g² is one bit-identical
+    * double; every CROSS-GROUP float sum is integerized before
+    * summation — ln(S_g²) rounds to micro-nats (q_drift_psi's recipe)
+    * and 1/(n_g−1) to pico-units (×1e12) — so the group fold is exact
+    * integer arithmetic and the χ²/C assembly is a single final
+    * double expression per output column.
+    *
+    * Scale: one map-combinable moments aggregate to k=3 rows, then a
+    * 1-row fold — single shuffle of 3 groups at any corpus size.
+    */
+  def qBartlett(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), cents(col("l_quantity")).as("x"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("ss_g"))
+      .select(col("n_g"), col("s_g"), col("ss_g"),
+        ((col("ss_g").cast("double") -
+          col("s_g").cast("double") * col("s_g").cast("double") /
+            col("n_g").cast("double")) /
+          (col("n_g") - 1).cast("double")).as("var_g"))
+      .select(col("n_g"), col("ss_g"), col("s_g"),
+        round(log(col("var_g")) * 1000000.0, 0).cast("long")
+          .as("ln_var_micro"),
+        round(lit(1.0e12) / (col("n_g") - 1).cast("double"), 0).cast("long")
+          .as("inv_pico"))
+    val parts = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("n_g")).as("n"),
+      sum(col("ss_g")).as("ss"),
+      sum(col("s_g").cast("double") * col("s_g").cast("double") /
+        col("n_g").cast("double")).as("sb_raw"),
+      sum((col("n_g") - 1) * col("ln_var_micro")).as("wln_micro"),
+      sum(col("inv_pico")).as("inv_pico_sum"))
+    val sp2 = (col("ss").cast("double") - col("sb_raw")) /
+      (col("n") - col("k")).cast("double")
+    val num = (col("n") - col("k")).cast("double") * log(sp2) -
+      col("wln_micro").cast("double") / 1.0e6
+    val cFac = lit(1.0) +
+      (col("inv_pico_sum").cast("double") / 1.0e12 -
+        lit(1.0) / (col("n") - col("k")).cast("double")) /
+        (lit(3.0) * (col("k") - 1).cast("double"))
+    parts.select(col("k").as("k_groups"), col("n").as("n_total"),
+      (round(sp2, 6) + lit(0.0)).as("pooled_var"),
+      (round(cFac, 6) + lit(0.0)).as("correction_c"),
+      (round(num / cFac, 6) + lit(0.0)).as("bartlett_chi2"))
+  }
 }

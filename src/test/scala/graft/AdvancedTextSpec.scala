@@ -664,4 +664,21 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("n_docs") - flags.head == clean,
       "ladder n=3 disagrees with q_decontaminate's clean count")
   }
+
+  test("chao1: estimator dominates observed vocabulary; unseen mass bounded") {
+    val r = q("q_chao1").collect().head
+    val (d, f1, f2) = (r.getAs[Long]("vocab_size"),
+      r.getAs[Long]("f1"), r.getAs[Long]("f2"))
+    assert(f1 >= 0 && f2 >= 0 && f1 + f2 <= d)
+    // Chao1 is observed richness plus a non-negative correction
+    assert(r.getAs[Double]("chao1") >= d.toDouble - 1e-6)
+    assert(math.abs(r.getAs[Double]("chao1") -
+      (d + f1.toDouble * (f1 - 1) / (2.0 * (f2 + 1)))) < 1e-4)
+    val p0 = r.getAs[Double]("unseen_mass")
+    assert(p0 >= 0 && p0 <= 1)
+    // cross-check against the lexical-richness panel's corpus totals
+    val lex = q("q_lexical_richness").collect()
+    assert(r.getAs[Long]("n_tokens") ==
+      lex.map(_.getAs[Long]("n_tokens")).sum)
+  }
 }

@@ -280,4 +280,37 @@ class BehaviorSpec extends AnyFunSuite {
         r.getAs[Long]("n_active_days"))
     }
   }
+
+  test("q_stickiness: one row per active day; DAU <= MAU28 <= user base") {
+    val out = q("q_stickiness").collect()
+    val du = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    assert(out.length == du.select("day").distinct().count())
+    val nUsers = du.select("user_id").distinct().count()
+    out.foreach { r =>
+      val (dau, mau) = (r.getAs[Long]("dau"), r.getAs[Long]("mau28"))
+      assert(dau >= 1 && dau <= mau && mau <= nUsers)
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0 && s <= 1.0 + 1e-9)
+      assert(math.abs(s - dau.toDouble / mau) < 1e-6)
+    }
+  }
+
+  test("q_lift: deciles partition scored users; average lift is 1") {
+    val out = q("q_lift").collect()
+    assert(out.map(_.getAs[Int]("decile")).toSet == (1 to 10).toSet)
+    val scored = Tables.events(spark, sfDir)
+      .filter(to_date(col("ts")) < lit("2024-01-22").cast("date"))
+      .select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_users")).sum == scored)
+    // equal-depth deciles: sizes differ by at most 1
+    val sizes = out.map(_.getAs[Long]("n_users"))
+    assert(sizes.max - sizes.min <= 1)
+    // capture rates sum to 1 over the deciles
+    assert(math.abs(out.map(_.getAs[Double]("capture_rate")).sum - 1.0) < 1e-4)
+    // weighted average lift is 1 by construction
+    val wl = out.map(r => r.getAs[Double]("lift") * r.getAs[Long]("n_users"))
+      .sum / scored
+    assert(math.abs(wl - 1.0) < 1e-3, s"weighted lift $wl")
+  }
 }

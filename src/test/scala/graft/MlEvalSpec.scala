@@ -271,4 +271,26 @@ class MlEvalSpec extends AnyFunSuite {
       ((a + b).toDouble * (b + d) + (a + c).toDouble * (c + d))
     assert(math.abs(kappa - expect) < 1e-6)
   }
+
+  test("q_brier: bounded proper scores, consistent with q_calibration") {
+    val r = SparkEntry.queries("q_brier")(spark, sfDir).collect().head
+    val brier = r.getAs[Double]("brier")
+    val ll = r.getAs[Double]("log_loss")
+    assert(brier >= 0 && brier <= 1.0 + 1e-9, s"brier $brier")
+    // smoothed q in [2/7, 6/7] bounds each term by -ln(1/7)
+    assert(ll >= 0 && ll <= math.log(7.0) + 1e-9, s"log_loss $ll")
+    // same probe population and accuracy as the calibration curve
+    val cal = SparkEntry.queries("q_calibration")(spark, sfDir).collect()
+    assert(cal.map(_.getAs[Long]("n_probes")).sum == r.getAs[Long]("n_probes"))
+    assert(cal.map(_.getAs[Long]("n_correct")).sum == r.getAs[Long]("n_correct"))
+    // Brier is minimized at perfect calibration: sanity re-derive from
+    // the calibration buckets (same cells, same per-cell terms)
+    val rederived = cal.map { c =>
+      val p = c.getAs[Long]("votes").toDouble / 5
+      val nc = c.getAs[Long]("n_correct")
+      val nw = c.getAs[Long]("n_probes") - nc
+      nc * math.pow(p - 1, 2) + nw * math.pow(p, 2)
+    }.sum / cal.map(_.getAs[Long]("n_probes")).sum
+    assert(math.abs(brier - rederived) < 1e-4, s"brier $brier vs $rederived")
+  }
 }

@@ -83,7 +83,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row (N, tie-sum) aggregate entering the per-segment rank rows
     "q_kruskal_wallis",
     // 1-row (n_a, n_b) sample sizes entering the ECDF area terms
-    "q_emd")
+    "q_emd",
+    // 1-row (tot_buyers, tot_users) base-rate scalar entering the
+    // per-decile lift — 1 row against the 10-row decile grid
+    "q_lift")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —

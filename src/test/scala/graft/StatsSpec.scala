@@ -550,4 +550,58 @@ class StatsSpec extends AnyFunSuite {
     val alpha = r.getAs[Double]("tail_index")
     assert(alpha > 0 && math.abs(alpha - k * 1e6 / sumLog) < 1e-6)
   }
+
+  test("levene: matches a double-precision replay off exact medians") {
+    val r = SparkEntry.queries("q_levene")(spark, sfDir).collect().head
+    val groups = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("x"))
+      .collect()
+      .groupBy(_.getString(0)).values.map(_.map(_.getLong(1)).sorted)
+    assert(r.getAs[Long]("k_groups") == groups.size)
+    assert(r.getAs[Long]("n_total") == groups.map(_.length).sum)
+    // replay: doubled median, abs deviations, classic one-way F
+    val devs = groups.map { xs =>
+      val n = xs.length
+      val m2 = if (n % 2 == 1) 2 * xs(n / 2) else xs(n / 2 - 1) + xs(n / 2)
+      xs.map(x => math.abs(2 * x - m2).toDouble)
+    }.toSeq
+    val all = devs.flatten
+    val grand = all.sum / all.size
+    val ssb = devs.map(d => d.size * math.pow(d.sum / d.size - grand, 2)).sum
+    val ssw = devs.map(d => { val m = d.sum / d.size
+      d.map(x => math.pow(x - m, 2)).sum }).sum
+    val f = (ssb / (devs.size - 1)) / (ssw / (all.size - devs.size))
+    assert(math.abs(r.getAs[Double]("bf_stat") - f) < 1e-3,
+      s"bf_stat ${r.getAs[Double]("bf_stat")} vs replay $f")
+  }
+
+  test("bartlett: matches a double-precision replay off sample variances") {
+    val r = SparkEntry.queries("q_bartlett")(spark, sfDir).collect().head
+    val groups = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("x"))
+      .collect()
+      .groupBy(_.getString(0)).values.map(_.map(_.getLong(1).toDouble))
+      .toSeq
+    val k = groups.size
+    val n = groups.map(_.length).sum
+    assert(r.getAs[Long]("k_groups") == k && r.getAs[Long]("n_total") == n)
+    def varS(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    val sp2 = groups.map(g => (g.length - 1) * varS(g)).sum / (n - k)
+    val num = (n - k) * math.log(sp2) -
+      groups.map(g => (g.length - 1) * math.log(varS(g))).sum
+    val c = 1.0 + (groups.map(g => 1.0 / (g.length - 1)).sum -
+      1.0 / (n - k)) / (3.0 * (k - 1))
+    assert(math.abs(r.getAs[Double]("pooled_var") - sp2) < 1e-2 * sp2)
+    // the engine rounds each ln(S_g²) to micro-nats before the
+    // (n_g−1)-weighted sum, so the replay can differ by up to
+    // Σ(n_g−1)·0.5e-6 ≈ n·0.5e-6
+    assert(math.abs(r.getAs[Double]("bartlett_chi2") - num / c) <
+      1e-6 * n + 1e-6,
+      s"chi2 ${r.getAs[Double]("bartlett_chi2")} vs replay ${num / c}")
+  }
 }
