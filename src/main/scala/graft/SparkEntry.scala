@@ -288,6 +288,11 @@ object SparkEntry {
     "q_stickiness"      -> (BehaviorQueries.qStickiness _),
     "q_lift"            -> (BehaviorQueries.qLift _),
     "q_brier"           -> (MlEvalQueries.qBrier _),
+    "q_drawdown"        -> (TimeSeriesQueries.qDrawdown _),
+    "q_rsi"             -> (TimeSeriesQueries.qRsi _),
+    "q_jl_project"      -> (SimilarityQueries.qJlProject _),
+    "q_embed_outliers"  -> (SimilarityQueries.qEmbedOutliers _),
+    "q_power_users"     -> (BehaviorQueries.qPowerUsers _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -5533,6 +5538,141 @@ object SparkEntry {
         |  round(CAST(sum(ll_micro) AS DOUBLE) / count(*) / 1000000.0, 6)
         |    + 0.0 AS log_loss
         |FROM m""".stripMargin,
+    "q_drawdown" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, day, c,
+        |    max(c) OVER (PARTITION BY event_type ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM d)
+        |SELECT event_type, day,
+        |  round(CAST(c AS DOUBLE) / 100.0, 6) + 0.0 AS day_value,
+        |  round(CAST(peak AS DOUBLE) / 100.0, 6) + 0.0 AS peak_value,
+        |  CASE WHEN peak > 0 THEN
+        |    round(CAST(peak - c AS DOUBLE) / CAST(peak AS DOUBLE), 6) + 0.0
+        |  END AS drawdown
+        |FROM p
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "q_rsi" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, day,
+        |    c - lag(c, 1) OVER (PARTITION BY event_type ORDER BY day ASC)
+        |      AS diff
+        |  FROM d),
+        |gl AS (
+        |  SELECT event_type, day,
+        |    CASE WHEN diff > 0 THEN diff ELSE 0 END AS gain,
+        |    CASE WHEN diff < 0 THEN -diff ELSE 0 END AS loss,
+        |    diff
+        |  FROM l),
+        |r AS (
+        |  SELECT event_type, day,
+        |    sum(gain) OVER w AS g, sum(loss) OVER w AS l,
+        |    count(diff) OVER w AS n_diffs
+        |  FROM gl WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day,
+        |  CAST(g AS BIGINT) AS gain_cents, CAST(l AS BIGINT) AS loss_cents,
+        |  n_diffs,
+        |  CASE WHEN g + l > 0 THEN
+        |    round(CAST(g AS DOUBLE) * 100.0 / CAST(g + l AS DOUBLE), 6) + 0.0
+        |  END AS rsi14
+        |FROM r WHERE n_diffs = 14
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "q_jl_project" ->
+      """WITH pos AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS dim),
+        |outs AS (SELECT CAST(unnest(range(1, 17)) AS INT) AS j),
+        |signs AS (
+        |  SELECT dim, j,
+        |    CASE WHEN CAST('0x' || substring(md5('jl:' || CAST(j AS VARCHAR)
+        |        || '_' || CAST(dim AS VARCHAR)), 1, 4) AS BIGINT) % 2 = 1
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM pos CROSS JOIN outs),
+        |e AS (
+        |  SELECT vec_id, label, dim,
+        |    CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000.0, 0)
+        |      AS BIGINT) AS vm
+        |  FROM embeddings CROSS JOIN pos),
+        |proj AS (
+        |  SELECT e.vec_id, s.j, sum(s.s * e.vm) AS pm
+        |  FROM e JOIN signs s ON e.dim = s.dim GROUP BY 1, 2),
+        |y2 AS (
+        |  SELECT vec_id, sum(CAST(pm AS DECIMAL(38,0)) * pm) AS sy2
+        |  FROM proj GROUP BY 1),
+        |x2 AS (
+        |  SELECT vec_id, label, sum(CAST(vm AS DECIMAL(38,0)) * vm) AS sx2
+        |  FROM e GROUP BY 1, 2),
+        |r AS (
+        |  SELECT x2.label,
+        |    CAST(round(CAST(sy2 AS DOUBLE) /
+        |      (CAST(sx2 AS DOUBLE) * 16.0) * 1000000.0, 0) AS BIGINT) AS rm
+        |  FROM x2 JOIN y2 USING (vec_id))
+        |SELECT label, count(*) AS n_vecs,
+        |  round(CAST(sum(rm) AS DOUBLE) / count(*) / 1000000.0, 6) + 0.0
+        |    AS mean_ratio,
+        |  round(CAST(min(rm) AS DOUBLE) / 1000000.0, 6) + 0.0 AS min_ratio,
+        |  round(CAST(max(rm) AS DOUBLE) / 1000000.0, 6) + 0.0 AS max_ratio
+        |FROM r GROUP BY label ORDER BY label NULLS FIRST""".stripMargin,
+    "q_embed_outliers" ->
+      """WITH pos AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS dim),
+        |e AS (
+        |  SELECT vec_id, label, dim,
+        |    CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000.0, 0)
+        |      AS BIGINT) AS vm
+        |  FROM embeddings CROSS JOIN pos),
+        |cent AS (
+        |  SELECT label, dim, count(*) AS n, sum(vm) AS s
+        |  FROM e GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT e.vec_id, e.label, c.n,
+        |    sum(CAST(c.n * e.vm - c.s AS DECIMAL(38,0)) *
+        |        (c.n * e.vm - c.s)) AS d2s
+        |  FROM e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+        |  GROUP BY 1, 2, 3),
+        |stats AS (
+        |  SELECT label, sum(d2s) AS d2sum, count(*) AS n_vecs
+        |  FROM d2 GROUP BY 1),
+        |ranked AS (
+        |  SELECT vec_id, label, n, d2s,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY d2s DESC, vec_id ASC) AS rank
+        |  FROM d2)
+        |SELECT r.label, CAST(r.rank AS INT) AS rank, r.vec_id,
+        |  round(sqrt(CAST(r.d2s AS DOUBLE)) /
+        |    (CAST(r.n AS DOUBLE) * 1000000.0), 6) + 0.0 AS dist,
+        |  round(CAST(r.d2s AS DOUBLE) /
+        |    (CAST(st.d2sum AS DOUBLE) / CAST(st.n_vecs AS DOUBLE)), 6) + 0.0
+        |    AS ratio_to_mean
+        |FROM ranked r JOIN stats st ON r.label = st.label
+        |WHERE r.rank <= 5
+        |ORDER BY r.label NULLS FIRST, r.rank ASC""".stripMargin,
+    "q_power_users" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |pu AS (
+        |  SELECT user_id, count(*) AS days_active FROM du GROUP BY 1),
+        |h AS (
+        |  SELECT days_active, count(*) AS n_users FROM pu GROUP BY 1),
+        |c AS (
+        |  SELECT days_active, n_users,
+        |    sum(n_users) OVER () AS total,
+        |    sum(n_users) OVER (ORDER BY days_active DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h)
+        |SELECT CAST(days_active AS BIGINT) AS days_active,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  round(CAST(n_users AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0
+        |    AS user_share,
+        |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0
+        |    AS cum_share
+        |FROM c ORDER BY days_active DESC""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

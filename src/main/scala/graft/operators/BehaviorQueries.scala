@@ -755,4 +755,43 @@ object BehaviorQueries {
           + lit(0.0)).as("lift"))
       .orderBy(col("decile").asc)
   }
+
+  /** Engagement-depth histogram (the L28-style power-user curve): how
+    * many users were active on exactly d distinct days, with each
+    * bucket's share of the user base and the cumulative share counted
+    * from the most-engaged bucket down — "the top X% of users are
+    * active ≥ d days" read directly off cum_share.
+    *
+    * Determinism: all integer counts; shares are terminal rounded
+    * divisions; the cumulative sum runs over the ≤|days-in-span|-row
+    * histogram under a total order on days_active.
+    *
+    * Scale: the stream collapses to DISTINCT (user, day), folds to
+    * per-user day counts (one user exchange), then to the
+    * days-bounded histogram; the only window is over that tiny grid
+    * (≤ span days rows at any corpus size — unpartitioned by
+    * construction, not by accident).
+    */
+  def qPowerUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("days_active"))
+      .groupBy("days_active")
+      .agg(count(lit(1)).as("n_users"))
+    val wAll = Window.orderBy(col("days_active").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("days_active").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("total", sum(col("n_users")).over(wAll))
+      .withColumn("cum", sum(col("n_users")).over(wCum))
+      .select(col("days_active"), col("n_users"),
+        (round(col("n_users").cast("double") / col("total"), 6) + lit(0.0))
+          .as("user_share"),
+        (round(col("cum").cast("double") / col("total"), 6) + lit(0.0))
+          .as("cum_share"))
+      .orderBy(col("days_active").desc)
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embeddings table (64-dim float vectors).
@@ -267,4 +268,113 @@ object SimilarityQueries {
           (col("n_vecs") * lit(1000000L)).cast("double"), 6) + lit(0.0))
           .as("centroid"))
       .orderBy(asc_nulls_first("label"), asc_nulls_first("dim"))
+
+  /** Johnson–Lindenstrauss random-sign projection audit (Achlioptas
+    * 2003, "Database-friendly random projections" — public
+    * literature): project the 64-dim embeddings to 16 dims with a
+    * deterministic ±1 matrix (sign = md5 parity of the (out, in)
+    * coordinate pair — the q_dedup_simhash hashing convention) and
+    * report, per label, how well squared norms survive:
+    * ratio = ‖y‖² / (k·‖x‖²), whose expectation is exactly 1. The
+    * go/no-go table before routing ANN (LshKnn/IvfKnn) through a
+    * reduced-dimension index.
+    *
+    * Determinism: components are integerized to micro-units per
+    * element, so each projected coordinate is an exact ±-signed
+    * integer sum, both squared norms are exact decimal(38,0) sums,
+    * and each vector's ratio is one double division integerized
+    * (micro) before the per-label mean (q_drift_psi's recipe).
+    *
+    * Scale: the sign matrix is a 64×16 = 1024-row grid (broadcast,
+    * corpus-independent); the explode+join audit form shuffles
+    * (vec, out-dim) partial terms once. A production projection pass
+    * would fuse the same arithmetic into one narrow per-row
+    * projection (no shuffle at all) — this is the audit that
+    * validates the matrix, so it keeps the grid explicit.
+    */
+  def qJlProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = spark.range(1, 65).select(col("id").cast("int").as("dim"))
+    val outs = spark.range(1, 17).select(col("id").cast("int").as("j"))
+    val signs = dims.crossJoin(broadcast(outs))
+      .select(col("dim"), col("j"),
+        when(conv(substring(md5(concat(lit("jl:"), col("j").cast("string"),
+          lit("_"), col("dim").cast("string"))), 1, 4), 16, 10)
+          .cast("long") % 2 === 1, lit(1L)).otherwise(lit(-1L)).as("s"))
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
+        round(col("v").cast("double") * 1000000.0, 0).cast("long").as("vm"))
+    val proj = e.join(broadcast(signs), Seq("dim"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("s") * col("vm")).as("pm"))
+    val y2 = proj.groupBy("vec_id")
+      .agg(sum(col("pm").cast("decimal(38,0)") * col("pm")).as("sy2"))
+    val x2 = e.groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("vm").cast("decimal(38,0)") * col("vm")).as("sx2"))
+    x2.join(y2, Seq("vec_id"))
+      .select(col("label"),
+        round(col("sy2").cast("double") /
+          (col("sx2").cast("double") * 16.0) * 1000000.0, 0)
+          .cast("long").as("rm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("rm")).as("rsum"), min(col("rm")).as("rmin"),
+        max(col("rm")).as("rmax"))
+      .select(col("label"), col("n_vecs"),
+        (round(col("rsum").cast("double") / col("n_vecs") / 1000000.0, 6)
+          + lit(0.0)).as("mean_ratio"),
+        (round(col("rmin").cast("double") / 1000000.0, 6) + lit(0.0))
+          .as("min_ratio"),
+        (round(col("rmax").cast("double") / 1000000.0, 6) + lit(0.0))
+          .as("max_ratio"))
+      .orderBy(asc_nulls_first("label"))
+  }
+
+  /** Top-5 farthest-from-centroid embeddings per label — the
+    * mislabeled/contaminated-cluster candidates a curation pass sends
+    * to review; emits each outlier's distance and its ratio to the
+    * label's mean squared distance.
+    *
+    * Determinism: with s the per-(label,dim) micro-component sum over
+    * n vectors, the scaled squared distance Σ_dim (n·vm − s)² is an
+    * EXACT decimal(38,0) integer per vector (n is constant within a
+    * label, so ranking by it IS ranking by true distance — no float
+    * ever orders the cut); the reported distance and mean-ratio are
+    * terminal double expressions.
+    *
+    * Scale: one (label,dim) fold for centroids (4×64 rows, broadcast
+    * back), one (vec,dim) term join + per-vector fold, and a per-label
+    * top-5 window over the vector dimension.
+    */
+  def qEmbedOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
+        round(col("v").cast("double") * 1000000.0, 0).cast("long").as("vm"))
+    val cent = e.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("s"))
+    val d2 = e.join(broadcast(cent), Seq("label", "dim"))
+      .select(col("vec_id"), col("label"), col("n"),
+        ((col("n") * col("vm") - col("s")).cast("decimal(38,0)") *
+          (col("n") * col("vm") - col("s"))).as("t"))
+      .groupBy(col("vec_id"), col("label"), col("n"))
+      .agg(sum(col("t")).as("d2s"))
+    val stats = d2.groupBy("label")
+      .agg(sum(col("d2s")).as("d2sum"), count(lit(1)).as("n_vecs"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("d2s").desc, col("vec_id").asc)
+    d2.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .join(broadcast(stats), Seq("label"))
+      .select(col("label"), col("rank"), col("vec_id"),
+        (round(sqrt(col("d2s").cast("double")) /
+          (col("n").cast("double") * 1000000.0), 6) + lit(0.0))
+          .as("dist"),
+        (round(col("d2s").cast("double") /
+          (col("d2sum").cast("double") / col("n_vecs").cast("double")), 6)
+          + lit(0.0)).as("ratio_to_mean"))
+      .orderBy(asc_nulls_first("label"), col("rank").asc)
+  }
 }

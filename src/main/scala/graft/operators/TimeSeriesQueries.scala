@@ -635,4 +635,74 @@ object TimeSeriesQueries {
           6) + lit(0.0)).as("roll_corr"))
       .orderBy(asc_nulls_first("day"))
   }
+
+  /** Drawdown profile of each type's daily-value series: per day, the
+    * running peak and the fractional drop from it — the
+    * worst-case-regret view of a metric (how far below its historical
+    * high is today?) that mean/band diagnostics (q_bollinger) don't
+    * show. The max row of the drawdown column IS the max drawdown.
+    *
+    * Determinism: daily sums and the running peak are exact integer
+    * cents (running MAX, unlike a running float sum, is
+    * order-independent anyway); the drawdown fraction is the terminal
+    * rounded division.
+    *
+    * Scale: the module invariant — the stream folds to |types|×|days|
+    * rows before the window; the running-max frame is day-bounded and
+    * partitioned by type.
+    */
+  def qDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val dailyCents = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(asc_nulls_first("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peak = max(col("c")).over(w)
+    dailyCents
+      .select(col("event_type"), col("day"),
+        (round(col("c").cast("double") / 100.0, 6) + lit(0.0))
+          .as("day_value"),
+        (round(peak.cast("double") / 100.0, 6) + lit(0.0)).as("peak_value"),
+        when(peak > 0,
+          round((peak - col("c")).cast("double") / peak.cast("double"), 6)
+            + lit(0.0)).as("drawdown"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+  }
+
+  /** 14-day relative strength index (simple-average form) of each
+    * type's daily-value series: RSI = 100·ΣG/(ΣG+ΣL) over the
+    * trailing 14 day-over-day moves — the classic momentum oscillator
+    * (overbought ≳ 70, oversold ≲ 30), emitted once the window holds a
+    * full 14 diffs.
+    *
+    * Determinism: diffs, gains and losses are exact integer cents; the
+    * rolling sums are integer window sums; RSI is the terminal rounded
+    * division (null when the window is flat — no gains, no losses).
+    *
+    * Scale: same |types|×|days| fold before any window; the lag and
+    * the 14-row frame both ride ONE (type, day-ordered) window
+    * exchange.
+    */
+  def qRsi(spark: SparkSession, sfDir: String): DataFrame = {
+    val dailyCents = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+    val wLag = Window.partitionBy("event_type").orderBy(asc_nulls_first("day"))
+    val w14 = wLag.rowsBetween(-13, 0)
+    val g = sum(col("gain")).over(w14)
+    val l = sum(col("loss")).over(w14)
+    dailyCents
+      .withColumn("diff", col("c") - lag(col("c"), 1).over(wLag))
+      .withColumn("gain", when(col("diff") > 0, col("diff")).otherwise(lit(0L)))
+      .withColumn("loss", when(col("diff") < 0, -col("diff")).otherwise(lit(0L)))
+      .withColumn("n_diffs", count(col("diff")).over(w14))
+      .select(col("event_type"), col("day"),
+        g.as("gain_cents"), l.as("loss_cents"), col("n_diffs"),
+        when(g + l > 0,
+          round(g.cast("double") * 100.0 / (g + l).cast("double"), 6)
+            + lit(0.0)).as("rsi14"))
+      .filter(col("n_diffs") === 14)
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+  }
 }

@@ -313,4 +313,18 @@ class BehaviorSpec extends AnyFunSuite {
       .sum / scored
     assert(math.abs(wl - 1.0) < 1e-3, s"weighted lift $wl")
   }
+
+  test("q_power_users: histogram partitions the user base; cum share reaches 1") {
+    val out = q("q_power_users").collect()
+    val nUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_users")).sum == nUsers)
+    // ordered most-engaged first; cumulative share monotone to 1
+    val days = out.map(_.getAs[Long]("days_active"))
+    assert(days.zip(days.tail).forall { case (a, b) => a > b })
+    val cums = out.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(math.abs(cums.last - 1.0) < 1e-6)
+    assert(math.abs(out.map(_.getAs[Double]("user_share")).sum - 1.0) < 1e-4)
+  }
 }

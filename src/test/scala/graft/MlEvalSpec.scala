@@ -293,4 +293,37 @@ class MlEvalSpec extends AnyFunSuite {
     }.sum / cal.map(_.getAs[Long]("n_probes")).sum
     assert(math.abs(brier - rederived) < 1e-4, s"brier $brier vs $rederived")
   }
+
+  test("q_jl_project: norm-preservation ratios near 1, full label coverage") {
+    val rows = SparkEntry.queries("q_jl_project")(spark, sfDir).collect()
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("label").distinct().count()
+    assert(rows.length == labels)
+    val nVecs = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(nVecs == Tables.embeddings(spark, sfDir).count())
+    rows.foreach { r =>
+      val (mn, mean, mx) = (r.getAs[Double]("min_ratio"),
+        r.getAs[Double]("mean_ratio"), r.getAs[Double]("max_ratio"))
+      assert(mn <= mean + 1e-9 && mean <= mx + 1e-9)
+      assert(mn > 0, s"min ratio $mn not positive")
+      // E[ratio] = 1 with sd ~ sqrt(2/k) ≈ 0.35 per vector; the
+      // per-label MEAN over hundreds of vectors concentrates hard —
+      // a sign-matrix bug (all +1) would inflate it by ~√64
+      assert(mean > 0.5 && mean < 1.5, s"mean ratio $mean far from 1")
+    }
+  }
+
+  test("q_embed_outliers: 5 per label, ordered ranks, above-mean distances") {
+    val rows = SparkEntry.queries("q_embed_outliers")(spark, sfDir).collect()
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    byLabel.values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+      // ratios decrease with rank (ties broken by vec_id keep order weak)
+      val rs = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("ratio_to_mean"))
+      assert(rs.zip(rs.tail).forall { case (a, b) => a >= b - 1e-9 })
+      // the top outlier sits above the label mean squared distance
+      assert(rs.head >= 1.0 - 1e-6, s"top outlier ratio ${rs.head} below mean")
+      g.foreach(r => assert(r.getAs[Double]("dist") >= 0))
+    }
+  }
 }

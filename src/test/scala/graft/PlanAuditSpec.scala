@@ -118,7 +118,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // days-bounded fold) — both sides tiny, build must broadcast
     "q_kendall_tau",
     // 3-row n-gram-length grid × 1-row denominator — both broadcast
-    "q_decontaminate_ladder")
+    "q_decontaminate_ladder",
+    // 64×16 sign-matrix grid (two range relations crossed) — corpus-
+    // independent, broadcast into the dim equi-join
+    "q_jl_project")
 
   private def flatten(plan: SparkPlan): Seq[SparkPlan] = plan match {
     case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)

@@ -301,4 +301,37 @@ class TimeSeriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("drawdown: peak is a running max, drawdown bounded in [0,1)") {
+    val rows = SparkEntry.queries("q_drawdown")(spark, sfDir).collect()
+    var lastType = ""
+    var lastPeak = Double.MinValue
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      if (t != lastType) { lastType = t; lastPeak = Double.MinValue }
+      val (v, p) = (r.getAs[Double]("day_value"), r.getAs[Double]("peak_value"))
+      assert(p >= v - 1e-9, s"peak $p below value $v")
+      assert(p >= lastPeak - 1e-9, s"peak not monotone in $t")
+      lastPeak = p
+      val dd = r.getAs[Double]("drawdown")
+      assert(dd >= 0 && dd < 1.0 + 1e-9, s"drawdown $dd")
+      assert(math.abs(dd - (p - v) / p) < 1e-5)
+    }
+  }
+
+  test("rsi: bounded, full windows only, extremes iff one-sided moves") {
+    val rows = SparkEntry.queries("q_rsi")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_diffs") == 14L)
+      val (g, l) = (r.getAs[Long]("gain_cents"), r.getAs[Long]("loss_cents"))
+      assert(g >= 0 && l >= 0)
+      if (!r.isNullAt(r.fieldIndex("rsi14"))) {
+        val v = r.getAs[Double]("rsi14")
+        assert(v >= 0 && v <= 100.0 + 1e-9, s"rsi $v")
+        if (l == 0) assert(v == 100.0)
+        if (g == 0) assert(v == 0.0)
+      } else assert(g == 0 && l == 0)
+    }
+  }
 }
