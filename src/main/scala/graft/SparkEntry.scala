@@ -293,6 +293,11 @@ object SparkEntry {
     "q_jl_project"      -> (SimilarityQueries.qJlProject _),
     "q_embed_outliers"  -> (SimilarityQueries.qEmbedOutliers _),
     "q_power_users"     -> (BehaviorQueries.qPowerUsers _),
+    "q_qq_plot"         -> (StatsQueries.qQqPlot _),
+    "q_session_percentiles" -> (EventQueries.qSessionPercentiles _),
+    "q_cosine_hist"     -> (SimilarityQueries.qCosineHist _),
+    "q_token_len_dist"  -> (AdvancedTextQueries.qTokenLenDist _),
+    "q_char_entropy"    -> (AdvancedTextQueries.qCharEntropy _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -5673,6 +5678,128 @@ object SparkEntry {
         |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0
         |    AS cum_share
         |FROM c ORDER BY days_active DESC""".stripMargin,
+    "q_qq_plot" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, event_id FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC, event_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |qs AS (SELECT CAST(unnest(range(1, 20)) AS INT) AS q),
+        |pick AS (
+        |  SELECT q, event_type, value
+        |  FROM r JOIN qs ON rn = (q * n + 19) // 20)
+        |SELECT q * 5 AS pct,
+        |  round(max(CASE WHEN event_type = 'click' THEN value END), 6) + 0.0
+        |    AS click_value,
+        |  round(max(CASE WHEN event_type = 'purchase' THEN value END), 6)
+        |    + 0.0 AS purchase_value,
+        |  round(max(CASE WHEN event_type = 'purchase' THEN value END) -
+        |        max(CASE WHEN event_type = 'click' THEN value END), 6) + 0.0
+        |    AS qq_diff
+        |FROM pick GROUP BY q ORDER BY pct ASC""".stripMargin,
+    "q_session_percentiles" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |), s AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    count(*) AS n_events,
+        |    CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS week,
+        |    epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |  FROM sess GROUP BY user_id, session_id
+        |), ranked AS (
+        |  SELECT week, user_id, session_id, duration_us,
+        |    row_number() OVER (PARTITION BY week
+        |      ORDER BY duration_us ASC, user_id ASC, session_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY week) AS n,
+        |    sum(n_events) OVER (PARTITION BY week) AS se
+        |  FROM s)
+        |SELECT week, CAST(max(n) AS BIGINT) AS n_sessions,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN duration_us END)
+        |    AS DOUBLE) / 1000000.0 + 0.0 AS p50_duration_s,
+        |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN duration_us END)
+        |    AS DOUBLE) / 1000000.0 + 0.0 AS p90_duration_s,
+        |  round(CAST(max(se) AS DOUBLE) / max(n), 6) + 0.0 AS avg_events
+        |FROM ranked
+        |WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
+        |GROUP BY week ORDER BY week NULLS FIRST""".stripMargin,
+    "q_cosine_hist" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  WHERE CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)
+        |    AS BIGINT) % 100 < 10),
+        |pairs AS (
+        |  SELECT round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) *
+        |       sqrt(list_dot_product(b.v, b.v))), 6) + 0.0 AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |h AS (
+        |  SELECT CAST(floor(cosine * 20) AS INT) AS bucket,
+        |    count(*) AS n_pairs
+        |  FROM pairs GROUP BY 1),
+        |t AS (SELECT bucket, n_pairs, sum(n_pairs) OVER () AS total FROM h)
+        |SELECT bucket,
+        |  round(CAST(bucket AS DOUBLE) / 20.0, 6) + 0.0 AS cos_lo,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  round(CAST(n_pairs AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0
+        |    AS share
+        |FROM t ORDER BY bucket ASC""".stripMargin,
+    "q_token_len_dist" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT CAST(length(t) AS INT) AS token_len, count(*) AS n_tokens
+        |  FROM tok WHERE t <> '' GROUP BY 1),
+        |c AS (
+        |  SELECT token_len, n_tokens,
+        |    sum(n_tokens) OVER () AS total,
+        |    sum(n_tokens) OVER (ORDER BY token_len DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h)
+        |SELECT token_len, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0
+        |    AS share,
+        |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0
+        |    AS cum_share_longest
+        |FROM c ORDER BY token_len DESC""".stripMargin,
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT source, substring(text, CAST(u.i AS INT), 1) AS ch
+        |  FROM documents,
+        |    unnest(range(1, length(text) + 1)) AS u(i)),
+        |g AS (
+        |  SELECT source, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |n AS (
+        |  SELECT source, ch, c, sum(c) OVER (PARTITION BY source) AS n
+        |  FROM g),
+        |t AS (
+        |  SELECT source, c, n,
+        |    CAST(round(-ln(CAST(c AS DOUBLE) / n) * c * 1000000.0 / n, 0)
+        |      AS BIGINT) AS term_micro
+        |  FROM n)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_chars,
+        |  count(*) AS n_distinct_chars,
+        |  round(CAST(sum(term_micro) AS DOUBLE) / 1000000.0, 6) + 0.0
+        |    AS entropy_nats,
+        |  round(CAST(sum(term_micro) AS DOUBLE) / 1000000.0 / ln(2.0), 6)
+        |    + 0.0 AS bits_per_char
+        |FROM t GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

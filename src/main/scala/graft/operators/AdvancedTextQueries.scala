@@ -1393,4 +1393,76 @@ object AdvancedTextQueries {
           .as("chao1"),
         (round(col("f1").cast("double") / col("n_tokens").cast("double"), 6)
           + lit(0.0)).as("unseen_mass"))
+
+  /** Token-length distribution (whitespace-token chars) with share and
+    * longest-first cumulative share — the input a subword-tokenizer
+    * design reads before fixing max piece length, next to q_bpe_pairs'
+    * merge stats: how much of the corpus is long-tail long tokens?
+    *
+    * Determinism: all integer counts; shares are terminal rounded
+    * divisions; the cumulative window runs over the ≤max-token-length
+    * histogram rows.
+    *
+    * Scale: explode folds straight to the length histogram key (one
+    * exchange of (len, count) partials — not even the vocabulary
+    * survives); the windows run on the tiny grid.
+    */
+  def qTokenLenDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy(length(col("t")).as("token_len"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("token_len").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("total", sum(col("n_tokens")).over(wAll))
+      .withColumn("cum", sum(col("n_tokens")).over(wCum))
+      .select(col("token_len"), col("n_tokens"),
+        (round(col("n_tokens").cast("double") / col("total"), 6) + lit(0.0))
+          .as("share"),
+        (round(col("cum").cast("double") / col("total"), 6) + lit(0.0))
+          .as("cum_share_longest"))
+      .orderBy(col("token_len").desc)
+  }
+
+  /** Per-source character-level entropy (nats and bits per char,
+    * spaces included) — the compressibility proxy of a corpus-quality
+    * audit: machine-generated or repetitive sources sit well below
+    * natural text (~4.1 bits/char for English letters+space), binary
+    * junk saturates toward log₂|alphabet|. Complements the TOKEN-level
+    * q_entropy (per-doc) with the sub-token view q_char_classes only
+    * counts, not weighs.
+    *
+    * Determinism: character counts are exact; each character VALUE's
+    * −c·ln(c/n) term is one IEEE expression integerized to micro-nats
+    * before the per-source sum (q_lm_score's recipe); bits divide the
+    * same integer sum by the ln 2 constant.
+    *
+    * Scale: the char explode folds immediately to the (source, char)
+    * grid — |sources|×|alphabet| rows at any corpus size — with
+    * map-side combine doing the heavy lifting; nothing data-sized
+    * crosses the exchange.
+    */
+  def qCharEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("source", "ch")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+      .select(col("source"), col("c"), col("n"),
+        round(-log(col("c").cast("double") / col("n")) * col("c")
+          * 1000000.0 / col("n"), 0).cast("long").as("term_micro"))
+      .groupBy("source")
+      .agg(max(col("n")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("term_micro")).as("su"))
+      .select(col("source"), col("n_chars"), col("n_distinct_chars"),
+        (round(col("su").cast("double") / 1000000.0, 6) + lit(0.0))
+          .as("entropy_nats"),
+        (round(col("su").cast("double") / 1000000.0 /
+          log(lit(2.0)), 6) + lit(0.0)).as("bits_per_char"))
+      .orderBy(asc_nulls_first("source"))
 }

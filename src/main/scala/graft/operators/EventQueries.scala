@@ -334,4 +334,47 @@ object EventQueries {
           .cast("double") / 1000000.0 + lit(0.0)).as("p90_gap_s"))
       .orderBy(asc_nulls_first("event_type"))
   }
+
+  /** Weekly session-duration percentiles: per Monday-anchored week of
+    * session start, the session count, exact nearest-rank p50/p90
+    * durations and the mean events per session — the
+    * capacity-planning / engagement trend read over the
+    * [[sessionWindows]] islands the q_session_window contract defines
+    * (30-min gap, boundary semantics and all).
+    *
+    * Determinism: sessions and durations are exact integers off the
+    * shared gaps-and-islands algebra; percentile rows are picked by
+    * row_number under a (duration, user, session) total order — the
+    * q_interarrival recipe; the mean is a terminal rounded division.
+    *
+    * Scale: sessionization is the user-partitioned window pass;
+    * sessions then fold to one rank window per WEEK partition
+    * (bounded weeks, data-sized rows within each — at 100 TB swap the
+    * exact rank for GK per q_anomaly_mad's note, same as
+    * q_interarrival documents).
+    */
+  def qSessionPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = sessionWindows(Tables.events(spark, sfDir))
+      .withColumn("week", date_trunc("week", col("session_start")))
+    val wRank = Window.partitionBy("week")
+      .orderBy(col("duration_us").asc, col("user_id").asc,
+        col("session_id").asc)
+    val wAll = Window.partitionBy("week")
+    s.withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("se", sum(col("n_events")).over(wAll))
+      .filter(col("rn") === expr("(n + 1) DIV 2") ||
+        col("rn") === expr("(9 * n + 9) DIV 10"))
+      .groupBy("week")
+      .agg(
+        max(col("n")).as("n_sessions"),
+        (max(when(col("rn") === expr("(n + 1) DIV 2"), col("duration_us")))
+          .cast("double") / 1000000.0 + lit(0.0)).as("p50_duration_s"),
+        (max(when(col("rn") === expr("(9 * n + 9) DIV 10"),
+          col("duration_us")))
+          .cast("double") / 1000000.0 + lit(0.0)).as("p90_duration_s"),
+        (round(max(col("se")).cast("double") / max(col("n")), 6)
+          + lit(0.0)).as("avg_events"))
+      .orderBy(asc_nulls_first("week"))
+  }
 }

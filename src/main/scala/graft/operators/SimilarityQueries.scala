@@ -377,4 +377,41 @@ object SimilarityQueries {
           + lit(0.0)).as("ratio_to_mean"))
       .orderBy(asc_nulls_first("label"), col("rank").asc)
   }
+
+  /** Pairwise-cosine histogram over a deterministic 10% vector sample
+    * (md5-hash gate, q_sample_hash's convention) in 0.05-wide buckets —
+    * the threshold-tuning curve for embedding dedup: where q_dedup_embed
+    * applies one fixed cutoff, this shows the whole similarity mass a
+    * curator picks that cutoff FROM (a bimodal histogram → a safe
+    * valley; a flat one → no clean threshold exists).
+    *
+    * Determinism: the sample gate is a pure function of vec_id; pair
+    * cosines are rounded to 6 dp BEFORE bucketing (both engines floor
+    * the identical double); counts are exact and shares terminal.
+    *
+    * Scale: the all-pairs grid runs on the SAMPLE (s²/2 pairs for
+    * sample fraction s — 1% of the full pair count at 10%), through
+    * the same blocked equi-join as q_dedup_embed (no broadcast, no
+    * cartesian); the histogram fold is ≤41 buckets at any scale.
+    */
+  def qCosineHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 4),
+        16, 10).cast("long") % 100 < 10)
+      .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
+    val pairs = blockedDedupPairsFrom(emb, threshold = -2.0)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    pairs
+      .groupBy(floor(col("cosine") * 20).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("total", sum(col("n_pairs")).over(wAll))
+      .select(col("bucket"),
+        (round(col("bucket").cast("double") / 20.0, 6) + lit(0.0))
+          .as("cos_lo"),
+        col("n_pairs"),
+        (round(col("n_pairs").cast("double") / col("total"), 6) + lit(0.0))
+          .as("share"))
+      .orderBy(col("bucket").asc)
+  }
 }

@@ -1413,4 +1413,45 @@ object StatsQueries {
       (round(cFac, 6) + lit(0.0)).as("correction_c"),
       (round(num / cFac, 6) + lit(0.0)).as("bartlett_chi2"))
   }
+
+  /** Q–Q table of the click vs purchase value distributions: the
+    * 5th–95th percentile (step 5) of each sample side by side plus
+    * the gap — the distribution-shape diagnostic behind the scalar
+    * two-sample verdicts (q_ks_test's max gap, q_emd's area,
+    * q_mannwhitney's rank shift); a straight-line Q–Q means same
+    * shape, a bowed one shows WHERE the distributions part.
+    *
+    * Determinism: exact type-1 (nearest-rank ⌈q·n/20⌉) order
+    * statistics under a fully tie-broken total order — the q_median /
+    * q_outlier_iqr recipe, no interpolation; the selection positions
+    * are pure integer arithmetic.
+    *
+    * Scale: two rank windows over the event-type partition (one
+    * exchange), a 19-row quantile grid joined as a declared broadcast
+    * (q_auc's dimension-grid shape), and a 19-row fold. At 100 TB the
+    * exact ranks swap for GK sketches per q_anomaly_mad's note.
+    */
+  def qQqPlot(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value"), col("event_id"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    val ranked = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+    val qs = spark.range(1, 20).select(col("id").cast("int").as("q"))
+    val mc = max(when(col("event_type") === "click", col("value")))
+    val mp = max(when(col("event_type") === "purchase", col("value")))
+    ranked.join(broadcast(qs),
+        col("rn") === expr("(q * n + 19) DIV 20"))
+      .groupBy("q")
+      .agg((round(mc, 6) + lit(0.0)).as("click_value"),
+        (round(mp, 6) + lit(0.0)).as("purchase_value"),
+        (round(mp - mc, 6) + lit(0.0)).as("qq_diff"))
+      .select((col("q") * 5).as("pct"), col("click_value"),
+        col("purchase_value"), col("qq_diff"))
+      .orderBy(col("pct").asc)
+  }
 }

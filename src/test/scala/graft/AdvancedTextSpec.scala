@@ -681,4 +681,31 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_tokens") ==
       lex.map(_.getAs[Long]("n_tokens")).sum)
   }
+
+  test("token length dist: conserves the corpus token count; cum reaches 1") {
+    val rows = q("q_token_len_dist").collect()
+    val lex = q("q_lexical_richness").collect()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum ==
+      lex.map(_.getAs[Long]("n_tokens")).sum)
+    val lens = rows.map(_.getAs[Int]("token_len"))
+    assert(lens.zip(lens.tail).forall { case (a, b) => a > b })
+    assert(lens.forall(_ >= 1))
+    val cums = rows.map(_.getAs[Double]("cum_share_longest"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(math.abs(cums.last - 1.0) < 1e-6)
+  }
+
+  test("char entropy: bounded by ln(alphabet); bits consistent with nats") {
+    val rows = q("q_char_entropy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_nats")
+      val k = r.getAs[Long]("n_distinct_chars")
+      assert(h >= 0 && h <= math.log(k.toDouble) + 1e-4,
+        s"entropy $h exceeds ln($k)")
+      assert(math.abs(r.getAs[Double]("bits_per_char") - h / math.log(2.0))
+        < 1e-4)
+      assert(r.getAs[Long]("n_chars") >= k)
+    }
+  }
 }

@@ -313,6 +313,22 @@ class MlEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_cosine_hist: shares sum to 1 over the exact sample pair count") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_cosine_hist")(spark, sfDir).collect()
+    val s = Tables.embeddings(spark, sfDir)
+      .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 4),
+        16, 10).cast("long") % 100 < 10).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == s * (s - 1) / 2,
+      "histogram does not cover every sample pair")
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(b >= -20 && b <= 20, s"bucket $b out of cosine range")
+      assert(math.abs(r.getAs[Double]("cos_lo") - b / 20.0) < 1e-9)
+    }
+  }
+
   test("q_embed_outliers: 5 per label, ordered ranks, above-mean distances") {
     val rows = SparkEntry.queries("q_embed_outliers")(spark, sfDir).collect()
     val byLabel = rows.groupBy(_.getAs[Int]("label"))

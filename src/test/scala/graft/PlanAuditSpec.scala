@@ -119,9 +119,15 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_kendall_tau",
     // 3-row n-gram-length grid × 1-row denominator — both broadcast
     "q_decontaminate_ladder",
+    // 19-row quantile grid joined on the rank-selection equation —
+    // the grid is constant-size at any scale and must broadcast
+    "q_qq_plot",
     // 64×16 sign-matrix grid (two range relations crossed) — corpus-
     // independent, broadcast into the dim equi-join
     "q_jl_project")
+    // NOTE: q_qq_plot joins the broadcast 19-row quantile grid on the
+    // rank-selection equation — q_auc's dimension-grid shape — and is
+    // declared below in dimensionGridBroadcasts.
 
   private def flatten(plan: SparkPlan): Seq[SparkPlan] = plan match {
     case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)

@@ -128,4 +128,16 @@ class ScalarEventSpec extends AnyFunSuite {
       .filter($"ts" =!= $"max_ts").count()
     assert(bad == 0)
   }
+
+  test("q_session_percentiles: weekly counts cover all sessions; p50 <= p90") {
+    val out = q("q_session_percentiles").collect()
+    val nSessions = q("q_session_window").count()
+    assert(out.map(_.getAs[Long]("n_sessions")).sum == nSessions)
+    out.foreach { r =>
+      val (p50, p90) = (r.getAs[Double]("p50_duration_s"),
+        r.getAs[Double]("p90_duration_s"))
+      assert(p50 >= 0 && p50 <= p90 + 1e-9, s"p50 $p50 > p90 $p90")
+      assert(r.getAs[Double]("avg_events") >= 1.0 - 1e-9)
+    }
+  }
 }

@@ -604,4 +604,21 @@ class StatsSpec extends AnyFunSuite {
       1e-6 * n + 1e-6,
       s"chi2 ${r.getAs[Double]("bartlett_chi2")} vs replay ${num / c}")
   }
+
+  test("qq plot: 19 quantile rows, each sample column monotone in pct") {
+    val rows = SparkEntry.queries("q_qq_plot")(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("pct"))
+    assert(rows.map(_.getAs[Int]("pct")).toSeq == (1 to 19).map(_ * 5))
+    def mono(c: String) = {
+      val vs = rows.map(_.getAs[Double](c))
+      vs.zip(vs.tail).forall { case (a, b) => a <= b + 1e-9 }
+    }
+    assert(mono("click_value"), "click quantiles not monotone")
+    assert(mono("purchase_value"), "purchase quantiles not monotone")
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("qq_diff") -
+        (r.getAs[Double]("purchase_value") -
+          r.getAs[Double]("click_value"))) < 2e-6)
+    }
+  }
 }
