@@ -244,7 +244,14 @@ object ScaleSmoke {
         replicated(k).withColumn("lang",
           // deterministic 5-way lang spread so the per-lang model path
           // (not one giant lang) is what scales
-          concat(lit("l"), pmod(col("doc_id"), lit(5)).cast("string"))))))
+          concat(lit("l"), pmod(col("doc_id"), lit(5)).cast("string"))))),
+      // bounded 28-way explode AFTER the (user, day) distinct collapse:
+      // output rows are |days| (constant), work is 28·|user-days| —
+      // time must track the collapse, never the raw stream
+      "stickiness_28d" -> (k => BehaviorQueries.stickinessFrom(replicatedEvents(k))),
+      // char explode folds to the |sources|×|alphabet| grid map-side;
+      // rows stay constant while the scanned char volume grows k×
+      "char_entropy" -> (k => AdvancedTextQueries.charEntropyFrom(replicatedSrc(k))))
 
     val sb = new StringBuilder
     sb.append("# Operator scaling smoke (corpus replicated with disjoint token/user spaces)\n\n")
@@ -348,6 +355,25 @@ object ScaleSmoke {
       timeNoop(ClusterQueries.kmeansAssign(spark, corpus)) // warm
       val sec = timeMin(ClusterQueries.kmeansAssign(spark, corpus))
       val line = f"| ${k}x | $nRows | $sec%.1f |"
+      println(s"[scale] $line")
+      sb.append(line + "\n")
+    }
+
+    // ---- JL projection audit over the same jittered replicas ----
+    // The 1024-row sign grid is corpus-independent; work is the ×16
+    // (vec, out-dim) partial-term fold, so time must grow ~linearly
+    // with rows while the report stays |labels| rows.
+    sb.append("\n## JL projection audit (64→16 dims, md5 sign grid)\n\n")
+    sb.append("| corpus | rows | out_rows | seconds |\n|---|---|---|---|\n")
+    for (k <- Seq(1, 4, 16)) {
+      val corpus = replicatedEmb(k).localCheckpoint(true)
+        .select(col("vec_id"),
+          pmod(col("vec_id"), lit(4)).cast("int").as("label"), col("vec"))
+      val nRows = corpus.count()
+      timeNoop(SimilarityQueries.jlProjectFrom(spark, corpus)) // warm
+      val sec = timeMin(SimilarityQueries.jlProjectFrom(spark, corpus))
+      val outRows = SimilarityQueries.jlProjectFrom(spark, corpus).count()
+      val line = f"| ${k}x | $nRows | $outRows | $sec%.1f |"
       println(s"[scale] $line")
       sb.append(line + "\n")
     }

@@ -1446,7 +1446,13 @@ object AdvancedTextQueries {
     * crosses the exchange.
     */
   def qCharEntropy(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    charEntropyFrom(Tables.documents(spark, sfDir))
+
+  /** DataFrame-core body of [[qCharEntropy]] over any (source, text)
+    * frame — graft.ScaleSmoke drives this on replicated corpora.
+    */
+  def charEntropyFrom(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), explode(split(col("text"), "")).as("ch"))
       .filter(col("ch") =!= "")
       .groupBy("source", "ch")

@@ -693,8 +693,14 @@ object BehaviorQueries {
     * tiny day dimension. No data-sized window, fan-out fixed at 28
     * applied post-collapse.
     */
-  def qStickiness(spark: SparkSession, sfDir: String): DataFrame = {
-    val du = Tables.events(spark, sfDir)
+  def qStickiness(spark: SparkSession, sfDir: String): DataFrame =
+    stickinessFrom(Tables.events(spark, sfDir))
+
+  /** DataFrame-core body of [[qStickiness]] — graft.ScaleSmoke drives
+    * this on replicated user spaces.
+    */
+  def stickinessFrom(events: DataFrame): DataFrame = {
+    val du = events
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
     val days = du.select(col("day").as("target_day")).distinct()
