@@ -298,6 +298,11 @@ object SparkEntry {
     "q_cosine_hist"     -> (SimilarityQueries.qCosineHist _),
     "q_token_len_dist"  -> (AdvancedTextQueries.qTokenLenDist _),
     "q_char_entropy"    -> (AdvancedTextQueries.qCharEntropy _),
+    "q_tukey"           -> (StatsQueries.qTukey _),
+    "q_dedup_sweep"     -> (AdvancedTextQueries.qDedupSweep _),
+    "q_bigram_coverage" -> (AdvancedTextQueries.qBigramCoverage _),
+    "q_bounce_rate"     -> (EventQueries.qBounceRate _),
+    "q_ab_test"         -> (CompositeQueries.qAbTest _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -5800,6 +5805,151 @@ object SparkEntry {
         |  round(CAST(sum(term_micro) AS DOUBLE) / 1000000.0 / ln(2.0), 6)
         |    + 0.0 AS bits_per_char
         |FROM t GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
+    "q_tukey" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, count(*) AS n_g, sum(x) AS s_g,
+        |    sum(CAST(x AS DECIMAL(38,0)) * x) AS ss_g
+        |  FROM (SELECT o_orderpriority,
+        |          CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders)
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT (CAST(sum(ss_g) AS DOUBLE) -
+        |    sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) /
+        |      CAST(n_g AS DOUBLE))) /
+        |    CAST(sum(n_g) - count(*) AS DOUBLE) AS msw
+        |  FROM g)
+        |SELECT a.o_orderpriority AS g1, b.o_orderpriority AS g2,
+        |  a.n_g AS n1, b.n_g AS n2,
+        |  round(CAST(a.s_g AS DOUBLE) / a.n_g / 100.0 -
+        |        CAST(b.s_g AS DOUBLE) / b.n_g / 100.0, 6) + 0.0 AS mean_diff,
+        |  round(sqrt(m.msw * (1.0 / a.n_g + 1.0 / b.n_g)) / 100.0, 6) + 0.0
+        |    AS se,
+        |  round(abs(CAST(a.s_g AS DOUBLE) / a.n_g / 100.0 -
+        |            CAST(b.s_g AS DOUBLE) / b.n_g / 100.0) /
+        |        (sqrt(m.msw * (1.0 / a.n_g + 1.0 / b.n_g)) / 100.0), 6) + 0.0
+        |    AS t_stat
+        |FROM g a JOIN g b ON a.o_orderpriority < b.o_orderpriority
+        |CROSS JOIN m
+        |ORDER BY g1 NULLS FIRST, g2 NULLS FIRST""".stripMargin,
+    "q_dedup_sweep" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [] END AS s
+        |  FROM docs
+        |), ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |    count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT doc_id_1, doc_id_2,
+        |    round(shared * 1.0 / (x.n + y.n - shared), 6) + 0.0 AS j
+        |  FROM pairs JOIN sz x ON doc_id_1 = x.doc_id
+        |    JOIN sz y ON doc_id_2 = y.doc_id),
+        |a AS (
+        |  SELECT
+        |    sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS p50,
+        |    count(DISTINCT CASE WHEN j >= 0.5 THEN doc_id_2 END) AS d50,
+        |    sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS p70,
+        |    count(DISTINCT CASE WHEN j >= 0.7 THEN doc_id_2 END) AS d70,
+        |    sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS p90,
+        |    count(DISTINCT CASE WHEN j >= 0.9 THEN doc_id_2 END) AS d90
+        |  FROM j)
+        |SELECT CAST(0.5 AS DOUBLE) AS threshold,
+        |  CAST(p50 AS BIGINT) AS n_pairs, CAST(d50 AS BIGINT)
+        |    AS n_docs_flagged FROM a
+        |UNION ALL SELECT CAST(0.7 AS DOUBLE), CAST(p70 AS BIGINT),
+        |  CAST(d70 AS BIGINT) FROM a
+        |UNION ALL SELECT CAST(0.9 AS DOUBLE), CAST(p90 AS BIGINT),
+        |  CAST(d90 AS BIGINT) FROM a
+        |ORDER BY threshold ASC""".stripMargin,
+    "q_bigram_coverage" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bg0 AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM docs WHERE len(toks) >= 2),
+        |c AS (SELECT bg, count(*) AS c FROM bg0 GROUP BY 1),
+        |tot AS (SELECT sum(c) AS total FROM c),
+        |top AS (SELECT bg, c FROM c ORDER BY c DESC, bg ASC LIMIT 100),
+        |r AS (
+        |  SELECT bg, c,
+        |    row_number() OVER (ORDER BY c DESC, bg ASC) AS rank,
+        |    sum(c) OVER (ORDER BY c DESC, bg ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM top)
+        |SELECT CAST(rank AS INT) AS rank, CAST(cum AS BIGINT) AS cum_count,
+        |  CAST(t.total AS BIGINT) AS total_bigrams,
+        |  round(CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE), 6) + 0.0
+        |    AS coverage
+        |FROM r CROSS JOIN tot t WHERE rank IN (10, 25, 50, 100)
+        |ORDER BY rank ASC""".stripMargin,
+    "q_bounce_rate" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |), s AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS week
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT week, count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces,
+        |  round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) + 0.0 AS bounce_rate
+        |FROM s GROUP BY week ORDER BY week NULLS FIRST""".stripMargin,
+    "q_ab_test" ->
+      """WITH pu AS (
+        |  SELECT CASE WHEN CAST('0x' ||
+        |      substring(md5(CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT)
+        |      % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant,
+        |    user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 50
+        |        THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT
+        |    sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN variant = 'control' THEN converted ELSE 0 END)
+        |      AS x1,
+        |    sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN variant = 'treatment' THEN converted ELSE 0 END)
+        |      AS x2
+        |  FROM pu)
+        |SELECT CAST(n1 AS BIGINT) AS n_control,
+        |  CAST(x1 AS BIGINT) AS conv_control,
+        |  CAST(n2 AS BIGINT) AS n_treatment,
+        |  CAST(x2 AS BIGINT) AS conv_treatment,
+        |  round(CAST(x2 AS DOUBLE) / n2 - CAST(x1 AS DOUBLE) / n1, 6) + 0.0
+        |    AS conversion_gap,
+        |  CASE WHEN x1 + x2 > 0 AND x1 + x2 < n1 + n2 THEN
+        |    round((CAST(x2 AS DOUBLE) / n2 - CAST(x1 AS DOUBLE) / n1) /
+        |      sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) *
+        |        (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) *
+        |        (1.0 / n1 + 1.0 / n2)), 6) + 0.0
+        |  END AS z_stat
+        |FROM c""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

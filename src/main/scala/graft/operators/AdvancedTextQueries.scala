@@ -1471,4 +1471,78 @@ object AdvancedTextQueries {
         (round(col("su").cast("double") / 1000000.0 /
           log(lit(2.0)), 6) + lit(0.0)).as("bits_per_char"))
       .orderBy(asc_nulls_first("source"))
+
+  /** Near-dup threshold sweep: pair counts and flagged-doc counts at
+    * Jaccard cutoffs 0.5 / 0.7 / 0.9 off ONE shared shingle-pair pass —
+    * the cost/aggressiveness table a dedup owner reads before fixing
+    * q_ngram_jaccard's 0.5 (q_decontaminate_ladder's shape, for
+    * similarity instead of n-gram length). Flagged docs are the
+    * would-drop side (the larger doc_id of each qualifying pair,
+    * matching min-canonical keep rules).
+    *
+    * Determinism: thresholds compare the 6-dp-rounded Jaccard both
+    * engines compute identically; counts are exact.
+    *
+    * Scale: the single sharedShingleCounts pass (df-capped shingle
+    * equi-join) feeds one 1-row aggregate with three conditional
+    * sums — the sweep costs ONE pair materialization, not three.
+    */
+  def qDedupSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = sharedShingleCounts(
+      Tables.documents(spark, sfDir), ShingleDfCap)
+      .withColumn("j",
+        round(col("shared").cast("double") /
+          (col("n1") + col("n2") - col("shared")), 6) + lit(0.0))
+    def nPairs(t: Double) = sum(when(col("j") >= t, 1L).otherwise(0L))
+    def nDocs(t: Double) = countDistinct(when(col("j") >= t, col("doc_id_2")))
+    pairs.agg(
+        nPairs(0.5).as("p50"), nDocs(0.5).as("d50"),
+        nPairs(0.7).as("p70"), nDocs(0.7).as("d70"),
+        nPairs(0.9).as("p90"), nDocs(0.9).as("d90"))
+      .select(expr(
+        "stack(3, 0.5D, p50, d50, 0.7D, p70, d70, 0.9D, p90, d90)" +
+          " AS (threshold, n_pairs, n_docs_flagged)"))
+      .orderBy(col("threshold").asc)
+  }
+
+  /** Bigram concentration curve: what share of the corpus bigram
+    * stream do the top-10/25/50/100 bigrams cover? High concentration
+    * = template/boilerplate-heavy corpus (the n-gram view of
+    * q_repetition's within-doc signal); the curve also sizes the
+    * phrase-table cut for q_collocations' PMI mining.
+    *
+    * Determinism: ranking is by exact (count DESC, bigram ASC); the
+    * cumulative sums run over the post-limit 100-row frame; shares
+    * divide by the exact stream total carried as a declared 1-row
+    * broadcast.
+    *
+    * Scale: bigrams fold to the vocabulary immediately (one lead
+    * window on the doc exchange, then a map-combinable count);
+    * TakeOrdered(100) is per-partition top-k + driver merge — no
+    * global sort, and the window runs post-limit.
+    */
+  def qBigramCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("t1", lead(col("t"), 1).over(wDoc))
+      .filter(col("t1").isNotNull)
+      .select(concat_ws(" ", col("t"), col("t1")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+    val tot = bg.agg(sum(col("c")).as("total"))
+    val top = bg.orderBy(col("c").desc, col("bg").asc).limit(100)
+    val wCum = Window.orderBy(col("c").desc, col("bg").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("bg").asc)))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .filter(col("rank").isin(10, 25, 50, 100))
+      .crossJoin(broadcast(tot))
+      .select(col("rank").cast("int").as("rank"),
+        col("cum").as("cum_count"), col("total").as("total_bigrams"),
+        (round(col("cum").cast("double") / col("total"), 6) + lit(0.0))
+          .as("coverage"))
+      .orderBy(col("rank").asc)
+  }
 }

@@ -125,6 +125,53 @@ object CompositeQueries {
       .orderBy(asc_nulls_first("variant"))
   }
 
+  /** Two-proportion z-test on q_ab_assign's experiment: is the
+    * treatment's purchase-conversion difference real? Reports both
+    * arms' exact counts, the conversion gap, and the pooled-variance
+    * z statistic (the experimentation readout; the normal-quantile
+    * lookup is left to the reader like q_contingency leaves χ²).
+    *
+    * Determinism: the same md5 user bucketing as q_ab_assign; all
+    * counts exact integers; p̂₁, p̂₂, the pooled p̂ and z are one
+    * terminal double expression each, spelled identically in the
+    * oracle.
+    *
+    * Scale: one user-level fold (map-combinable) then a 2→1-row
+    * conditional-sum pivot — nothing data-sized past the first
+    * exchange.
+    */
+  def qAbTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .withColumn("variant",
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 2 === 0, "control").otherwise("treatment"))
+      .groupBy(col("variant"), col("user_id"))
+      // a ≥$50 purchase, not any purchase: at fixture scale every user
+      // buys SOMETHING, which degenerates p̂_pool to 1 and the z
+      // denominator to 0 — the high-value form keeps the test live
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") >= 50, 1L).otherwise(0L)).as("converted"))
+    val cells = perUser.agg(
+      sum(when(col("variant") === "control", 1L).otherwise(0L)).as("n1"),
+      sum(when(col("variant") === "control", col("converted"))
+        .otherwise(0L)).as("x1"),
+      sum(when(col("variant") === "treatment", 1L).otherwise(0L)).as("n2"),
+      sum(when(col("variant") === "treatment", col("converted"))
+        .otherwise(0L)).as("x2"))
+    val p1 = col("x1").cast("double") / col("n1")
+    val p2 = col("x2").cast("double") / col("n2")
+    val pp = (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2"))
+    cells.select(col("n1").as("n_control"), col("x1").as("conv_control"),
+      col("n2").as("n_treatment"), col("x2").as("conv_treatment"),
+      (round(p2 - p1, 6) + lit(0.0)).as("conversion_gap"),
+      when(col("x1") + col("x2") > 0 &&
+        col("x1") + col("x2") < col("n1") + col("n2"),
+        round((p2 - p1) /
+          sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 6) + lit(0.0))
+        .as("z_stat"))
+  }
+
   /** Snapshot reconciliation: diff two corpus snapshots into
     * added / removed / changed rows (unchanged rows drop out). The two
     * snapshots are carved deterministically from the documents table

@@ -377,4 +377,26 @@ object EventQueries {
           + lit(0.0)).as("avg_events"))
       .orderBy(asc_nulls_first("week"))
   }
+
+  /** Weekly bounce rate: share of sessions with exactly one event —
+    * the engagement-quality headline next to q_session_percentiles'
+    * duration trend, over the SAME 30-min-gap sessionization (so the
+    * two reports reconcile session-for-session).
+    *
+    * Determinism: integer session counts; the rate is the terminal
+    * rounded division.
+    *
+    * Scale: the shared user-window sessionize pass, then a
+    * map-combinable fold to |weeks| rows.
+    */
+  def qBounceRate(spark: SparkSession, sfDir: String): DataFrame =
+    sessionWindows(Tables.events(spark, sfDir))
+      .withColumn("week", date_trunc("week", col("session_start")))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("week"), col("n_sessions"), col("n_bounces"),
+        (round(col("n_bounces").cast("double") / col("n_sessions"), 6)
+          + lit(0.0)).as("bounce_rate"))
+      .orderBy(asc_nulls_first("week"))
 }

@@ -1454,4 +1454,50 @@ object StatsQueries {
         col("purchase_value"), col("qq_diff"))
       .orderBy(col("pct").asc)
   }
+
+  /** Tukey-HSD-style pairwise comparison table after q_anova: for
+    * every priority pair, the mean order-total difference, its pooled
+    * standard error sqrt(MSW·(1/n₁+1/n₂)/2)·√2 spelled as the
+    * two-sample SE, and the studentized statistic |diff|/SE — WHICH
+    * groups differ once the omnibus F says "some do". The critical
+    * value lookup is left to the reader exactly like q_contingency
+    * leaves χ² — the sufficient statistics here are bit-exact.
+    *
+    * Determinism: group means come from exact cent sums (s/n is one
+    * double division); MSW reuses q_anova's exact-power-sum identity;
+    * the 10-row pair grid is tie-broken by name and every reported
+    * float is a terminal rounded expression.
+    *
+    * Scale: one map-combinable moments aggregate to 5 rows; the pair
+    * grid is |groups|² at any corpus size (declared tiny-grid
+    * broadcast) with the 1-row MSW scalar joined in.
+    */
+  def qTukey(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("x"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("ss_g"))
+    val msw = g.agg(
+      ((sum(col("ss_g")).cast("double") -
+        sum(col("s_g").cast("double") * col("s_g").cast("double") /
+          col("n_g").cast("double"))) /
+        (sum(col("n_g")) - count(lit(1))).cast("double")).as("msw"))
+    val a = g.select(col("o_orderpriority").as("g1"), col("n_g").as("n1"),
+      col("s_g").as("s1"))
+    val b = g.select(col("o_orderpriority").as("g2"), col("n_g").as("n2"),
+      col("s_g").as("s2"))
+    val m1 = col("s1").cast("double") / col("n1") / 100.0
+    val m2 = col("s2").cast("double") / col("n2") / 100.0
+    val se = sqrt(col("msw") *
+      (lit(1.0) / col("n1") + lit(1.0) / col("n2"))) / 100.0
+    a.join(b, col("g1") < col("g2"))
+      .crossJoin(broadcast(msw))
+      .select(col("g1"), col("g2"),
+        col("n1"), col("n2"),
+        (round(m1 - m2, 6) + lit(0.0)).as("mean_diff"),
+        (round(se, 6) + lit(0.0)).as("se"),
+        (round(abs(m1 - m2) / se, 6) + lit(0.0)).as("t_stat"))
+      .orderBy(asc_nulls_first("g1"), asc_nulls_first("g2"))
+  }
 }

@@ -695,6 +695,37 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(math.abs(cums.last - 1.0) < 1e-6)
   }
 
+  test("dedup sweep: monotone in threshold; 0.5 row matches q_ngram_jaccard") {
+    val rows = q("q_dedup_sweep").collect().sortBy(_.getAs[Double]("threshold"))
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq == Seq(0.5, 0.7, 0.9))
+    val ps = rows.map(_.getAs[Long]("n_pairs"))
+    val ds = rows.map(_.getAs[Long]("n_docs_flagged"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b }, s"pairs $ps")
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, s"docs $ds")
+    rows.foreach(r => assert(r.getAs[Long]("n_docs_flagged") <=
+      r.getAs[Long]("n_pairs") || r.getAs[Long]("n_pairs") == 0))
+    // the 0.5 cut IS q_ngram_jaccard's pair set
+    assert(ps.head == q("q_ngram_jaccard").count(),
+      "sweep 0.5 row disagrees with the production pair query")
+  }
+
+  test("bigram coverage: monotone curve off a conserved bigram stream") {
+    val rows = q("q_bigram_coverage").collect().sortBy(_.getAs[Int]("rank"))
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == Seq(10, 25, 50, 100))
+    val covs = rows.map(_.getAs[Double]("coverage"))
+    assert(covs.zip(covs.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(covs.forall(c => c > 0 && c <= 1.0))
+    val cums = rows.map(_.getAs[Long]("cum_count"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    // total equals the exact bigram stream size: Σ_docs max(len-1, 0)
+    import org.apache.spark.sql.functions._
+    val expected = Tables.documents(spark, sfDir)
+      .select(greatest(size(graft.operators.TextQueries.tokens(col("text")))
+        - 1, lit(0)).as("b"))
+      .agg(sum(col("b"))).collect().head.getLong(0)
+    assert(rows.head.getAs[Long]("total_bigrams") == expected)
+  }
+
   test("char entropy: bounded by ln(alphabet); bits consistent with nats") {
     val rows = q("q_char_entropy").collect()
     assert(rows.nonEmpty)

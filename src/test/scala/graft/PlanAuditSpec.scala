@@ -86,7 +86,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_emd",
     // 1-row (tot_buyers, tot_users) base-rate scalar entering the
     // per-decile lift — 1 row against the 10-row decile grid
-    "q_lift")
+    "q_lift",
+    // 1-row bigram-stream total entering the coverage division of the
+    // post-limit 100-row frame — q_vocab_coverage's shape
+    "q_bigram_coverage")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —
@@ -122,6 +125,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 19-row quantile grid joined on the rank-selection equation —
     // the grid is constant-size at any scale and must broadcast
     "q_qq_plot",
+    // 5×5 priority pair grid under g1 < g2 plus the 1-row MSW scalar —
+    // q_kendall_tau's shape on the group dimension
+    "q_tukey",
     // 64×16 sign-matrix grid (two range relations crossed) — corpus-
     // independent, broadcast into the dim equi-join
     "q_jl_project")

@@ -140,4 +140,33 @@ class ScalarEventSpec extends AnyFunSuite {
       assert(r.getAs[Double]("avg_events") >= 1.0 - 1e-9)
     }
   }
+
+  test("q_bounce_rate: reconciles with q_session_percentiles week counts") {
+    val out = q("q_bounce_rate").collect()
+    val weeks = q("q_session_percentiles").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("week"),
+        r.getAs[Long]("n_sessions"))).toMap
+    assert(out.nonEmpty && out.length == weeks.size)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_sessions") ==
+        weeks(r.getAs[java.sql.Timestamp]("week")))
+      val br = r.getAs[Double]("bounce_rate")
+      assert(br >= 0 && br <= 1.0)
+      assert(r.getAs[Long]("n_bounces") <= r.getAs[Long]("n_sessions"))
+    }
+  }
+
+  test("q_ab_test: arms partition the user base; z sign matches the gap") {
+    val r = q("q_ab_test").collect().head
+    val nUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_control") + r.getAs[Long]("n_treatment") == nUsers)
+    assert(r.getAs[Long]("conv_control") <= r.getAs[Long]("n_control"))
+    assert(r.getAs[Long]("conv_treatment") <= r.getAs[Long]("n_treatment"))
+    if (!r.isNullAt(r.fieldIndex("z_stat"))) {
+      val (gap, z) = (r.getAs[Double]("conversion_gap"),
+        r.getAs[Double]("z_stat"))
+      assert(gap == 0 || gap.sign == z.sign, s"gap $gap vs z $z")
+    }
+  }
 }

@@ -621,4 +621,20 @@ class StatsSpec extends AnyFunSuite {
           r.getAs[Double]("click_value"))) < 2e-6)
     }
   }
+
+  test("tukey: 10 ordered pairs, antisymmetric diffs, t = |diff|/se") {
+    val rows = SparkEntry.queries("q_tukey")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[String]("g1") < r.getAs[String]("g2"))
+      val (d, se, t) = (r.getAs[Double]("mean_diff"), r.getAs[Double]("se"),
+        r.getAs[Double]("t_stat"))
+      assert(se > 0)
+      assert(math.abs(t - math.abs(d) / se) < 1e-3, s"t $t vs ${d / se}")
+    }
+    // the pair grid covers every priority exactly 4 times
+    val names = rows.flatMap(r =>
+      Seq(r.getAs[String]("g1"), r.getAs[String]("g2")))
+    assert(names.groupBy(identity).values.forall(_.length == 4))
+  }
 }
