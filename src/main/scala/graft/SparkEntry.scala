@@ -303,6 +303,10 @@ object SparkEntry {
     "q_bigram_coverage" -> (AdvancedTextQueries.qBigramCoverage _),
     "q_bounce_rate"     -> (EventQueries.qBounceRate _),
     "q_ab_test"         -> (CompositeQueries.qAbTest _),
+    "q_pacf"            -> (TimeSeriesQueries.qPacf _),
+    "q_forecast_eval"   -> (TimeSeriesQueries.qForecastEval _),
+    "q_freshness"       -> (TimeSeriesQueries.qFreshness _),
+    "q_priority_mix"    -> (CompositeQueries.qPriorityMix _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -5950,6 +5954,104 @@ object SparkEntry {
         |        (1.0 / n1 + 1.0 / n2)), 6) + 0.0
         |  END AS z_stat
         |FROM c""".stripMargin,
+    "q_pacf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, 1 AS lag, c AS y,
+        |    lag(c, 1) OVER w1 AS x FROM daily
+        |    WINDOW w1 AS (PARTITION BY event_type ORDER BY d)
+        |  UNION ALL
+        |  SELECT event_type, 2 AS lag, c AS y,
+        |    lag(c, 2) OVER w2 AS x FROM daily
+        |    WINDOW w2 AS (PARTITION BY event_type ORDER BY d)
+        |  UNION ALL
+        |  SELECT event_type, 3 AS lag, c AS y,
+        |    lag(c, 3) OVER w3 AS x FROM daily
+        |    WINDOW w3 AS (PARTITION BY event_type ORDER BY d)),
+        |acf AS (
+        |  SELECT event_type, lag,
+        |    round(
+        |      CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE) /
+        |      (sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)) *
+        |       sqrt(CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE))),
+        |      6) + 0.0 AS autocorr
+        |  FROM lagged WHERE x IS NOT NULL
+        |  GROUP BY event_type, lag),
+        |p AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN lag = 1 THEN autocorr END) AS r1,
+        |    max(CASE WHEN lag = 2 THEN autocorr END) AS r2,
+        |    max(CASE WHEN lag = 3 THEN autocorr END) AS r3
+        |  FROM acf GROUP BY 1)
+        |SELECT event_type, r1, r2, r3,
+        |  CASE WHEN 1.0 - r1 * r1 <> 0 THEN
+        |    round((r2 - r1 * r1) / (1.0 - r1 * r1), 6) + 0.0 END AS pacf2,
+        |  CASE WHEN 1.0 - r1 * r1 <> 0 AND
+        |      1.0 - (r1 * (1.0 - (r2 - r1 * r1) / (1.0 - r1 * r1))) * r1 -
+        |        ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2 <> 0 THEN
+        |    round((r3 - (r1 * (1.0 - (r2 - r1 * r1) / (1.0 - r1 * r1))) * r2
+        |        - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1) /
+        |      (1.0 - (r1 * (1.0 - (r2 - r1 * r1) / (1.0 - r1 * r1))) * r1 -
+        |        ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2), 6) + 0.0
+        |  END AS pacf3
+        |FROM p ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_forecast_eval" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type,
+        |    c - lag(c, 7) OVER w AS err,
+        |    lag(c, 7) OVER w AS pred
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day ASC))
+        |SELECT event_type, count(*) AS n_days_eval,
+        |  round(CAST(sum(abs(err)) AS DOUBLE) / count(*) / 100.0, 6) + 0.0
+        |    AS mae,
+        |  round(sqrt(CAST(sum(CAST(err AS DECIMAL(38,0)) * err) AS DOUBLE) /
+        |    count(*)) / 100.0, 6) + 0.0 AS rmse,
+        |  round(CAST(sum(err) AS DOUBLE) / count(*) / 100.0, 6) + 0.0 AS bias
+        |FROM l WHERE pred IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_freshness" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts, CAST(ts AS DATE) AS day FROM events),
+        |e AS (SELECT max(ts) AS corpus_end FROM ev),
+        |p AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |    count(DISTINCT day) AS n_days, max(ts) AS last_ts,
+        |    sum(CASE WHEN epoch_us(ts) >
+        |      epoch_us(e.corpus_end) - 86400000000 THEN 1 ELSE 0 END)
+        |      AS n_last_day,
+        |    max(e.corpus_end) AS corpus_end
+        |  FROM ev CROSS JOIN e GROUP BY 1)
+        |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_days AS BIGINT) AS n_days, last_ts,
+        |  CAST(n_last_day AS BIGINT) AS n_last_day,
+        |  round(CAST(epoch_us(corpus_end) - epoch_us(last_ts) AS DOUBLE) /
+        |    3600000000.0, 6) + 0.0 AS hours_stale,
+        |  round(CAST(n_last_day AS DOUBLE) /
+        |    (CAST(n_events AS DOUBLE) / n_days), 6) + 0.0 AS last_day_vs_avg
+        |FROM p ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_priority_mix" ->
+      """WITH g AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+        |      AS month,
+        |    o_orderpriority, count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (
+        |  SELECT month, o_orderpriority,
+        |    CAST(n_orders AS BIGINT) AS n_orders,
+        |    round(CAST(n_orders AS DOUBLE) /
+        |      sum(n_orders) OVER (PARTITION BY month), 6) + 0.0 AS share
+        |  FROM g)
+        |SELECT month, o_orderpriority, n_orders, share,
+        |  CASE WHEN lag(share, 1) OVER w IS NOT NULL THEN
+        |    round(share - lag(share, 1) OVER w, 6) + 0.0 END AS mom_delta
+        |FROM s WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month ASC)
+        |ORDER BY month NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

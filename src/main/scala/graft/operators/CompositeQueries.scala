@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Composite multi-join analytics — the TPC-H-shaped flagship queries a
@@ -170,6 +171,39 @@ object CompositeQueries {
           sqrt(pp * (lit(1.0) - pp) *
             (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 6) + lit(0.0))
         .as("z_stat"))
+  }
+
+  /** Month-over-month order-priority mix: each month's share per
+    * priority and the share's delta vs the previous month — the
+    * composition-drift report (is URGENT creeping up?) that a plain
+    * monthly count table hides. The relational cousin of
+    * q_drift_psi's distribution-shift score, kept at full
+    * (month × priority) resolution.
+    *
+    * Determinism: counts exact; shares terminal rounded divisions;
+    * the MoM lag runs over the months-bounded grid under a total
+    * (priority, month) order; the delta subtracts two ROUNDED shares
+    * so both engines subtract identical doubles.
+    *
+    * Scale: one fold to the |months|×|priorities| grid (map-side
+    * combined), then two windows on that tiny grid.
+    */
+  def qPriorityMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+    val share = round(col("n_orders").cast("double") /
+      sum(col("n_orders")).over(Window.partitionBy("month")), 6) + lit(0.0)
+    val wLag = Window.partitionBy("o_orderpriority")
+      .orderBy(asc_nulls_first("month"))
+    grid
+      .withColumn("share", share)
+      .withColumn("mom_delta",
+        when(lag(col("share"), 1).over(wLag).isNotNull,
+          round(col("share") - lag(col("share"), 1).over(wLag), 6)
+            + lit(0.0)))
+      .orderBy(asc_nulls_first("month"), asc_nulls_first("o_orderpriority"))
   }
 
   /** Snapshot reconciliation: diff two corpus snapshots into

@@ -705,4 +705,116 @@ object TimeSeriesQueries {
       .filter(col("n_diffs") === 14)
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
   }
+
+  /** Partial autocorrelation (lags 1–3) of each type's daily-count
+    * series via Durbin–Levinson on q_autocorr's ACF values — the
+    * AR-order picker: ACF says "correlated at lag k", PACF says
+    * "correlated at lag k AFTER the shorter lags explain their share",
+    * which is what decides how many AR terms a forecast needs.
+    *
+    * Determinism: the recursion runs on the 6-dp-ROUNDED acf values
+    * q_autocorr already proves bit-identical across engines, so every
+    * pacf is a fixed double expression of identical inputs; outputs
+    * re-round. Degenerate unit-root inputs (1 − r² = 0) emit null.
+    *
+    * Scale: rides q_autocorr's |types|×|days| fold; the pivot and the
+    * recursion run on |types| rows.
+    */
+  def qPacf(spark: SparkSession, sfDir: String): DataFrame = {
+    val piv = qAutocorr(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        max(when(col("lag") === 1, col("autocorr"))).as("r1"),
+        max(when(col("lag") === 2, col("autocorr"))).as("r2"),
+        max(when(col("lag") === 3, col("autocorr"))).as("r3"))
+    val den2 = lit(1.0) - col("r1") * col("r1")
+    val p2 = (col("r2") - col("r1") * col("r1")) / den2
+    val phi21 = col("r1") * (lit(1.0) - p2)
+    val den3 = lit(1.0) - phi21 * col("r1") - p2 * col("r2")
+    val p3 = (col("r3") - phi21 * col("r2") - p2 * col("r1")) / den3
+    piv.select(col("event_type"),
+        col("r1"), col("r2"), col("r3"),
+        when(den2 =!= 0.0, round(p2, 6) + lit(0.0)).as("pacf2"),
+        when(den2 =!= 0.0 && den3 =!= 0.0, round(p3, 6) + lit(0.0))
+          .as("pacf3"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  /** Seasonal-naive forecast backtest: predict each day's value with
+    * the same weekday's value one week earlier and score the error —
+    * MAE, RMSE and signed bias per type. The baseline every real
+    * forecasting model must beat, and the cheapest drift alarm when
+    * tracked over time.
+    *
+    * Determinism: errors are exact integer cent differences; MAE/bias
+    * sums stay integer, the squared-error sum runs in decimal(38,0)
+    * (q_gini's explicit-overflow convention); the three reported
+    * scores are terminal rounded expressions.
+    *
+    * Scale: the module invariant — |types|×|days| fold, then ONE
+    * (type, day) window for the lag-7 lookup and a map-combinable
+    * fold to |types| rows.
+    */
+  def qForecastEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val dailyCents = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+    val w = Window.partitionBy("event_type").orderBy(asc_nulls_first("day"))
+    dailyCents
+      .withColumn("pred", lag(col("c"), 7).over(w))
+      .filter(col("pred").isNotNull)
+      .select(col("event_type"), (col("c") - col("pred")).as("err"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days_eval"),
+        sum(abs(col("err"))).as("sae"),
+        sum(col("err")).as("se"),
+        sum(col("err").cast("decimal(38,0)") * col("err")).as("sse"))
+      .select(col("event_type"), col("n_days_eval"),
+        (round(col("sae").cast("double") / col("n_days_eval") / 100.0, 6)
+          + lit(0.0)).as("mae"),
+        (round(sqrt(col("sse").cast("double") / col("n_days_eval")) / 100.0,
+          6) + lit(0.0)).as("rmse"),
+        (round(col("se").cast("double") / col("n_days_eval") / 100.0, 6)
+          + lit(0.0)).as("bias"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  /** Stream-freshness / liveness audit: per event type, the last event
+    * time, hours stale relative to the corpus end, the final-24h
+    * volume and its ratio to the type's daily average — the
+    * is-this-feed-still-alive gate a pipeline owner reads before
+    * trusting downstream aggregates.
+    *
+    * Determinism: the corpus end is an exact max carried as a declared
+    * 1-row broadcast; staleness and ratios are terminal rounded
+    * divisions of exact integer micros/counts.
+    *
+    * Scale: one map-combinable per-type fold (max, counts) plus the
+    * 1-row corpus-end scalar — nothing data-sized past the first
+    * exchange; the last-day count folds in the same pass via a
+    * conditional sum against the broadcast cutoff.
+    */
+  def qFreshness(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), to_date(col("ts")).as("day"))
+    val end = ev.agg(max(col("ts")).as("corpus_end"))
+    val perType = ev.crossJoin(broadcast(end))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("day")).as("n_days"),
+        max(col("ts")).as("last_ts"),
+        sum(when(unix_micros(col("ts")) >
+          unix_micros(col("corpus_end")) - lit(86400000000L), 1L)
+          .otherwise(0L)).as("n_last_day"),
+        max(col("corpus_end")).as("corpus_end"))
+    perType.select(col("event_type"), col("n_events"), col("n_days"),
+        col("last_ts"), col("n_last_day"),
+        (round((unix_micros(col("corpus_end")) -
+          unix_micros(col("last_ts"))).cast("double") / 3600000000.0, 6)
+          + lit(0.0)).as("hours_stale"),
+        (round(col("n_last_day").cast("double") /
+          (col("n_events").cast("double") / col("n_days")), 6) + lit(0.0))
+          .as("last_day_vs_avg"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
 }

@@ -185,4 +185,23 @@ class CompositeSpec extends AnyFunSuite {
     assert(math.abs(total - direct) <= 1e-4 * math.max(1.0, direct))
     out.unpersist()
   }
+
+  test("q_priority_mix: shares sum to 1 per month; deltas telescope") {
+    val rows = SparkEntry.queries("q_priority_mix")(spark, sfDir).collect()
+    val byMonth = rows.groupBy(_.getAs[java.sql.Timestamp]("month"))
+    byMonth.values.foreach { g =>
+      assert(math.abs(g.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    }
+    // per priority, the delta equals this month's share minus last's
+    rows.groupBy(_.getAs[String]("o_orderpriority")).values.foreach { g =>
+      val ordered = g.sortBy(_.getAs[java.sql.Timestamp]("month").getTime)
+      ordered.head.isNullAt(ordered.head.fieldIndex("mom_delta"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(math.abs(b.getAs[Double]("mom_delta") -
+            (b.getAs[Double]("share") - a.getAs[Double]("share"))) < 2e-6)
+        case _ =>
+      }
+    }
+  }
 }

@@ -89,7 +89,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_lift",
     // 1-row bigram-stream total entering the coverage division of the
     // post-limit 100-row frame — q_vocab_coverage's shape
-    "q_bigram_coverage")
+    "q_bigram_coverage",
+    // 1-row corpus-end anchor entering the staleness/last-day fold —
+    // q_survival's shape
+    "q_freshness")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —

@@ -319,6 +319,54 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("pacf: lag-1 equals acf; replay of Durbin-Levinson from acf values") {
+    val acf = SparkEntry.queries("q_autocorr")(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(rs => rs.map(r =>
+        r.getAs[Long]("lag") -> r.getAs[Double]("autocorr")).toMap).toMap
+    SparkEntry.queries("q_pacf")(spark, sfDir).collect().foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (r1, r2, r3) = (acf(t)(1L), acf(t)(2L), acf(t)(3L))
+      assert(r.getAs[Double]("r1") == r1 && r.getAs[Double]("r2") == r2 &&
+        r.getAs[Double]("r3") == r3)
+      val p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+      assert(math.abs(r.getAs[Double]("pacf2") - p2) < 1e-5)
+      val phi21 = r1 * (1.0 - p2)
+      val p3 = (r3 - phi21 * r2 - p2 * r1) / (1.0 - phi21 * r1 - p2 * r2)
+      assert(math.abs(r.getAs[Double]("pacf3") - p3) < 1e-5)
+    }
+  }
+
+  test("forecast eval: rmse >= mae >= |bias|; eval days = days - 7 per type") {
+    val days = SparkEntry.queries("q_autocorr")(spark, sfDir) // any per-type source
+    val nDays = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    SparkEntry.queries("q_forecast_eval")(spark, sfDir).collect().foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_days_eval") == nDays(t) - 7,
+        s"$t eval days ${r.getAs[Long]("n_days_eval")} vs ${nDays(t)} - 7")
+      val (mae, rmse, bias) = (r.getAs[Double]("mae"),
+        r.getAs[Double]("rmse"), r.getAs[Double]("bias"))
+      assert(rmse >= mae - 1e-6, s"rmse $rmse < mae $mae")
+      assert(mae >= math.abs(bias) - 1e-6, s"mae $mae < |bias| $bias")
+    }
+  }
+
+  test("freshness: staleness nonnegative, one type touches the corpus end") {
+    val rows = SparkEntry.queries("q_freshness")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sfDir).count())
+    assert(rows.forall(_.getAs[Double]("hours_stale") >= 0))
+    // the type owning the corpus-max event is exactly 0 hours stale
+    assert(rows.exists(_.getAs[Double]("hours_stale") == 0.0))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_last_day") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Double]("last_day_vs_avg") >= 0)
+    }
+  }
+
   test("rsi: bounded, full windows only, extremes iff one-sided moves") {
     val rows = SparkEntry.queries("q_rsi")(spark, sfDir).collect()
     assert(rows.nonEmpty)
