@@ -307,6 +307,10 @@ object SparkEntry {
     "q_forecast_eval"   -> (TimeSeriesQueries.qForecastEval _),
     "q_freshness"       -> (TimeSeriesQueries.qFreshness _),
     "q_priority_mix"    -> (CompositeQueries.qPriorityMix _),
+    "q_cohens_d"        -> (StatsQueries.qCohensD _),
+    "q_bootstrap_ci"    -> (StatsQueries.qBootstrapCi _),
+    "q_sample_temperature" -> (CurationQueries.qSampleTemperature _),
+    "q_contamination_by_source" -> (TextQueries.qContaminationBySource _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -6052,6 +6056,128 @@ object SparkEntry {
         |    round(share - lag(share, 1) OVER w, 6) + 0.0 END AS mom_delta
         |FROM s WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month ASC)
         |ORDER BY month NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_cohens_d" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS s,
+        |    sum(CAST(x AS DECIMAL(38,0)) * x) AS ss
+        |  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+        |        FROM events WHERE event_type IN ('click', 'purchase'))
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT
+        |    max(CASE WHEN event_type = 'click' THEN n END) AS na,
+        |    max(CASE WHEN event_type = 'click' THEN s END) AS sa,
+        |    max(CASE WHEN event_type = 'click' THEN ss END) AS ssa,
+        |    max(CASE WHEN event_type = 'purchase' THEN n END) AS nb,
+        |    max(CASE WHEN event_type = 'purchase' THEN s END) AS sb,
+        |    max(CASE WHEN event_type = 'purchase' THEN ss END) AS ssb
+        |  FROM g),
+        |f AS (
+        |  SELECT na, nb,
+        |    CAST(sa AS DOUBLE) / na / 100.0 AS ma,
+        |    CAST(sb AS DOUBLE) / nb / 100.0 AS mb,
+        |    sqrt((CAST(na - 1 AS DOUBLE) *
+        |        ((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) *
+        |          CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) /
+        |          CAST(na - 1 AS DOUBLE)) +
+        |      CAST(nb - 1 AS DOUBLE) *
+        |        ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) *
+        |          CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) /
+        |          CAST(nb - 1 AS DOUBLE))) /
+        |      CAST(na + nb - 2 AS DOUBLE)) / 100.0 AS sp
+        |  FROM c)
+        |SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT)
+        |    AS n_purchase,
+        |  round(ma, 6) + 0.0 AS mean_click,
+        |  round(mb, 6) + 0.0 AS mean_purchase,
+        |  round(sp, 6) + 0.0 AS pooled_sd,
+        |  round((mb - ma) / sp, 6) + 0.0 AS cohens_d,
+        |  round((mb - ma) / sp *
+        |    (1.0 - 3.0 / CAST((na + nb) * 4 - 9 AS DOUBLE)), 6) + 0.0
+        |    AS hedges_g
+        |FROM f""".stripMargin,
+    "q_bootstrap_ci" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS x
+        |  FROM orders),
+        |fan AS (
+        |  SELECT o.o_orderkey, o.x, CAST(g.g AS BIGINT) AS g,
+        |    md5(CAST(o.o_orderkey AS VARCHAR) || ':'
+        |      || CAST(g.g AS VARCHAR)) AS h
+        |  FROM o, unnest(range(1, 6)) AS g(g)),
+        |sliced AS (
+        |  SELECT g * 8 + CAST(j.j AS BIGINT) - 7 AS b, x,
+        |    CAST('0x' || substring(h, CAST(j.j * 4 + 1 AS INT), 4)
+        |      AS BIGINT) AS u
+        |  FROM fan, unnest(range(0, 8)) AS j(j)),
+        |wts AS (
+        |  SELECT b, x,
+        |    CASE WHEN u < 24110 THEN 0 WHEN u < 48223 THEN 1
+        |         WHEN u < 60277 THEN 2 WHEN u < 64296 THEN 3
+        |         WHEN u < 65296 THEN 4 ELSE 5 END AS w
+        |  FROM sliced),
+        |rm AS (
+        |  SELECT b, CAST(sum(w * x) AS DOUBLE) / sum(w) / 100.0 AS m
+        |  FROM wts GROUP BY b),
+        |rk AS (
+        |  SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS rn
+        |  FROM rm),
+        |ci AS (
+        |  SELECT round(min(m), 6) + 0.0 AS ci_lo,
+        |    round(max(m), 6) + 0.0 AS ci_hi
+        |  FROM rk WHERE rn = 1 OR rn = 39),
+        |fl AS (
+        |  SELECT count(*) AS n_orders,
+        |    CAST(sum(x) AS DOUBLE) / count(*) / 100.0 AS mean_full
+        |  FROM o)
+        |SELECT CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(40 AS INT) AS n_reps,
+        |  round(mean_full, 6) + 0.0 AS mean_total, ci_lo, ci_hi
+        |FROM ci CROSS JOIN fl""".stripMargin,
+    "q_sample_temperature" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(round(exp(ln(CAST(count(*) AS DOUBLE)) * 0.7) * 1000000.0,
+        |      0) AS BIGINT) AS w_micro
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT source, n_docs, w_micro,
+        |    sum(n_docs) OVER () AS n_total,
+        |    sum(w_micro) OVER () AS w_total
+        |  FROM c)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / n_total, 6) + 0.0 AS raw_share,
+        |  round(CAST(w_micro AS DOUBLE) / w_total, 6) + 0.0 AS temp_share,
+        |  round((CAST(w_micro AS DOUBLE) / w_total) /
+        |    (CAST(n_docs AS DOUBLE) / n_total), 6) + 0.0 AS upsample_factor
+        |FROM t ORDER BY source NULLS FIRST""".stripMargin,
+    "q_contamination_by_source" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '')) AS t,
+        |    generate_subscripts(
+        |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                  x -> x <> ''), 1) - 1 AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS sh
+        |    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+        |  WHERE sh IS NOT NULL),
+        |probes AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT s.doc_id FROM sh s JOIN probes p USING (sh)
+        |  WHERE s.doc_id % 97 <> 0)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_contaminated,
+        |  round(CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) + 0.0 AS contamination_rate
+        |FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+        |WHERE d.doc_id % 97 <> 0
+        |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

@@ -372,4 +372,43 @@ object CurationQueries {
         col("n_source"))
       .orderBy(asc_nulls_first("source"), asc_nulls_first("rk"))
   }
+
+  /** Temperature-scaled source sampling plan (the α-sampling of
+    * multilingual LLM corpora — Xue et al., mT5, 2021, public
+    * literature; τ = 0.7): per source, the raw document share, the
+    * tempered share p_s ∝ n_s^0.7, and the effective up/down-sampling
+    * factor — flattening that lifts small sources without letting the
+    * biggest one dominate. The plan a weighted sampler (q_mix_budget,
+    * q_weighted_sample) consumes as its target mix.
+    *
+    * Determinism: n^0.7 is computed as exp(0.7·ln n) — one IEEE
+    * ln/mul/exp chain from an exact integer — and integerized to
+    * micro-units BEFORE the cross-source normalizer sum
+    * (q_drift_psi's recipe); shares and factors are terminal rounded
+    * divisions.
+    *
+    * Scale: one map-combinable fold to |sources| rows; the
+    * normalizer rides a tiny-grid window.
+    */
+  def qSampleTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_micro",
+        round(exp(log(col("n_docs").cast("double")) * 0.7) * 1000000.0, 0)
+          .cast("long"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("n_total", sum(col("n_docs")).over(wAll))
+      .withColumn("w_total", sum(col("w_micro")).over(wAll))
+      .select(col("source"), col("n_docs"),
+        (round(col("n_docs").cast("double") / col("n_total"), 6) + lit(0.0))
+          .as("raw_share"),
+        (round(col("w_micro").cast("double") / col("w_total"), 6)
+          + lit(0.0)).as("temp_share"),
+        (round((col("w_micro").cast("double") / col("w_total")) /
+          (col("n_docs").cast("double") / col("n_total")), 6) + lit(0.0))
+          .as("upsample_factor"))
+      .orderBy(asc_nulls_first("source"))
+  }
 }

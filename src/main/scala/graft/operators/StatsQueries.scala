@@ -1500,4 +1500,116 @@ object StatsQueries {
         (round(abs(m1 - m2) / se, 6) + lit(0.0)).as("t_stat"))
       .orderBy(asc_nulls_first("g1"), asc_nulls_first("g2"))
   }
+
+  /** Cohen's d (and Hedges' g) effect size between the click and
+    * purchase value samples — the parametric "how big is the
+    * difference" next to the rank-based q_mannwhitney and dominance
+    * q_cliff_delta verdicts: standardized mean difference over the
+    * pooled SD, the number a power analysis consumes.
+    *
+    * Determinism: both samples fold to exact integer-cent power sums
+    * (Σx long, Σx² decimal(38,0)); means, pooled SD, d and the
+    * small-sample g correction are each one terminal double
+    * expression spelled identically in the oracle.
+    *
+    * Scale: one map-combinable 2-group moments aggregate, then a
+    * 1-row pivot — single shuffle of 2 groups at any corpus size.
+    */
+  def qCohensD(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), cents(col("value")).as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("ss"))
+    val cells = g.agg(
+      max(when(col("event_type") === "click", col("n"))).as("na"),
+      max(when(col("event_type") === "click", col("s"))).as("sa"),
+      max(when(col("event_type") === "click", col("ss"))).as("ssa"),
+      max(when(col("event_type") === "purchase", col("n"))).as("nb"),
+      max(when(col("event_type") === "purchase", col("s"))).as("sb"),
+      max(when(col("event_type") === "purchase", col("ss"))).as("ssb"))
+    val ma = col("sa").cast("double") / col("na") / 100.0
+    val mb = col("sb").cast("double") / col("nb") / 100.0
+    val va = (col("ssa").cast("double") -
+      col("sa").cast("double") * col("sa").cast("double") /
+        col("na").cast("double")) / (col("na") - 1).cast("double")
+    val vb = (col("ssb").cast("double") -
+      col("sb").cast("double") * col("sb").cast("double") /
+        col("nb").cast("double")) / (col("nb") - 1).cast("double")
+    val sp = sqrt(((col("na") - 1).cast("double") * va +
+      (col("nb") - 1).cast("double") * vb) /
+      (col("na") + col("nb") - 2).cast("double")) / 100.0
+    val d = (mb - ma) / sp
+    cells.select(col("na").as("n_click"), col("nb").as("n_purchase"),
+      (round(ma, 6) + lit(0.0)).as("mean_click"),
+      (round(mb, 6) + lit(0.0)).as("mean_purchase"),
+      (round(sp, 6) + lit(0.0)).as("pooled_sd"),
+      (round(d, 6) + lit(0.0)).as("cohens_d"),
+      (round(d * (lit(1.0) - lit(3.0) /
+        ((col("na") + col("nb")) * 4 - 9).cast("double")), 6) + lit(0.0))
+        .as("hedges_g"))
+  }
+
+  /** Poisson-bootstrap confidence interval for the mean order total
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams", Google 2012 — public literature): each of B=40
+    * resample replicas weights every order by a deterministic
+    * Poisson(1)-distributed integer (md5 of (orderkey, replica)
+    * against fixed cumulative thresholds), the per-replica weighted
+    * means form the bootstrap distribution, and the nearest-rank
+    * 2.5%/97.5% replicate means bound the CI. THE bootstrap that
+    * works at 100 TB — no per-resample data copies, one pass, and
+    * the weights need no global coordination.
+    *
+    * Determinism: weights are a pure md5 function; per-replica
+    * Σw·x / Σw are exact-integer sums with one terminal division;
+    * the rank pick orders (mean, replica-id) — total order.
+    *
+    * Scale: a ×40 integer-weight fan-out folds map-side into 40
+    * replica cells — ONE small exchange; the rank window runs on 40
+    * rows. No resampled copy of the data ever exists.
+    */
+  def qBootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val reps = 40
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("x"))
+    // ONE md5 per (order, hash-group) feeds EIGHT replicas — its 32 hex
+    // chars slice into eight independent 16-bit values, each weighted
+    // in its own COLUMN (no 8x row fan-out; measured 8x fewer hashes
+    // and rows — the hash and the explode dominated this plan's CPU).
+    // Poisson(1) cumulative thresholds on each 16-bit value
+    // (⌊65536·P(X≤k)⌋ for k = 0..4; the >4 tail keeps weight 5)
+    def w(j: Int): Column = {
+      val u = conv(substring(col("h"), j * 4 + 1, 4), 16, 10).cast("long")
+      when(u < 24110, 0L).when(u < 48223, 1L).when(u < 60277, 2L)
+        .when(u < 64296, 3L).when(u < 65296, 4L).otherwise(5L)
+    }
+    val fan = o
+      .withColumn("g", explode(sequence(lit(1), lit(reps / 8))))
+      .withColumn("h", md5(concat(col("o_orderkey").cast("string"),
+        lit(":"), col("g").cast("string"))))
+    val aggs = (0 until 8).flatMap(j => Seq(
+      sum(w(j)).as(s"sw$j"), sum(w(j) * col("x")).as(s"swx$j")))
+    val stacked = (0 until 8)
+      .map(j => s"${j}L, sw$j, swx$j").mkString(", ")
+    val repMeans = fan.groupBy("g")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("g"),
+        expr(s"stack(8, $stacked) AS (j, sw, swx)"))
+      .select((col("g") * 8 + col("j") - 7).as("b"),
+        (col("swx").cast("double") / col("sw") / 100.0).as("m"))
+    val wRank = Window.orderBy(col("m").asc, col("b").asc)
+    val ranked = repMeans.withColumn("rn", row_number().over(wRank))
+    val full = o.agg(count(lit(1)).as("n_orders"),
+      (sum(col("x")).cast("double") / count(lit(1)) / 100.0).as("mean_full"))
+    ranked.filter(col("rn") === 1 || col("rn") === reps - 1)
+      .agg(
+        (round(min(col("m")), 6) + lit(0.0)).as("ci_lo"),
+        (round(max(col("m")), 6) + lit(0.0)).as("ci_hi"))
+      .crossJoin(broadcast(full))
+      .select(col("n_orders"), lit(reps).cast("int").as("n_reps"),
+        (round(col("mean_full"), 6) + lit(0.0)).as("mean_total"),
+        col("ci_lo"), col("ci_hi"))
+  }
 }

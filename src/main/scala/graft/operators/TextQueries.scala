@@ -218,6 +218,37 @@ object TextQueries {
       .orderBy(asc_nulls_first("lang"))
   }
 
+  /** Per-source contamination rate under [[qDecontaminate]]'s probe
+    * set — WHICH provider ships benchmark text, not just how much is
+    * clean overall: the governance cut that decides whether to scrub
+    * a source or drop it (q_dedup_survivorship's question, asked of
+    * decontamination).
+    *
+    * Determinism: the probe set and flags are the exact machinery of
+    * qDecontaminate (spec-reconciled); counts exact, rate terminal.
+    *
+    * Scale: the same broadcast semi-join against the probe shingles;
+    * the flag join keys on doc_id and folds to |sources| rows.
+    */
+  def qContaminationBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = AdvancedTextQueries.shingleRows(docs)
+    val probeSh = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
+    val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(probeSh), Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("flag", lit(1L))
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("flag"), lit(0L))).as("n_contaminated"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        (round(col("n_contaminated").cast("double") / col("n_docs"), 6)
+          + lit(0.0)).as("contamination_rate"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
   /** Token-budget sequence packing — the "concat and cut at the budget"
     * packing LLM pre-training pipelines run over a cleaned corpus:
     * documents are laid end-to-end in a deterministic order and a new

@@ -351,4 +351,37 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(b - (sigma - mean) / (sigma + mean)) <= 1e-4)
     }
   }
+
+  test("sample temperature: both share columns sum to 1; tempering flattens") {
+    val rows = SparkEntry.queries("q_sample_temperature")(spark, sfDir)
+      .collect()
+    assert(math.abs(rows.map(_.getAs[Double]("raw_share")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("temp_share")).sum - 1.0) < 1e-4)
+    // τ < 1 lifts below-average sources and shrinks above-average ones
+    val biggest = rows.maxBy(_.getAs[Long]("n_docs"))
+    val smallest = rows.minBy(_.getAs[Long]("n_docs"))
+    if (biggest.getAs[Long]("n_docs") > smallest.getAs[Long]("n_docs")) {
+      assert(biggest.getAs[Double]("upsample_factor") <= 1.0 + 1e-9)
+      assert(smallest.getAs[Double]("upsample_factor") >= 1.0 - 1e-9)
+    }
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("upsample_factor") -
+        r.getAs[Double]("temp_share") / r.getAs[Double]("raw_share")) < 1e-3)
+    }
+  }
+
+  test("contamination by source: totals reconcile with q_decontaminate") {
+    val rows = SparkEntry.queries("q_contamination_by_source")(spark, sfDir)
+      .collect()
+    val clean = SparkEntry.queries("q_decontaminate")(spark, sfDir)
+      .collect().map(_.getAs[Long]("clean_docs")).sum
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val nCont = rows.map(_.getAs[Long]("n_contaminated")).sum
+    assert(nDocs - nCont == clean,
+      s"per-source totals ($nDocs - $nCont) disagree with clean $clean")
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("contamination_rate")
+      assert(rate >= 0 && rate <= 1)
+    }
+  }
 }

@@ -637,4 +637,42 @@ class StatsSpec extends AnyFunSuite {
       Seq(r.getAs[String]("g1"), r.getAs[String]("g2")))
     assert(names.groupBy(identity).values.forall(_.length == 4))
   }
+
+  test("cohens d: matches a double-precision replay; g shrinks d") {
+    val r = SparkEntry.queries("q_cohens_d")(spark, sfDir).collect().head
+    val samples = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("x"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1).toDouble)).toMap
+    val (a, b) = (samples("click"), samples("purchase"))
+    def varS(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(v => (v - m) * (v - m)).sum / (xs.length - 1)
+    }
+    val sp = math.sqrt(((a.length - 1) * varS(a) + (b.length - 1) * varS(b)) /
+      (a.length + b.length - 2)) / 100.0
+    val d = (b.sum / b.length / 100.0 - a.sum / a.length / 100.0) / sp
+    assert(r.getAs[Long]("n_click") == a.length)
+    assert(r.getAs[Long]("n_purchase") == b.length)
+    assert(math.abs(r.getAs[Double]("cohens_d") - d) < 1e-3,
+      s"d ${r.getAs[Double]("cohens_d")} vs replay $d")
+    assert(math.abs(r.getAs[Double]("hedges_g")) <=
+      math.abs(r.getAs[Double]("cohens_d")))
+  }
+
+  test("bootstrap ci: brackets the full-sample mean with a sane width") {
+    val r = SparkEntry.queries("q_bootstrap_ci")(spark, sfDir).collect().head
+    val (lo, hi, m) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"),
+      r.getAs[Double]("mean_total"))
+    assert(lo <= hi)
+    // 95% CI of the mean should bracket the point estimate
+    assert(lo <= m && m <= hi, s"mean $m outside [$lo, $hi]")
+    // width sanity: nonzero but well under the mean for n in the
+    // thousands (a broken weight column collapses the width to 0)
+    assert(hi - lo > 0, "degenerate zero-width interval")
+    assert((hi - lo) / m < 0.5, s"implausibly wide CI [$lo, $hi]")
+    assert(r.getAs[Int]("n_reps") == 40)
+  }
 }
