@@ -311,6 +311,10 @@ object SparkEntry {
     "q_bootstrap_ci"    -> (StatsQueries.qBootstrapCi _),
     "q_sample_temperature" -> (CurationQueries.qSampleTemperature _),
     "q_contamination_by_source" -> (TextQueries.qContaminationBySource _),
+    "q_rolling_median"  -> (TimeSeriesQueries.qRollingMedian _),
+    "q_weekly_rhythm"   -> (TimeSeriesQueries.qWeeklyRhythm _),
+    "q_reorder_gap"     -> (BehaviorQueries.qReorderGap _),
+    "q_hapax_docs"      -> (CurationQueries.qHapaxDocs _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -6178,6 +6182,98 @@ object SparkEntry {
         |FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
         |WHERE d.doc_id % 97 <> 0
         |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
+    "q_rolling_median" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT event_type, day AS target_day FROM d),
+        |re AS (
+        |  SELECT d.event_type, d.c, d.day, t.target_day
+        |  FROM d JOIN days t ON d.event_type = t.event_type
+        |    AND t.target_day BETWEEN d.day AND d.day + 6),
+        |r AS (
+        |  SELECT event_type, target_day, c,
+        |    row_number() OVER (PARTITION BY event_type, target_day
+        |      ORDER BY c ASC, day ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, target_day) AS n
+        |  FROM re)
+        |SELECT event_type, target_day AS day,
+        |  CAST(max(n) AS BIGINT) AS n_window,
+        |  round(avg(c) / 100.0, 6) + 0.0 AS rolling_median
+        |FROM r
+        |WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |GROUP BY event_type, target_day
+        |HAVING max(n) = 7
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "q_weekly_rhythm" ->
+      """WITH cells AS (
+        |  SELECT CAST((epoch_us(ts) // 86400000000) % 7 AS INT) AS dow,
+        |    CAST(extract(hour FROM ts) AS INT) AS hod,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT dow, hod, n_events,
+        |    sum(n_events) OVER () AS total,
+        |    row_number() OVER (ORDER BY n_events DESC, dow ASC, hod ASC)
+        |      AS peak_rank
+        |  FROM cells)
+        |SELECT dow, hod, CAST(n_events AS BIGINT) AS n_events,
+        |  round(CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0
+        |    AS share,
+        |  peak_rank = 1 AS is_peak
+        |FROM t ORDER BY dow ASC, hod ASC""".stripMargin,
+    "q_reorder_gap" ->
+      """WITH g0 AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS od,
+        |    lag(CAST(o_orderdate AS DATE), 1) OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev
+        |  FROM orders),
+        |gaps AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(od - prev AS BIGINT) AS gap_days
+        |  FROM g0 WHERE prev IS NOT NULL),
+        |j AS (
+        |  SELECT c.c_mktsegment, g.o_custkey, g.o_orderkey, g.gap_days
+        |  FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey),
+        |r AS (
+        |  SELECT c_mktsegment, gap_days,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY gap_days ASC, o_custkey ASC, o_orderkey ASC) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n,
+        |    sum(gap_days) OVER (PARTITION BY c_mktsegment) AS s
+        |  FROM j)
+        |SELECT c_mktsegment, CAST(max(n) AS BIGINT) AS n_gaps,
+        |  CAST(floor(CAST(max(s) AS DOUBLE) / max(n)) AS BIGINT)
+        |    AS mean_gap_days_floor,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_days END)
+        |    AS BIGINT) AS median_gap_days,
+        |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_days END)
+        |    AS BIGINT) AS p90_gap_days
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    "q_hapax_docs" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, source, t FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                         x -> x <> '')) AS t
+        |    FROM documents) x),
+        |wdf AS (
+        |  SELECT doc_id, source, t,
+        |    count(*) OVER (PARTITION BY t) AS df
+        |  FROM dt),
+        |pd AS (
+        |  SELECT doc_id, source,
+        |    max(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS has_hapax
+        |  FROM wdf GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(has_hapax) AS BIGINT) AS n_hapax_docs,
+        |  round(CAST(sum(has_hapax) AS DOUBLE) / count(*), 6) + 0.0
+        |    AS hapax_doc_share
+        |FROM pd GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

@@ -762,6 +762,53 @@ object BehaviorQueries {
       .orderBy(col("decile").asc)
   }
 
+  /** Repeat-purchase cadence per market segment: exact median and p90
+    * days between a customer's consecutive orders — the
+    * inventory/replenishment-planning number, the ORDERS-side cousin
+    * of q_interarrival's event gaps (and the same at-100-TB note: the
+    * per-segment rank window swaps for GK sketches).
+    *
+    * Determinism: gaps are exact integer day differences under a
+    * (customer, date, orderkey) total order; percentile rows are
+    * nearest-rank selections; the mean is floor-truncated integer
+    * arithmetic like q_interarrival's.
+    *
+    * Scale: one customer-window pass over orders (lag), a broadcast
+    * customer→segment dimension join, then one rank window per
+    * segment partition.
+    */
+  def qReorderGap(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val gaps = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag(to_date(col("o_orderdate")), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), col("prev")).as("gap_days"))
+    val seg = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val wRank = Window.partitionBy("c_mktsegment")
+      .orderBy(col("gap_days").asc, col("o_custkey").asc,
+        col("o_orderkey").asc)
+    val wAll = Window.partitionBy("c_mktsegment")
+    gaps.join(broadcast(seg), Seq("o_custkey"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("gap_days")).over(wAll))
+      .filter(col("rn") === expr("(n + 1) DIV 2") ||
+        col("rn") === expr("(9 * n + 9) DIV 10"))
+      .groupBy("c_mktsegment")
+      .agg(max(col("n")).as("n_gaps"),
+        (floor(max(col("s")).cast("double") / max(col("n")))
+          .cast("long")).as("mean_gap_days_floor"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("gap_days")))
+          .cast("long").as("median_gap_days"),
+        max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("gap_days")))
+          .cast("long").as("p90_gap_days"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
+
   /** Engagement-depth histogram (the L28-style power-user curve): how
     * many users were active on exactly d distinct days, with each
     * bucket's share of the user base and the cumulative share counted

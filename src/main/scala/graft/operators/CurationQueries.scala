@@ -373,6 +373,40 @@ object CurationQueries {
       .orderBy(asc_nulls_first("source"), asc_nulls_first("rk"))
   }
 
+  /** Unique-content share per source: documents carrying at least one
+    * hapax token (corpus df = 1) — the doc-level complement of
+    * q_lexical_richness's type-level hapax count: a source whose docs
+    * rarely contain ANY unique token is template/recombination
+    * content, prime dedup/scrub territory even when byte-exact dedup
+    * finds nothing.
+    *
+    * Determinism: df and flags are exact integers off the (token)
+    * fold; the share is terminal.
+    *
+    * Scale: one (doc, token) dedup + one token-keyed df window (the
+    * q_tfidf exchange), then doc and source folds — the corpus
+    * shuffles twice as (id, token) pairs, never as text.
+    */
+  def qHapaxDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val dt = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("source"), col("t")).agg(lit(1))
+      .select("doc_id", "source", "t")
+    val withDf = dt.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("t")))
+    withDf
+      .groupBy("doc_id", "source")
+      .agg(max(when(col("df") === 1, 1L).otherwise(0L)).as("has_hapax"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("has_hapax")).as("n_hapax_docs"))
+      .select(col("source"), col("n_docs"), col("n_hapax_docs"),
+        (round(col("n_hapax_docs").cast("double") / col("n_docs"), 6)
+          + lit(0.0)).as("hapax_doc_share"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
   /** Temperature-scaled source sampling plan (the α-sampling of
     * multilingual LLM corpora — Xue et al., mT5, 2021, public
     * literature; τ = 0.7): per source, the raw document share, the

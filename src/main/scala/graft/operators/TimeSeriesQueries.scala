@@ -779,6 +779,83 @@ object TimeSeriesQueries {
       .orderBy(asc_nulls_first("event_type"))
   }
 
+  /** Exact trailing-7-day rolling MEDIAN of each type's daily value —
+    * the robust companion to q_bollinger's mean bands (one outlier day
+    * drags a mean, not a median). Spark has no order-statistic window
+    * function, so the frame is REIFIED by q_rolling_active's bounded
+    * explode: each daily row contributes to its 7 target days, and a
+    * rank window per (type, target day) picks the middle one-or-two
+    * values exactly — an equi-join rewrite, never a range join.
+    *
+    * Determinism: q_median's doubled-middle selection on exact cents
+    * within each reified frame; the frame membership is pure date
+    * arithmetic.
+    *
+    * Scale: fan-out is exactly 7 APPLIED AFTER the |types|×|days|
+    * fold, so the reified stream is 7× the daily grid, not the
+    * corpus; one (type, day) window ranks each 7-row frame.
+    */
+  def qRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val dailyCents = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+    val days = dailyCents.select(col("event_type"),
+      col("day").as("target_day")).distinct()
+    val reified = dailyCents
+      .withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select(col("event_type"), col("c"), col("day"),
+        date_add(col("day"), col("off")).as("target_day"))
+      .join(days, Seq("event_type", "target_day"))
+    val wRank = Window.partitionBy("event_type", "target_day")
+      .orderBy(col("c").asc, col("day").asc)
+    val wAll = Window.partitionBy("event_type", "target_day")
+    reified
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n + 1) DIV 2") ||
+        col("rn") === expr("n DIV 2 + 1"))
+      .groupBy(col("event_type"), col("target_day").as("day"))
+      .agg(max(col("n")).as("n_window"),
+        (round(avg(col("c")) / 100.0, 6) + lit(0.0)).as("rolling_median"))
+      .filter(col("n_window") === 7)
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+  }
+
+  /** Weekly rhythm heatmap: event volume per (weekday × hour) cell
+    * with each cell's share of total traffic and a peak flag — the
+    * 168-cell load profile capacity planning and anomaly baselining
+    * read (q_seasonal gives the weekday marginal; this is the full
+    * grid q_mutual_info scores but doesn't show).
+    *
+    * Determinism: weekday is epoch-days mod 7 (q_seasonal's
+    * locale-free integer arithmetic, 0 = Thursday); counts exact;
+    * share terminal; the peak flag compares exact integer counts with
+    * a total tie-break.
+    *
+    * Scale: one fold to ≤168 cells (map-side combined); the peak
+    * window runs on that grid.
+    */
+  def qWeeklyRhythm(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .groupBy(
+        pmod(floor(unix_micros(col("ts")) / lit(86400000000L)), lit(7))
+          .cast("int").as("dow"),
+        hour(col("ts")).cast("int").as("hod"))
+      .agg(count(lit(1)).as("n_events"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPeak = Window.orderBy(col("n_events").desc, col("dow").asc,
+      col("hod").asc)
+    cells
+      .withColumn("total", sum(col("n_events")).over(wAll))
+      .withColumn("peak_rank", row_number().over(wPeak))
+      .select(col("dow"), col("hod"), col("n_events"),
+        (round(col("n_events").cast("double") / col("total"), 6) + lit(0.0))
+          .as("share"),
+        (col("peak_rank") === 1).as("is_peak"))
+      .orderBy(col("dow").asc, col("hod").asc)
+  }
+
   /** Stream-freshness / liveness audit: per event type, the last event
     * time, hours stale relative to the corpus end, the final-24h
     * volume and its ratio to the type's daily average — the

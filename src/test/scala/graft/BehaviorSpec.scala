@@ -314,6 +314,21 @@ class BehaviorSpec extends AnyFunSuite {
     assert(math.abs(wl - 1.0) < 1e-3, s"weighted lift $wl")
   }
 
+  test("q_reorder_gap: gap conservation and ordered percentiles per segment") {
+    val out = q("q_reorder_gap").collect()
+    // gaps = orders minus first-order-per-customer
+    val nOrders = Tables.orders(spark, sfDir).count()
+    val nCustomers = Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    assert(out.map(_.getAs[Long]("n_gaps")).sum == nOrders - nCustomers)
+    out.foreach { r =>
+      val (med, p90) = (r.getAs[Long]("median_gap_days"),
+        r.getAs[Long]("p90_gap_days"))
+      assert(med >= 0 && med <= p90, s"median $med > p90 $p90")
+      assert(r.getAs[Long]("mean_gap_days_floor") >= 0)
+    }
+  }
+
   test("q_power_users: histogram partitions the user base; cum share reaches 1") {
     val out = q("q_power_users").collect()
     val nUsers = Tables.events(spark, sfDir)

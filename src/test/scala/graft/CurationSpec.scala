@@ -370,6 +370,24 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("hapax docs: covers tokened docs; global hapax presence matches chao1") {
+    val rows = SparkEntry.queries("q_hapax_docs")(spark, sfDir).collect()
+    import org.apache.spark.sql.functions._
+    val tokened = Tables.documents(spark, sfDir)
+      .filter(size(graft.operators.TextQueries.tokens(col("text"))) > 0)
+      .count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == tokened)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("hapax_doc_share")
+      assert(s >= 0 && s <= 1)
+      assert(r.getAs[Long]("n_hapax_docs") <= r.getAs[Long]("n_docs"))
+    }
+    // q_chao1's f1 > 0 ⟺ someone holds a hapax
+    val f1 = SparkEntry.queries("q_chao1")(spark, sfDir)
+      .collect().head.getAs[Long]("f1")
+    assert((f1 > 0) == rows.exists(_.getAs[Long]("n_hapax_docs") > 0))
+  }
+
   test("contamination by source: totals reconcile with q_decontaminate") {
     val rows = SparkEntry.queries("q_contamination_by_source")(spark, sfDir)
       .collect()

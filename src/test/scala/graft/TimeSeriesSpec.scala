@@ -367,6 +367,45 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling median: full 7-day frames, value within the frame's range") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(r =>
+        r.getAs[java.sql.Date]("day").toLocalDate ->
+          r.getAs[Long]("c")).toMap).toMap
+    val rows = SparkEntry.queries("q_rolling_median")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_window") == 7)
+      val t = r.getAs[String]("event_type")
+      val d = r.getAs[java.sql.Date]("day").toLocalDate
+      val frame = (0 to 6).flatMap(k => daily(t).get(d.minusDays(k)))
+      assert(frame.size == 7)
+      val m = r.getAs[Double]("rolling_median") * 100.0
+      assert(m >= frame.min - 1e-6 && m <= frame.max + 1e-6)
+      // exact replay: mean of the two middle order statistics
+      val sorted = frame.sorted
+      val expect = (sorted(3).toDouble + sorted(3)) / 2 // odd n=7: middle
+      assert(math.abs(m - expect) < 1e-6,
+        s"$t $d median $m vs replay $expect")
+    }
+  }
+
+  test("weekly rhythm: shares sum to 1, exactly one peak, cells bounded") {
+    val rows = SparkEntry.queries("q_weekly_rhythm")(spark, sfDir).collect()
+    assert(rows.length <= 168)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    assert(rows.count(_.getAs[Boolean]("is_peak")) == 1)
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sfDir).count())
+    val peak = rows.filter(_.getAs[Boolean]("is_peak")).head
+    assert(peak.getAs[Long]("n_events") ==
+      rows.map(_.getAs[Long]("n_events")).max)
+  }
+
   test("rsi: bounded, full windows only, extremes iff one-sided moves") {
     val rows = SparkEntry.queries("q_rsi")(spark, sfDir).collect()
     assert(rows.nonEmpty)
