@@ -315,6 +315,10 @@ object SparkEntry {
     "q_weekly_rhythm"   -> (TimeSeriesQueries.qWeeklyRhythm _),
     "q_reorder_gap"     -> (BehaviorQueries.qReorderGap _),
     "q_hapax_docs"      -> (CurationQueries.qHapaxDocs _),
+    "q_session_native"  -> (EventQueries.qSessionNative _),
+    "q_top10_share"     -> (AnalyticsQueries.qTop10Share _),
+    "q_hist2d"          -> (AnalyticsQueries.qHist2d _),
+    "q_seasonal_strength" -> (TimeSeriesQueries.qSeasonalStrength _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -6274,6 +6278,86 @@ object SparkEntry {
         |  round(CAST(sum(has_hapax) AS DOUBLE) / count(*), 6) + 0.0
         |    AS hapax_doc_share
         |FROM pd GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
+    "q_session_native" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sess AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id NULLS FIRST, session_start NULLS FIRST""".stripMargin,
+    "q_top10_share" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT c.c_mktsegment, s.o_custkey, CAST(s.spend_c AS BIGINT)
+        |      AS spend_c,
+        |    row_number() OVER (PARTITION BY c.c_mktsegment
+        |      ORDER BY s.spend_c DESC, s.o_custkey ASC) AS rk
+        |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(spend_c) AS DOUBLE) / 100.0 AS total_revenue,
+        |  round(CAST(sum(CASE WHEN rk <= 10 THEN spend_c ELSE 0 END)
+        |    AS DOUBLE) / sum(spend_c), 6) + 0.0 AS top10_share
+        |FROM j GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    "q_hist2d" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) // 500 AS qty_bin,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000
+        |      AS price_bin_10k
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT qty_bin, price_bin_10k, count(*) AS n_items
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT qty_bin, price_bin_10k, n_items,
+        |  sum(n_items) OVER () AS total FROM h)
+        |SELECT CAST(qty_bin AS BIGINT) AS qty_bin,
+        |  CAST(price_bin_10k AS BIGINT) AS price_bin_10k,
+        |  CAST(n_items AS BIGINT) AS n_items,
+        |  round(CAST(n_items AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0
+        |    AS share
+        |FROM t ORDER BY qty_bin ASC, price_bin_10k ASC""".stripMargin,
+    "q_seasonal_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST((d - DATE '1970-01-01') % 7 AS INT) AS dow,
+        |    count(*) AS n_g, sum(c) AS s_g,
+        |    sum(CAST(c AS DECIMAL(38,0)) * c) AS ss_g
+        |  FROM daily GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, sum(n_g) AS n, sum(s_g) AS s,
+        |    sum(ss_g) AS ss,
+        |    sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) /
+        |      CAST(n_g AS DOUBLE)) AS sb_raw
+        |  FROM g GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CASE WHEN CAST(ss AS DOUBLE) -
+        |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |      > 0 THEN
+        |    round((sb_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |        CAST(n AS DOUBLE)) /
+        |      (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |        CAST(n AS DOUBLE)), 6) + 0.0
+        |  END AS seasonal_strength
+        |FROM p ORDER BY event_type NULLS FIRST""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

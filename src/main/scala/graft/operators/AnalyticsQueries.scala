@@ -23,6 +23,70 @@ object AnalyticsQueries {
     */
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
+  /** Revenue concentration per segment: the share of a segment's spend
+    * held by its top-10 customers — the per-group concentration gauge
+    * between q_gini's whole-distribution index and q_heavy_hitters'
+    * frequent items: "how hostage is each segment to a few accounts?"
+    *
+    * Determinism: spend is exact integer cents; the top-10 cut ranks
+    * (spend DESC, custkey ASC); share is the terminal division.
+    *
+    * Scale: one custkey fold of orders, a broadcast segment dimension
+    * join, one per-segment rank window over the CUSTOMER dimension,
+    * and a conditional-sum fold to |segments| rows.
+    */
+  def qTop10Share(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("spend_c"))
+    val seg = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("spend_c").desc, col("o_custkey").asc)
+    spend.join(broadcast(seg), Seq("o_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend_c")).as("total_c"),
+        sum(when(col("rk") <= 10, col("spend_c")).otherwise(0L))
+          .as("top10_c"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        (col("total_c").cast("double") / 100.0).as("total_revenue"),
+        (round(col("top10_c").cast("double") / col("total_c"), 6)
+          + lit(0.0)).as("top10_share"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
+
+  /** 2-D histogram of the (quantity, price) joint distribution:
+    * quantity in 5-unit bins × extended price in $10k bins, with each
+    * cell's count and share — the joint-density view behind q_corr's
+    * single coefficient (a correlation can be 0.3 for many different
+    * shapes; the grid shows WHICH).
+    *
+    * Determinism: both bins are exact integer floors of integer
+    * cents/units; counts exact, share terminal.
+    *
+    * Scale: one fold straight to the bounded bin grid (quantities and
+    * prices have fixed domains) — map-side combine collapses the fact
+    * before the exchange.
+    */
+  def qHist2d(spark: SparkSession, sfDir: String): DataFrame = {
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(spark, sfDir)
+      .select(cents(col("l_quantity")).as("qc"),
+        cents(col("l_extendedprice")).as("pc"))
+      // DIV: exact integer bin arithmetic (`/` would be double division)
+      .groupBy(expr("qc DIV 500").as("qty_bin"),
+        expr("pc DIV 1000000").as("price_bin_10k"))
+      .agg(count(lit(1)).as("n_items"))
+      .withColumn("total", sum(col("n_items")).over(wAll))
+      .select(col("qty_bin"), col("price_bin_10k"), col("n_items"),
+        (round(col("n_items").cast("double") / col("total"), 6) + lit(0.0))
+          .as("share"))
+      .orderBy(col("qty_bin").asc, col("price_bin_10k").asc)
+  }
+
   /** Z-score outliers per event type: events whose value deviates more
     * than 3 population standard deviations from their type's mean.
     *

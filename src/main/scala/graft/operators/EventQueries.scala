@@ -77,6 +77,35 @@ object EventQueries {
       .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_id"))
   }
 
+  /** Spark's NATIVE `session_window` operator over the same stream —
+    * the built-in [[qSessionWindow]] deliberately avoids: an event
+    * extends its session while it starts strictly INSIDE the previous
+    * event's 30-minute horizon, so an exactly-30-minute gap starts a
+    * NEW session (>= semantics where the gaps-and-islands form uses >).
+    * Registered as its own query so both boundary conventions are
+    * oracle-pinned; the reported end is the native window's exclusive
+    * end (last event + gap), not the last event time.
+    *
+    * Determinism: the oracle reproduces the native semantics with the
+    * >= island flag and max(ts)+30min end — pure integer microsecond
+    * arithmetic.
+    *
+    * Scale: Catalyst plans one exchange on user_id and merges sessions
+    * in a single sort-based pass — the same shape as the manual
+    * window, with operator fusion handled by the engine.
+    */
+  def qSessionNative(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("duration_us"))
+      .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start"))
+
   /** Latest event per (user_id, event_type) — batch analogue of
     * streaming dropDuplicatesWithinWatermark, as a row_number()=1 window.
     */

@@ -821,6 +821,46 @@ object TimeSeriesQueries {
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
   }
 
+  /** Seasonality strength per type: the share of daily-count variance
+    * the weekday profile explains (η² of a one-way ANOVA with weekday
+    * groups — q_anova's exact algebra applied per type) — the single
+    * number that says whether q_seasonal's profile is signal or noise,
+    * and whether a forecaster should bother with weekly terms
+    * (q_forecast_eval's lag-7 baseline only wins when this is high).
+    *
+    * Determinism: per-(type, weekday) power sums are exact integers
+    * (counts); η² = SSB/SST is one terminal double expression per
+    * type, the q_anova recipe.
+    *
+    * Scale: fold to |types|×7 cells, then |types| rows.
+    */
+  def qSeasonalStrength(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = daily(spark, sfDir)
+      .select(col("event_type"),
+        pmod(datediff(col("d"), lit("1970-01-01").cast("date")), lit(7))
+          .cast("int").as("dow"),
+        col("c"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_g"), sum(col("c")).as("s_g"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("ss_g"))
+    val parts = g.groupBy("event_type").agg(
+      sum(col("n_g")).as("n"),
+      sum(col("s_g")).as("s"),
+      sum(col("ss_g")).as("ss"),
+      sum(col("s_g").cast("double") * col("s_g").cast("double") /
+        col("n_g").cast("double")).as("sb_raw"))
+    val sst = col("ss").cast("double") -
+      col("s").cast("double") * col("s").cast("double") /
+        col("n").cast("double")
+    val ssb = col("sb_raw") -
+      col("s").cast("double") * col("s").cast("double") /
+        col("n").cast("double")
+    parts.select(col("event_type"), col("n").cast("long").as("n_days"),
+      when(sst > 0, round(ssb / sst, 6) + lit(0.0))
+        .as("seasonal_strength"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
   /** Weekly rhythm heatmap: event volume per (weekday × hour) cell
     * with each cell's share of total traffic and a peak flag — the
     * 168-cell load profile capacity planning and anomaly baselining

@@ -504,4 +504,27 @@ class AnalyticsSpec extends AnyFunSuite {
     val a = r.getAs[Double]("assortativity")
     assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"assortativity $a")
   }
+
+  test("q_top10_share: bounded below by 10/n and above by 1") {
+    val rows = SparkEntry.queries("q_top10_share")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (n, s) = (r.getAs[Long]("n_customers"),
+        r.getAs[Double]("top10_share"))
+      assert(s > 0 && s <= 1.0 + 1e-9)
+      // the top 10 of n must hold at least their uniform share
+      if (n > 10) assert(s >= 10.0 / n - 1e-6, s"share $s below 10/$n")
+      assert(r.getAs[Double]("total_revenue") > 0)
+    }
+  }
+
+  test("q_hist2d: cells partition every lineitem; shares sum to 1") {
+    val rows = SparkEntry.queries("q_hist2d")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_items")).sum ==
+      Tables.lineitem(spark, sfDir).count())
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("qty_bin") >= 0)
+      assert(r.getAs[Long]("price_bin_10k") >= 0)
+    }
+  }
 }

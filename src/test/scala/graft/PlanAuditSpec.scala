@@ -92,7 +92,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_bigram_coverage",
     // 1-row corpus-end anchor entering the staleness/last-day fold —
     // q_survival's shape
-    "q_freshness")
+    "q_freshness",
+    // 1-row (n_orders, full mean) scalar joined onto the 1-row CI fold
+    "q_bootstrap_ci")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —

@@ -156,6 +156,26 @@ class ScalarEventSpec extends AnyFunSuite {
     }
   }
 
+  test("q_session_native: >= boundary splits at least as many sessions as >") {
+    val native = q("q_session_native").collect()
+    val manual = q("q_session_window").count()
+    assert(native.length >= manual,
+      s"native ${native.length} sessions < manual $manual")
+    // events conserved across both sessionizations
+    assert(native.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sfDir).count())
+    native.foreach { r =>
+      val d = r.getAs[Long]("duration_us")
+      assert(d >= 0)
+      // native exclusive end = last event + 30 min (±1 ms: getTime
+      // truncates the microsecond component)
+      val span = r.getAs[java.sql.Timestamp]("session_end").getTime -
+        r.getAs[java.sql.Timestamp]("session_start").getTime
+      assert(math.abs(span - (d / 1000 + 30 * 60 * 1000)) <= 1,
+        s"end-start $span vs duration $d")
+    }
+  }
+
   test("q_ab_test: arms partition the user base; z sign matches the gap") {
     val r = q("q_ab_test").collect().head
     val nUsers = Tables.events(spark, sfDir)

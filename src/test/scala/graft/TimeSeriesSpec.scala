@@ -367,6 +367,19 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonal strength: eta-squared bounded in [0,1] per type") {
+    val rows = SparkEntry.queries("q_seasonal_strength")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("seasonal_strength"))) {
+        val s = r.getAs[Double]("seasonal_strength")
+        assert(s >= -1e-9 && s <= 1.0 + 1e-9, s"strength $s")
+      }
+      assert(r.getAs[Long]("n_days") >= 1)
+    }
+  }
+
   test("rolling median: full 7-day frames, value within the frame's range") {
     val daily = Tables.events(spark, sfDir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
