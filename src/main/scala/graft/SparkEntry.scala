@@ -319,6 +319,9 @@ object SparkEntry {
     "q_top10_share"     -> (AnalyticsQueries.qTop10Share _),
     "q_hist2d"          -> (AnalyticsQueries.qHist2d _),
     "q_seasonal_strength" -> (TimeSeriesQueries.qSeasonalStrength _),
+    "q_supplier_balance" -> (CompositeQueries.qSupplierBalance _),
+    "q_brand_prices"    -> (CompositeQueries.qBrandPrices _),
+    "q_user_activity_hist" -> (BehaviorQueries.qUserActivityHist _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -6358,6 +6361,75 @@ object SparkEntry {
         |        CAST(n AS DOUBLE)), 6) + 0.0
         |  END AS seasonal_strength
         |FROM p ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_supplier_balance" ->
+      """WITH bn AS (
+        |  SELECT s_nationkey, count(*) AS n_suppliers,
+        |    sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS bal_c
+        |  FROM supplier GROUP BY 1),
+        |d AS (
+        |  SELECT n_nationkey AS s_nationkey, n_name AS nation,
+        |    r_name AS region
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |j AS (
+        |  SELECT d.region, d.nation, bn.n_suppliers,
+        |    CAST(bn.bal_c AS BIGINT) AS bal_c,
+        |    sum(bn.bal_c) OVER (PARTITION BY d.region) AS reg_c
+        |  FROM bn JOIN d USING (s_nationkey))
+        |SELECT region, nation, n_suppliers,
+        |  round(CAST(bal_c AS DOUBLE) / 100.0, 6) + 0.0 AS total_balance,
+        |  round(CAST(bal_c AS DOUBLE) / n_suppliers / 100.0, 6) + 0.0
+        |    AS mean_balance,
+        |  round(CAST(bal_c AS DOUBLE) / CAST(reg_c AS DOUBLE), 6) + 0.0
+        |    AS region_share
+        |FROM j ORDER BY region NULLS FIRST, nation NULLS FIRST""".stripMargin,
+    "q_brand_prices" ->
+      """WITH p AS (
+        |  SELECT p_brand, p_partkey,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+        |  FROM part),
+        |r AS (
+        |  SELECT p_brand, pc,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY pc ASC, p_partkey ASC) AS rn,
+        |    count(*) OVER (PARTITION BY p_brand) AS n,
+        |    min(pc) OVER (PARTITION BY p_brand) AS mn,
+        |    max(pc) OVER (PARTITION BY p_brand) AS mx
+        |  FROM p)
+        |SELECT p_brand, CAST(max(n) AS BIGINT) AS n_parts,
+        |  round(CAST(max(mn) AS DOUBLE) / 100.0, 6) + 0.0 AS min_price,
+        |  round(avg(pc) / 100.0, 6) + 0.0 AS median_price,
+        |  round(CAST(max(mx) AS DOUBLE) / 100.0, 6) + 0.0 AS max_price,
+        |  round(CAST(max(mx) - max(mn) AS DOUBLE) / 100.0, 6) + 0.0
+        |    AS price_spread
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |GROUP BY p_brand ORDER BY p_brand NULLS FIRST""".stripMargin,
+    "q_user_activity_hist" ->
+      """WITH pu AS (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT CASE WHEN n_events <= 1 THEN 1 WHEN n_events <= 2 THEN 2
+        |    WHEN n_events <= 4 THEN 4 WHEN n_events <= 8 THEN 8
+        |    WHEN n_events <= 16 THEN 16 WHEN n_events <= 32 THEN 32
+        |    WHEN n_events <= 64 THEN 64 WHEN n_events <= 128 THEN 128
+        |    WHEN n_events <= 256 THEN 256 WHEN n_events <= 512 THEN 512
+        |    WHEN n_events <= 1024 THEN 1024 ELSE 2048 END AS bucket_max,
+        |    n_events
+        |  FROM pu),
+        |h AS (
+        |  SELECT CAST(bucket_max AS INT) AS bucket_max,
+        |    count(*) AS n_users, sum(n_events) AS n_events
+        |  FROM b GROUP BY 1),
+        |t AS (
+        |  SELECT bucket_max, n_users, n_events,
+        |    sum(n_users) OVER () AS tu, sum(n_events) OVER () AS te
+        |  FROM h)
+        |SELECT bucket_max, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  round(CAST(n_users AS DOUBLE) / CAST(tu AS DOUBLE), 6) + 0.0
+        |    AS user_share,
+        |  round(CAST(n_events AS DOUBLE) / CAST(te AS DOUBLE), 6) + 0.0
+        |    AS event_share
+        |FROM t ORDER BY bucket_max ASC""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

@@ -809,6 +809,41 @@ object BehaviorQueries {
       .orderBy(asc_nulls_first("c_mktsegment"))
   }
 
+  /** Per-user activity histogram on power-of-two buckets (1, 2, 3–4,
+    * 5–8, … events): how heavy-tailed is the event distribution across
+    * users — the volume-side companion to q_power_users' days-active
+    * curve (many days ≠ many events), bucketed so one mega-user can't
+    * stretch an equal-width histogram flat.
+    *
+    * Determinism: bucket edges are literal integer comparisons (no
+    * log2 float at power-of-two boundaries); counts exact, shares
+    * terminal.
+    *
+    * Scale: one user fold then a ≤12-bucket fold; the share window
+    * runs on the bucket grid.
+    */
+  def qUserActivityHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = col("n_events")
+    val bucket = when(n <= 1, 1).when(n <= 2, 2).when(n <= 4, 4)
+      .when(n <= 8, 8).when(n <= 16, 16).when(n <= 32, 32)
+      .when(n <= 64, 64).when(n <= 128, 128).when(n <= 256, 256)
+      .when(n <= 512, 512).when(n <= 1024, 1024).otherwise(2048)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .groupBy(bucket.cast("int").as("bucket_max"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+      .withColumn("tot_users", sum(col("n_users")).over(wAll))
+      .withColumn("tot_events", sum(col("n_events")).over(wAll))
+      .select(col("bucket_max"), col("n_users"), col("n_events"),
+        (round(col("n_users").cast("double") / col("tot_users"), 6)
+          + lit(0.0)).as("user_share"),
+        (round(col("n_events").cast("double") / col("tot_events"), 6)
+          + lit(0.0)).as("event_share"))
+      .orderBy(col("bucket_max").asc)
+  }
+
   /** Engagement-depth histogram (the L28-style power-user curve): how
     * many users were active on exactly d distinct days, with each
     * bucket's share of the user base and the cumulative share counted

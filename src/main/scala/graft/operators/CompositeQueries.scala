@@ -173,6 +173,81 @@ object CompositeQueries {
         .as("z_stat"))
   }
 
+  /** Supplier capacity per nation: supplier count, exact total/mean
+    * account balance, and each nation's share of its REGION's supplier
+    * balance — the sourcing-concentration readout on the supplier
+    * dimension (which q_join_range/q_trade_volume consume but never
+    * profile).
+    *
+    * Determinism: balances are exact integer cents; the region share
+    * divides by a per-region window sum of those integers; means and
+    * shares are terminal rounded divisions.
+    *
+    * Scale: supplier is a dimension table, but the shape is
+    * fact-proof: one fold to |nations| rows, broadcast
+    * nation/region joins, and a |nations|-row window.
+    */
+  def qSupplierBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (c: Column) => round(c * 100).cast("long")
+    val byNation = Tables.supplier(spark, sfDir)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(cents(col("s_acctbal"))).as("bal_c"))
+    val dims = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("nation"), col("r_name").as("region"))
+    val wReg = Window.partitionBy("region")
+    byNation.join(broadcast(dims), Seq("s_nationkey"))
+      .withColumn("reg_c", sum(col("bal_c")).over(wReg))
+      .select(col("region"), col("nation"), col("n_suppliers"),
+        (round(col("bal_c").cast("double") / 100.0, 6) + lit(0.0))
+          .as("total_balance"),
+        (round(col("bal_c").cast("double") / col("n_suppliers") / 100.0, 6)
+          + lit(0.0)).as("mean_balance"),
+        (round(col("bal_c").cast("double") / col("reg_c"), 6) + lit(0.0))
+          .as("region_share"))
+      .orderBy(asc_nulls_first("region"), asc_nulls_first("nation"))
+  }
+
+  /** Per-brand retail price profile over the part dimension: part
+    * count, min/max, and the exact median price (q_median's middle-row
+    * algebra) plus the spread — the assortment-pricing readout that
+    * finally profiles the part table the join queries only key on.
+    *
+    * Determinism: prices are exact integer cents; the median is the
+    * mean of the selected middle rows; all floats terminal.
+    *
+    * Scale: one (brand) window for the median over the part dimension
+    * (dimension-sized at any SF; the shape still holds for a
+    * fact-sized catalog — q_anomaly_mad's GK note applies).
+    */
+  def qBrandPrices(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (c: Column) => round(c * 100).cast("long")
+    val p = Tables.part(spark, sfDir)
+      .select(col("p_brand"), col("p_partkey"),
+        cents(col("p_retailprice")).as("pc"))
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("pc").asc, col("p_partkey").asc)
+    p.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("p_brand")))
+      .withColumn("mn", min(col("pc")).over(Window.partitionBy("p_brand")))
+      .withColumn("mx", max(col("pc")).over(Window.partitionBy("p_brand")))
+      .filter(col("rn") === expr("(n + 1) DIV 2") ||
+        col("rn") === expr("n DIV 2 + 1"))
+      .groupBy("p_brand")
+      .agg(max(col("n")).as("n_parts"),
+        (round(max(col("mn")).cast("double") / 100.0, 6) + lit(0.0))
+          .as("min_price"),
+        (round(avg(col("pc")) / 100.0, 6) + lit(0.0)).as("median_price"),
+        (round(max(col("mx")).cast("double") / 100.0, 6) + lit(0.0))
+          .as("max_price"),
+        (round((max(col("mx")) - max(col("mn"))).cast("double") / 100.0, 6)
+          + lit(0.0)).as("price_spread"))
+      .orderBy(asc_nulls_first("p_brand"))
+  }
+
   /** Month-over-month order-priority mix: each month's share per
     * priority and the share's delta vs the previous month — the
     * composition-drift report (is URGENT creeping up?) that a plain

@@ -314,6 +314,19 @@ class BehaviorSpec extends AnyFunSuite {
     assert(math.abs(wl - 1.0) < 1e-3, s"weighted lift $wl")
   }
 
+  test("q_user_activity_hist: conserves users and events; shares sum to 1") {
+    val out = q("q_user_activity_hist").collect()
+    assert(out.map(_.getAs[Long]("n_users")).sum ==
+      Tables.events(spark, sfDir).select("user_id").distinct().count())
+    assert(out.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sfDir).count())
+    assert(math.abs(out.map(_.getAs[Double]("user_share")).sum - 1.0) < 1e-4)
+    assert(math.abs(out.map(_.getAs[Double]("event_share")).sum - 1.0) < 1e-4)
+    val buckets = out.map(_.getAs[Int]("bucket_max"))
+    assert(buckets.distinct.length == buckets.length)
+    assert(buckets.forall(b => (b & (b - 1)) == 0 || b == 2048))
+  }
+
   test("q_reorder_gap: gap conservation and ordered percentiles per segment") {
     val out = q("q_reorder_gap").collect()
     // gaps = orders minus first-order-per-customer

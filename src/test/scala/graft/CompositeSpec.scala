@@ -186,6 +186,29 @@ class CompositeSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q_supplier_balance: region shares sum to 1; suppliers conserved") {
+    val rows = SparkEntry.queries("q_supplier_balance")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_suppliers")).sum ==
+      Tables.supplier(spark, sfDir).count())
+    rows.groupBy(_.getAs[String]("region")).values.foreach { g =>
+      assert(math.abs(g.map(_.getAs[Double]("region_share")).sum - 1.0)
+        < 1e-4)
+    }
+  }
+
+  test("q_brand_prices: ordered min/median/max; parts conserved") {
+    val rows = SparkEntry.queries("q_brand_prices")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum ==
+      Tables.part(spark, sfDir).count())
+    rows.foreach { r =>
+      val (mn, md, mx) = (r.getAs[Double]("min_price"),
+        r.getAs[Double]("median_price"), r.getAs[Double]("max_price"))
+      assert(mn <= md + 1e-9 && md <= mx + 1e-9, s"$mn / $md / $mx")
+      assert(math.abs(r.getAs[Double]("price_spread") - (mx - mn)) < 2e-6)
+    }
+  }
+
   test("q_priority_mix: shares sum to 1 per month; deltas telescope") {
     val rows = SparkEntry.queries("q_priority_mix")(spark, sfDir).collect()
     val byMonth = rows.groupBy(_.getAs[java.sql.Timestamp]("month"))
