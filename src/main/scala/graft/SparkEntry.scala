@@ -322,6 +322,9 @@ object SparkEntry {
     "q_supplier_balance" -> (CompositeQueries.qSupplierBalance _),
     "q_brand_prices"    -> (CompositeQueries.qBrandPrices _),
     "q_user_activity_hist" -> (BehaviorQueries.qUserActivityHist _),
+    "q_embed_dedup_sweep" -> (SimilarityQueries.qEmbedDedupSweep _),
+    "q_cond_entropy"    -> (StatsQueries.qCondEntropy _),
+    "q_growth_accounting" -> (BehaviorQueries.qGrowthAccounting _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -6430,6 +6433,98 @@ object SparkEntry {
         |  round(CAST(n_events AS DOUBLE) / CAST(te AS DOUBLE), 6) + 0.0
         |    AS event_share
         |FROM t ORDER BY bucket_max ASC""".stripMargin,
+    "q_embed_dedup_sweep" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  WHERE CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)
+        |    AS BIGINT) % 100 < 10),
+        |pairs AS (
+        |  SELECT b.vec_id AS vec_id_2,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) *
+        |       sqrt(list_dot_product(b.v, b.v))), 6) + 0.0 AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |a AS (
+        |  SELECT
+        |    sum(CASE WHEN cosine >= 0.8 THEN 1 ELSE 0 END) AS p80,
+        |    count(DISTINCT CASE WHEN cosine >= 0.8 THEN vec_id_2 END)
+        |      AS d80,
+        |    sum(CASE WHEN cosine >= 0.9 THEN 1 ELSE 0 END) AS p90,
+        |    count(DISTINCT CASE WHEN cosine >= 0.9 THEN vec_id_2 END)
+        |      AS d90,
+        |    sum(CASE WHEN cosine >= 0.95 THEN 1 ELSE 0 END) AS p95,
+        |    count(DISTINCT CASE WHEN cosine >= 0.95 THEN vec_id_2 END)
+        |      AS d95
+        |  FROM pairs)
+        |SELECT CAST(0.8 AS DOUBLE) AS threshold,
+        |  CAST(p80 AS BIGINT) AS n_pairs,
+        |  CAST(d80 AS BIGINT) AS n_vecs_flagged FROM a
+        |UNION ALL SELECT CAST(0.9 AS DOUBLE), CAST(p90 AS BIGINT),
+        |  CAST(d90 AS BIGINT) FROM a
+        |UNION ALL SELECT CAST(0.95 AS DOUBLE), CAST(p95 AS BIGINT),
+        |  CAST(d95 AS BIGINT) FROM a
+        |ORDER BY threshold ASC""".stripMargin,
+    "q_cond_entropy" ->
+      """WITH grid AS (
+        |  SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hour,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, hour, n,
+        |    sum(n) OVER (PARTITION BY event_type) AS n_type,
+        |    sum(n) OVER (PARTITION BY hour) AS n_hour,
+        |    sum(n) OVER () AS tot,
+        |    min(hour) OVER (PARTITION BY event_type) AS min_hour
+        |  FROM grid),
+        |t AS (
+        |  SELECT tot,
+        |    CAST(round(-(CAST(n AS DOUBLE) / tot) *
+        |      ln(CAST(n AS DOUBLE) / n_hour) * 1000000.0, 0) AS BIGINT)
+        |      AS hxy_micro,
+        |    CASE WHEN hour = min_hour THEN
+        |      CAST(round(-(CAST(n_type AS DOUBLE) / tot) *
+        |        ln(CAST(n_type AS DOUBLE) / tot) * 1000000.0, 0) AS BIGINT)
+        |    ELSE 0 END AS hx_micro
+        |  FROM m)
+        |SELECT CAST(max(tot) AS BIGINT) AS n_events,
+        |  round(CAST(sum(hx_micro) AS DOUBLE) / 1000000.0, 6) + 0.0
+        |    AS h_type,
+        |  round(CAST(sum(hxy_micro) AS DOUBLE) / 1000000.0, 6) + 0.0
+        |    AS h_type_given_hour,
+        |  round(1.0 - CAST(sum(hxy_micro) AS DOUBLE) /
+        |    CAST(sum(hx_micro) AS DOUBLE), 6) + 0.0 AS theils_u
+        |FROM t""".stripMargin,
+    "q_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |fw AS (SELECT user_id, min(week) AS first_week FROM uw GROUP BY 1),
+        |cls AS (
+        |  SELECT u.week,
+        |    CASE WHEN u.week = f.first_week THEN 1 ELSE 0 END AS nw,
+        |    CASE WHEN u.week <> f.first_week AND p.user_id IS NOT NULL
+        |      THEN 1 ELSE 0 END AS rt,
+        |    CASE WHEN u.week <> f.first_week AND p.user_id IS NULL
+        |      THEN 1 ELSE 0 END AS rs
+        |  FROM uw u JOIN fw f USING (user_id)
+        |  LEFT JOIN uw p ON p.user_id = u.user_id AND p.week + 7 = u.week),
+        |agg AS (
+        |  SELECT week, count(*) AS wau, sum(nw) AS new_users,
+        |    sum(rt) AS retained, sum(rs) AS resurrected
+        |  FROM cls GROUP BY week),
+        |ch AS (
+        |  SELECT u.week + 7 AS week,
+        |    sum(CASE WHEN nx.user_id IS NULL THEN 1 ELSE 0 END) AS churned
+        |  FROM uw u LEFT JOIN uw nx
+        |    ON nx.user_id = u.user_id AND nx.week = u.week + 7
+        |  GROUP BY 1)
+        |SELECT a.week, a.wau, CAST(a.new_users AS BIGINT) AS new_users,
+        |  CAST(a.retained AS BIGINT) AS retained,
+        |  CAST(a.resurrected AS BIGINT) AS resurrected,
+        |  CAST(coalesce(c.churned, 0) AS BIGINT) AS churned
+        |FROM agg a LEFT JOIN ch c ON a.week = c.week
+        |ORDER BY a.week NULLS FIRST""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

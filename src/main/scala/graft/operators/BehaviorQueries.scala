@@ -809,6 +809,56 @@ object BehaviorQueries {
       .orderBy(asc_nulls_first("c_mktsegment"))
   }
 
+  /** Weekly growth accounting: every active user classified as NEW
+    * (first-ever week), RETAINED (also active last week) or
+    * RESURRECTED (returning after a gap), plus last week's actives who
+    * CHURNED — the canonical WAU decomposition (new + retained +
+    * resurrected − churned telescopes the WAU delta), the full quad
+    * behind q_new_returning's daily new/returning split and
+    * q_churn's single rate.
+    *
+    * Determinism: all integer distinct counts off exact Monday-week
+    * truncation; the self-matches key on (user, week−7 days), an
+    * equi-join.
+    *
+    * Scale: the stream collapses to DISTINCT (user, week) FIRST; the
+    * first-week table is one min-agg on the same collapse; both the
+    * previous-week and first-week lookups are co-partitioned
+    * user-keyed equi-joins — nothing fans out.
+    */
+  def qGrowthAccounting(spark: SparkSession, sfDir: String): DataFrame = {
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    val first = uw.groupBy("user_id").agg(min(col("week")).as("first_week"))
+    val prev = uw.select(col("user_id"),
+      date_add(col("week"), 7).as("week"), lit(1L).as("was_prev"))
+    val classified = uw
+      .join(first, Seq("user_id"))
+      .join(prev, Seq("user_id", "week"), "left")
+      .select(col("week"),
+        when(col("week") === col("first_week"), 1L).otherwise(0L).as("nw"),
+        when(col("week") =!= col("first_week") &&
+          col("was_prev").isNotNull, 1L).otherwise(0L).as("rt"),
+        when(col("week") =!= col("first_week") &&
+          col("was_prev").isNull, 1L).otherwise(0L).as("rs"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("wau"), sum(col("nw")).as("new_users"),
+        sum(col("rt")).as("retained"), sum(col("rs")).as("resurrected"))
+    // churned(w) = actives(w-1) who are absent in w
+    val churned = uw.select(col("user_id"), col("week"))
+      .join(uw.select(col("user_id"),
+        date_add(col("week"), -7).as("week"), lit(1L).as("still")),
+        Seq("user_id", "week"), "left")
+      .groupBy(date_add(col("week"), 7).as("week"))
+      .agg(sum(when(col("still").isNull, 1L).otherwise(0L)).as("churned"))
+    classified.join(churned, Seq("week"), "left")
+      .select(col("week"), col("wau"), col("new_users"), col("retained"),
+        col("resurrected"), coalesce(col("churned"), lit(0L)).as("churned"))
+      .orderBy(asc_nulls_first("week"))
+  }
+
   /** Per-user activity histogram on power-of-two buckets (1, 2, 3–4,
     * 5–8, … events): how heavy-tailed is the event distribution across
     * users — the volume-side companion to q_power_users' days-active

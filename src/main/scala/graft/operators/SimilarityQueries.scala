@@ -387,6 +387,39 @@ object SimilarityQueries {
       .orderBy(asc_nulls_first("label"), col("rank").asc)
   }
 
+  /** Embedding-dedup threshold sweep: pair and flagged-vector counts
+    * at cosine cutoffs 0.8 / 0.9 / 0.95 over the same 10% md5 sample
+    * [[qCosineHist]] profiles — q_dedup_sweep's cost/aggressiveness
+    * table for the EMBEDDING near-dup path (q_dedup_embed applies one
+    * fixed cutoff; this is where that cutoff comes from, read next to
+    * the histogram).
+    *
+    * Determinism: thresholds compare the 6-dp-rounded cosine both
+    * engines compute identically; counts exact. Flagged vectors are
+    * the would-drop (larger-id) side, min-canonical keep rules.
+    *
+    * Scale: ONE blocked all-pairs pass on the sample feeds a 1-row
+    * conditional-sum fold — the sweep costs one pair materialization.
+    */
+  def qEmbedDedupSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 4),
+        16, 10).cast("long") % 100 < 10)
+      .select(col("vec_id"), asDoubles(col("embedding")).as("vec"))
+    val pairs = blockedDedupPairsFrom(emb, threshold = -2.0)
+    def nPairs(t: Double) = sum(when(col("cosine") >= t, 1L).otherwise(0L))
+    def nVecs(t: Double) = countDistinct(when(col("cosine") >= t,
+      col("vec_id_2")))
+    pairs.agg(
+        nPairs(0.8).as("p80"), nVecs(0.8).as("d80"),
+        nPairs(0.9).as("p90"), nVecs(0.9).as("d90"),
+        nPairs(0.95).as("p95"), nVecs(0.95).as("d95"))
+      .select(expr(
+        "stack(3, 0.8D, p80, d80, 0.9D, p90, d90, 0.95D, p95, d95)" +
+          " AS (threshold, n_pairs, n_vecs_flagged)"))
+      .orderBy(col("threshold").asc)
+  }
+
   /** Pairwise-cosine histogram over a deterministic 10% vector sample
     * (md5-hash gate, q_sample_hash's convention) in 0.05-wide buckets —
     * the threshold-tuning curve for embedding dedup: where q_dedup_embed

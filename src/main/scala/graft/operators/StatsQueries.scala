@@ -504,6 +504,53 @@ object StatsQueries {
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("hour"))
   }
 
+  /** Conditional entropy H(event_type | hour-of-day) next to its
+    * unconditional H(event_type) and the normalized uncertainty
+    * reduction 1 − H(X|Y)/H(X) (Theil's U) — the directional readout
+    * q_mutual_info's symmetric grid terms don't give: how much does
+    * KNOWING the hour tell you about what users do?
+    *
+    * Determinism: every entropy enters as exact-count-derived terms
+    * integerized to micro-nats before summation (q_drift_psi's
+    * recipe); the two entropies and U are terminal expressions of
+    * those integer sums.
+    *
+    * Scale: one fold to the (types × 24) grid; the marginal windows
+    * run post-agg on that grid; the fold to one row is exact integer
+    * arithmetic.
+    */
+  def qCondEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = Tables.events(spark, sfDir)
+      .select(col("event_type"), hour(col("ts")).as("hour"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_type",
+        sum(col("n")).over(Window.partitionBy("event_type")))
+      .withColumn("n_hour", sum(col("n")).over(Window.partitionBy("hour")))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+    val terms = grid.select(col("tot"),
+      // joint cell term of H(X|Y) = -Σ p(x,y)·ln(p(x,y)/p(y))
+      round(-(col("n").cast("double") / col("tot")) *
+        log(col("n").cast("double") / col("n_hour")) * 1000000.0, 0)
+        .cast("long").as("hxy_micro"),
+      // H(X) needs per-TYPE terms once each: emit on one hour cell per
+      // type (the minimum hour) so the fold counts each type exactly once
+      when(col("hour") ===
+        min(col("hour")).over(Window.partitionBy("event_type")),
+        round(-(col("n_type").cast("double") / col("tot")) *
+          log(col("n_type").cast("double") / col("tot")) * 1000000.0, 0)
+          .cast("long")).otherwise(0L).as("hx_micro"))
+    terms.agg(max(col("tot")).as("n_events"),
+        sum(col("hxy_micro")).as("hxy"), sum(col("hx_micro")).as("hx"))
+      .select(col("n_events"),
+        (round(col("hx").cast("double") / 1000000.0, 6) + lit(0.0))
+          .as("h_type"),
+        (round(col("hxy").cast("double") / 1000000.0, 6) + lit(0.0))
+          .as("h_type_given_hour"),
+        (round(lit(1.0) - col("hxy").cast("double") /
+          col("hx").cast("double"), 6) + lit(0.0)).as("theils_u"))
+  }
+
   /** Benford first-significant-digit audit of order totals per order
     * priority — the classic fabricated-data screen: natural
     * multi-magnitude amounts follow P(d) = log10(1+1/d); a flat or

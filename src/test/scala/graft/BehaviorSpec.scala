@@ -314,6 +314,28 @@ class BehaviorSpec extends AnyFunSuite {
     assert(math.abs(wl - 1.0) < 1e-3, s"weighted lift $wl")
   }
 
+  test("q_growth_accounting: quad partitions WAU and telescopes the delta") {
+    val out = q("q_growth_accounting").collect()
+      .sortBy(_.getAs[java.sql.Date]("week").getTime)
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("wau") == r.getAs[Long]("new_users") +
+        r.getAs[Long]("retained") + r.getAs[Long]("resurrected"))
+    }
+    // first observed week is all-new with zero churn
+    assert(out.head.getAs[Long]("new_users") == out.head.getAs[Long]("wau"))
+    assert(out.head.getAs[Long]("churned") == 0)
+    // telescoping: wau(w) = wau(w-1) + new + resurrected - churned
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("wau") == a.getAs[Long]("wau") +
+          b.getAs[Long]("new_users") + b.getAs[Long]("resurrected") -
+          b.getAs[Long]("churned"),
+          s"week ${b.getAs[java.sql.Date]("week")} does not telescope")
+      case _ =>
+    }
+  }
+
   test("q_user_activity_hist: conserves users and events; shares sum to 1") {
     val out = q("q_user_activity_hist").collect()
     assert(out.map(_.getAs[Long]("n_users")).sum ==

@@ -329,6 +329,23 @@ class MlEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_embed_dedup_sweep: monotone and reconciles with the cosine histogram") {
+    val rows = SparkEntry.queries("q_embed_dedup_sweep")(spark, sfDir)
+      .collect().sortBy(_.getAs[Double]("threshold"))
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq == Seq(0.8, 0.9, 0.95))
+    val ps = rows.map(_.getAs[Long]("n_pairs"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
+    val ds = rows.map(_.getAs[Long]("n_vecs_flagged"))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+    // the 0.8 pair count equals the histogram mass in buckets >= 16
+    // (cosine >= 0.8 ⟺ floor(20·cosine) >= 16 — same rounded cosine)
+    val hist = SparkEntry.queries("q_cosine_hist")(spark, sfDir).collect()
+    val histHigh = hist.filter(_.getAs[Int]("bucket") >= 16)
+      .map(_.getAs[Long]("n_pairs")).sum
+    assert(ps.head == histHigh,
+      s"sweep 0.8 (${ps.head}) != hist mass >= 0.8 ($histHigh)")
+  }
+
   test("q_embed_outliers: 5 per label, ordered ranks, above-mean distances") {
     val rows = SparkEntry.queries("q_embed_outliers")(spark, sfDir).collect()
     val byLabel = rows.groupBy(_.getAs[Int]("label"))

@@ -662,6 +662,19 @@ class StatsSpec extends AnyFunSuite {
       math.abs(r.getAs[Double]("cohens_d")))
   }
 
+  test("cond entropy: information inequalities hold; U consistent") {
+    val r = SparkEntry.queries("q_cond_entropy")(spark, sfDir).collect().head
+    val (hx, hxy, u) = (r.getAs[Double]("h_type"),
+      r.getAs[Double]("h_type_given_hour"), r.getAs[Double]("theils_u"))
+    val k = Tables.events(spark, sfDir)
+      .select("event_type").distinct().count()
+    // 0 <= H(X|Y) <= H(X) <= ln k  (conditioning never adds entropy)
+    assert(hxy >= -1e-6 && hxy <= hx + 1e-4, s"H(X|Y) $hxy vs H(X) $hx")
+    assert(hx <= math.log(k.toDouble) + 1e-4)
+    assert(u >= -1e-4 && u <= 1.0 + 1e-9)
+    assert(math.abs(u - (1.0 - hxy / hx)) < 1e-4)
+  }
+
   test("bootstrap ci: brackets the full-sample mean with a sane width") {
     val r = SparkEntry.queries("q_bootstrap_ci")(spark, sfDir).collect().head
     val (lo, hi, m) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"),
