@@ -325,6 +325,9 @@ object SparkEntry {
     "q_embed_dedup_sweep" -> (SimilarityQueries.qEmbedDedupSweep _),
     "q_cond_entropy"    -> (StatsQueries.qCondEntropy _),
     "q_growth_accounting" -> (BehaviorQueries.qGrowthAccounting _),
+    "q_brand_returns"   -> (CompositeQueries.qBrandReturns _),
+    "q_discount_revenue" -> (CompositeQueries.qDiscountRevenue _),
+    "q_lines_per_order" -> (CompositeQueries.qLinesPerOrder _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -6525,6 +6528,44 @@ object SparkEntry {
         |  CAST(coalesce(c.churned, 0) AS BIGINT) AS churned
         |FROM agg a LEFT JOIN ch c ON a.week = c.week
         |ORDER BY a.week NULLS FIRST""".stripMargin,
+    "q_brand_returns" ->
+      """WITH j AS (
+        |  SELECT p.p_brand, l.l_returnflag,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT p_brand, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_returned,
+        |  round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) + 0.0 AS return_rate,
+        |  round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN pc ELSE 0 END)
+        |    AS DOUBLE) / CAST(sum(pc) AS DOUBLE), 6) + 0.0
+        |    AS returned_value_share
+        |FROM j GROUP BY p_brand ORDER BY p_brand NULLS FIRST""".stripMargin,
+    "q_discount_revenue" ->
+      """SELECT count(*) AS n_lines,
+        |  round(CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      AS DECIMAL(38,0)) *
+        |      CAST(round(l_discount * 10000) AS BIGINT)) AS DOUBLE) /
+        |    1000000.0, 6) + 0.0 AS promo_revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_lines_per_order" ->
+      """WITH po AS (
+        |  SELECT l_orderkey, count(*) AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |h AS (
+        |  SELECT CAST(n_lines AS BIGINT) AS n_lines, count(*) AS n_orders
+        |  FROM po GROUP BY 1),
+        |t AS (SELECT n_lines, n_orders, sum(n_orders) OVER () AS total
+        |  FROM h)
+        |SELECT n_lines, CAST(n_orders AS BIGINT) AS n_orders,
+        |  round(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0
+        |    AS order_share
+        |FROM t ORDER BY n_lines ASC""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

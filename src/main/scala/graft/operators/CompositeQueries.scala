@@ -248,6 +248,93 @@ object CompositeQueries {
       .orderBy(asc_nulls_first("p_brand"))
   }
 
+  /** Return rate per part brand: lineitem return flags rolled up to
+    * the brand dimension — the supplier-quality signal (which brands
+    * come back?) that joins the fact's returnflag to the part dim the
+    * engine otherwise only keys through.
+    *
+    * Determinism: counts and cents exact; rates terminal.
+    *
+    * Scale: ONE fact pass with a broadcast part dimension join (at
+    * 100 TB the part dim shuffles instead — the join stays keyed on
+    * partkey either way), folding to |brands| rows map-side.
+    */
+  def qBrandReturns(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (c: Column) => round(c * 100).cast("long")
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_returnflag"),
+        cents(col("l_extendedprice")).as("pc"))
+      .join(broadcast(parts), Seq("l_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"),
+        sum(when(col("l_returnflag") === "R", col("pc")).otherwise(0L))
+          .as("ret_c"),
+        sum(col("pc")).as("tot_c"))
+      .select(col("p_brand"), col("n_lines"), col("n_returned"),
+        (round(col("n_returned").cast("double") / col("n_lines"), 6)
+          + lit(0.0)).as("return_rate"),
+        (round(col("ret_c").cast("double") / col("tot_c"), 6) + lit(0.0))
+          .as("returned_value_share"))
+      .orderBy(asc_nulls_first("p_brand"))
+  }
+
+  /** TPC-H Q6 shape — the what-if revenue query: the additional
+    * revenue (Σ extendedprice·discount) that would have been earned
+    * without small promotional discounts, over a one-year ship window,
+    * discounts 5–7%, quantity < 24. The canonical
+    * full-scan-with-tight-filters probe: every predicate must reach
+    * the parquet scan (PlanAudit asserts pushdown repo-wide).
+    *
+    * Determinism: price and discount are re-expressed in exact integer
+    * cents/basis points, so the revenue sum is an exact decimal and
+    * the single reported double is terminal.
+    *
+    * Scale: scan → filter → 1-row aggregate; no shuffle beyond the
+    * final partial-agg merge.
+    */
+  def qDiscountRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (c: Column) => round(c * 100).cast("long")
+    val bps = (c: Column) => round(c * 10000).cast("long")
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .select((cents(col("l_extendedprice")).cast("decimal(38,0)") *
+        bps(col("l_discount"))).as("rev_unit"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_unit")).as("s"))
+      .select(col("n_lines"),
+        (round(col("s").cast("double") / 1000000.0, 6) + lit(0.0))
+          .as("promo_revenue"))
+  }
+
+  /** Fact fan-out profile: the distribution of line counts per order —
+    * the join-multiplicity histogram that sizes every orders⋈lineitem
+    * estimate (and the skew check before trusting an average-lines
+    * assumption).
+    *
+    * Determinism: integer counts; shares terminal.
+    *
+    * Scale: one orderkey fold (map-combinable) then a ≤7-bucket fold.
+    */
+  def qLinesPerOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n_lines"))
+      .groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("total", sum(col("n_orders")).over(wAll))
+      .select(col("n_lines"), col("n_orders"),
+        (round(col("n_orders").cast("double") / col("total"), 6) + lit(0.0))
+          .as("order_share"))
+      .orderBy(col("n_lines").asc)
+  }
+
   /** Month-over-month order-priority mix: each month's share per
     * priority and the share's delta vs the previous month — the
     * composition-drift report (is URGENT creeping up?) that a plain

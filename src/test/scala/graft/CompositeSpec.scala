@@ -209,6 +209,45 @@ class CompositeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_brand_returns: lines conserved; shares bounded") {
+    val rows = SparkEntry.queries("q_brand_returns")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_lines")).sum ==
+      Tables.lineitem(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_returned") <= r.getAs[Long]("n_lines"))
+      assert(r.getAs[Double]("return_rate") >= 0 &&
+        r.getAs[Double]("return_rate") <= 1)
+      assert(r.getAs[Double]("returned_value_share") >= 0 &&
+        r.getAs[Double]("returned_value_share") <= 1)
+    }
+  }
+
+  test("q_discount_revenue: matches an exact local replay of the Q6 filter") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q_discount_revenue")(spark, sfDir)
+      .collect().head
+    val rows = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("pc"),
+        round(col("l_discount") * 10000).cast("long").as("bp"))
+      .collect()
+    assert(r.getAs[Long]("n_lines") == rows.length)
+    val expect = rows.map(x => BigInt(x.getLong(0)) * x.getLong(1)).sum
+    assert(math.abs(r.getAs[Double]("promo_revenue") -
+      expect.toDouble / 1e6) < 1e-2)
+  }
+
+  test("q_lines_per_order: orders conserved; shares sum to 1") {
+    val rows = SparkEntry.queries("q_lines_per_order")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      Tables.lineitem(spark, sfDir).select("l_orderkey").distinct().count())
+    assert(math.abs(rows.map(_.getAs[Double]("order_share")).sum - 1.0)
+      < 1e-4)
+  }
+
   test("q_priority_mix: shares sum to 1 per month; deltas telescope") {
     val rows = SparkEntry.queries("q_priority_mix")(spark, sfDir).collect()
     val byMonth = rows.groupBy(_.getAs[java.sql.Timestamp]("month"))
