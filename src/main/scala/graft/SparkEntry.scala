@@ -328,6 +328,7 @@ object SparkEntry {
     "q_brand_returns"   -> (CompositeQueries.qBrandReturns _),
     "q_discount_revenue" -> (CompositeQueries.qDiscountRevenue _),
     "q_lines_per_order" -> (CompositeQueries.qLinesPerOrder _),
+    "q_corpus_summary"  -> (TextQueries.qCorpusSummary _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -6566,6 +6567,36 @@ object SparkEntry {
         |  round(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0
         |    AS order_share
         |FROM t ORDER BY n_lines ASC""".stripMargin,
+    "q_corpus_summary" ->
+      """WITH d AS (
+        |  SELECT count(*) AS n_docs,
+        |    count(DISTINCT source) AS n_sources,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT sha256(text)) AS n_distinct_texts
+        |  FROM documents),
+        |v AS (
+        |  SELECT t, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS t
+        |    FROM documents) x
+        |  GROUP BY t),
+        |tv AS (
+        |  SELECT sum(c) AS n_tokens, count(*) AS vocab_size,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1
+        |  FROM v)
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_sources AS BIGINT) AS n_sources,
+        |  CAST(n_langs AS BIGINT) AS n_langs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(vocab_size AS BIGINT) AS vocab_size,
+        |  round(CAST(n_tokens AS DOUBLE) / n_docs, 6) + 0.0
+        |    AS mean_doc_tokens,
+        |  round(1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs, 6) + 0.0
+        |    AS exact_dup_rate,
+        |  round(CAST(f1 AS DOUBLE) / vocab_size, 6) + 0.0
+        |    AS hapax_vocab_share
+        |FROM d CROSS JOIN tv""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

@@ -218,6 +218,42 @@ object TextQueries {
       .orderBy(asc_nulls_first("lang"))
   }
 
+  /** One-row corpus card: document/source/language counts, exact token
+    * and vocabulary totals, mean document length, byte-exact duplicate
+    * rate and the share of singleton (df = 1) vocabulary — the
+    * front-page summary a dataset release ships, stitching the
+    * headline numbers the specialized reports (q_lexical_richness,
+    * q_dedup_exact, q_chao1) break down.
+    *
+    * Determinism: every count is exact; the three ratios are terminal
+    * rounded divisions.
+    *
+    * Scale: one doc-level pass (counts + distinct text hashes — the
+    * sha2 collapses before the exchange so bodies never shuffle) and
+    * one token-vocab fold; both map-side combined.
+    */
+  def qCorpusSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val d = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(sha2(col("text"), 256)).as("n_distinct_texts"))
+    val t = docs.select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab_size"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"))
+    d.crossJoin(broadcast(t))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("n_tokens"), col("vocab_size"),
+        (round(col("n_tokens").cast("double") / col("n_docs"), 6)
+          + lit(0.0)).as("mean_doc_tokens"),
+        (round(lit(1.0) - col("n_distinct_texts").cast("double") /
+          col("n_docs"), 6) + lit(0.0)).as("exact_dup_rate"),
+        (round(col("f1").cast("double") / col("vocab_size"), 6) + lit(0.0))
+          .as("hapax_vocab_share"))
+  }
+
   /** Per-source contamination rate under [[qDecontaminate]]'s probe
     * set — WHICH provider ships benchmark text, not just how much is
     * clean overall: the governance cut that decides whether to scrub

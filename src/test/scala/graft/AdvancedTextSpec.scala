@@ -726,6 +726,21 @@ class AdvancedTextSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("total_bigrams") == expected)
   }
 
+  test("corpus summary: reconciles with chao1 and the exact-dedup table") {
+    val r = SparkEntry.queries("q_corpus_summary")(spark, sfDir)
+      .collect().head
+    val chao = SparkEntry.queries("q_chao1")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_tokens") == chao.getAs[Long]("n_tokens"))
+    assert(r.getAs[Long]("vocab_size") == chao.getAs[Long]("vocab_size"))
+    assert(r.getAs[Long]("n_docs") ==
+      Tables.documents(spark, sfDir).count())
+    val distinctTexts = q("q_dedup_exact").count() // one row per distinct text
+    assert(math.abs(r.getAs[Double]("exact_dup_rate") -
+      (1.0 - distinctTexts.toDouble / r.getAs[Long]("n_docs"))) < 1e-5)
+    assert(r.getAs[Double]("hapax_vocab_share") >= 0 &&
+      r.getAs[Double]("hapax_vocab_share") <= 1)
+  }
+
   test("char entropy: bounded by ln(alphabet); bits consistent with nats") {
     val rows = q("q_char_entropy").collect()
     assert(rows.nonEmpty)

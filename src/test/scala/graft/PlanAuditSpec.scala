@@ -94,7 +94,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q_survival's shape
     "q_freshness",
     // 1-row (n_orders, full mean) scalar joined onto the 1-row CI fold
-    "q_bootstrap_ci")
+    "q_bootstrap_ci",
+    // 1-row token/vocab totals joined onto the 1-row doc summary
+    "q_corpus_summary")
 
   /** Queries whose BNLJ is a dimension-grid cross join (calendar days ×
     * event types in q_resample): both sides are tiny dimension products —
