@@ -59,7 +59,20 @@ object ExplainDump {
     "q_kruskal_wallis", "q_emd", "q_kendall_tau",
     "q_partial_corr", "q_ols2", "q_minhash_calibration",
     "q_dedup_survivorship", "q_decontaminate_ladder",
-    "q_silhouette", "q_ldiversity")
+    "q_silhouette", "q_ldiversity",
+    "q_levene", "q_bartlett", "q_chao1", "q_stickiness", "q_lift",
+    "q_brier", "q_drawdown", "q_rsi", "q_jl_project", "q_embed_outliers",
+    "q_power_users", "q_qq_plot", "q_session_percentiles",
+    "q_cosine_hist", "q_token_len_dist", "q_char_entropy", "q_tukey",
+    "q_dedup_sweep", "q_bigram_coverage", "q_bounce_rate", "q_ab_test",
+    "q_pacf", "q_forecast_eval", "q_freshness", "q_priority_mix",
+    "q_cohens_d", "q_bootstrap_ci", "q_sample_temperature",
+    "q_contamination_by_source", "q_rolling_median", "q_weekly_rhythm",
+    "q_reorder_gap", "q_hapax_docs", "q_session_native", "q_top10_share",
+    "q_hist2d", "q_seasonal_strength", "q_supplier_balance",
+    "q_brand_prices", "q_user_activity_hist", "q_embed_dedup_sweep",
+    "q_cond_entropy", "q_growth_accounting", "q_brand_returns",
+    "q_discount_revenue", "q_lines_per_order", "q_corpus_summary")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
