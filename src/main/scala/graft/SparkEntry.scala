@@ -329,6 +329,8 @@ object SparkEntry {
     "q_discount_revenue" -> (CompositeQueries.qDiscountRevenue _),
     "q_lines_per_order" -> (CompositeQueries.qLinesPerOrder _),
     "q_corpus_summary"  -> (TextQueries.qCorpusSummary _),
+    "q_discount_elasticity" -> (CompositeQueries.qDiscountElasticity _),
+    "q_basket_by_segment" -> (CompositeQueries.qBasketBySegment _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -6597,6 +6599,58 @@ object SparkEntry {
         |  round(CAST(f1 AS DOUBLE) / vocab_size, 6) + 0.0
         |    AS hapax_vocab_share
         |FROM d CROSS JOIN tv""".stripMargin,
+    "q_discount_elasticity" ->
+      """WITH m AS (
+        |  SELECT p.p_brand, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+        |    sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+        |    sum(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        |  FROM (SELECT l_partkey,
+        |          CAST(round(l_discount * 10000) AS BIGINT) AS x,
+        |          CAST(round(l_quantity * 100) AS BIGINT) AS y
+        |        FROM lineitem) l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+        |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 100.0, 6) + 0.0
+        |  END AS qty_per_discount_pt,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |    AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+        |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |       sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
+        |  END AS r
+        |FROM m ORDER BY p_brand NULLS FIRST""".stripMargin,
+    "q_basket_by_segment" ->
+      """WITH po AS (
+        |  SELECT l_orderkey, count(*) AS n_lines,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT c.c_mktsegment, po.n_lines, po.rev_c
+        |  FROM orders o
+        |  JOIN po ON o.o_orderkey = po.l_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(CAST(sum(n_lines) AS DOUBLE) / count(*), 6) + 0.0
+        |    AS mean_lines,
+        |  round(CAST(sum(rev_c) AS DOUBLE) / count(*) / 100.0, 6) + 0.0
+        |    AS mean_revenue,
+        |  round(CAST(sum(rev_c) AS DOUBLE) / CAST(sum(n_lines) AS DOUBLE) /
+        |    100.0, 6) + 0.0 AS mean_line_value
+        |FROM j GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

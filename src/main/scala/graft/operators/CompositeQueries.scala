@@ -312,6 +312,88 @@ object CompositeQueries {
           .as("promo_revenue"))
   }
 
+  /** Discount elasticity proxy per brand: the OLS slope of quantity on
+    * discount over each brand's line items — do deeper discounts move
+    * more units of THIS brand? (q_regression's exact-moment recipe,
+    * re-keyed from customer segments to the part dimension.)
+    *
+    * Determinism: quantity cents and discount basis points are exact
+    * integers; the five moments sum exactly (Σxy and Σx² in
+    * decimal(38,0)); slope and r are terminal double expressions.
+    *
+    * Scale: one fact pass + broadcast part join, folding map-side to
+    * \|brands\| rows of moments.
+    */
+  def qDiscountElasticity(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val m = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        round(col("l_discount") * 10000).cast("long").as("x"),
+        round(col("l_quantity") * 100).cast("long").as("y"))
+      .join(broadcast(parts), Seq("l_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+    val num = col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val denX = col("n").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val denY = col("n").cast("double") * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("p_brand"), col("n").as("n_lines"),
+        // slope in quantity-units per discount-point: y/100 per x/10000
+        // = (num/denX)·100
+        when(denX > 0, round(num / denX * 100.0, 6) + lit(0.0))
+          .as("qty_per_discount_pt"),
+        when(denX > 0 && denY > 0,
+          round(num / (sqrt(denX) * sqrt(denY)), 6) + lit(0.0)).as("r"))
+      .orderBy(asc_nulls_first("p_brand"))
+  }
+
+  /** Basket profile per market segment: mean lines and mean revenue
+    * per order — the order-size composite stitching all three core
+    * tables (customer → orders → lineitem) in one chain, the
+    * "how big is a typical basket per segment" readout. Baskets are
+    * orders WITH line items: the inner join drops line-less orders
+    * (the fixture contains some), which have no basket to profile.
+    *
+    * Determinism: per-order line counts and cent sums are exact; the
+    * segment means divide exact integer totals once.
+    *
+    * Scale: lineitem folds to per-order rows FIRST (one orderkey
+    * exchange), the orders join is keyed, the customer dimension
+    * broadcasts, and the final fold is \|segments\| rows.
+    */
+  def qBasketBySegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (c: Column) => round(c * 100).cast("long")
+    val perOrder = Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents(col("l_extendedprice"))).as("rev_c"))
+    val seg = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      .join(perOrder, Seq("l_orderkey"))
+      .join(broadcast(seg), Seq("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("n_lines")).as("tot_lines"),
+        sum(col("rev_c")).as("tot_c"))
+      .select(col("c_mktsegment"), col("n_orders"),
+        (round(col("tot_lines").cast("double") / col("n_orders"), 6)
+          + lit(0.0)).as("mean_lines"),
+        (round(col("tot_c").cast("double") / col("n_orders") / 100.0, 6)
+          + lit(0.0)).as("mean_revenue"),
+        (round(col("tot_c").cast("double") / col("tot_lines") / 100.0, 6)
+          + lit(0.0)).as("mean_line_value"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
+
   /** Fact fan-out profile: the distribution of line counts per order —
     * the join-multiplicity histogram that sizes every orders⋈lineitem
     * estimate (and the skew check before trusting an average-lines

@@ -248,6 +248,39 @@ class CompositeSpec extends AnyFunSuite {
       < 1e-4)
   }
 
+  test("q_discount_elasticity: r bounded; slope/r share a sign; lines conserved") {
+    val rows = SparkEntry.queries("q_discount_elasticity")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_lines")).sum ==
+      Tables.lineitem(spark, sfDir).count())
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("r"))) {
+        val (s, cr) = (r.getAs[Double]("qty_per_discount_pt"),
+          r.getAs[Double]("r"))
+        assert(cr >= -1.0 - 1e-9 && cr <= 1.0 + 1e-9, s"r $cr")
+        assert(s == 0 || cr == 0 || s.sign == cr.sign,
+          s"slope $s and r $cr disagree in sign")
+      }
+    }
+  }
+
+  test("q_basket_by_segment: orders conserved; line-value identity holds") {
+    val rows = SparkEntry.queries("q_basket_by_segment")(spark, sfDir)
+      .collect()
+    // baskets are orders WITH line items (inner join by design — the
+    // fixture contains line-less orders, which have no basket)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      Tables.lineitem(spark, sfDir).select("l_orderkey").distinct().count())
+    rows.foreach { r =>
+      val (ml, mr, mlv) = (r.getAs[Double]("mean_lines"),
+        r.getAs[Double]("mean_revenue"), r.getAs[Double]("mean_line_value"))
+      assert(ml >= 1.0 - 1e-9)
+      // mean_revenue = mean_lines · mean_line_value (same exact totals)
+      assert(math.abs(mr - ml * mlv) < mr * 1e-3 + 1e-3,
+        s"$mr vs $ml * $mlv")
+    }
+  }
+
   test("q_priority_mix: shares sum to 1 per month; deltas telescope") {
     val rows = SparkEntry.queries("q_priority_mix")(spark, sfDir).collect()
     val byMonth = rows.groupBy(_.getAs[java.sql.Timestamp]("month"))
