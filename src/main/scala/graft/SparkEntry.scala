@@ -331,6 +331,8 @@ object SparkEntry {
     "q_corpus_summary"  -> (TextQueries.qCorpusSummary _),
     "q_discount_elasticity" -> (CompositeQueries.qDiscountElasticity _),
     "q_basket_by_segment" -> (CompositeQueries.qBasketBySegment _),
+    "q_weekend_effect"  -> (CompositeQueries.qWeekendEffect _),
+    "q_len_by_lang"     -> (CurationQueries.qLenByLang _),
   )
 
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
@@ -6651,6 +6653,53 @@ object SparkEntry {
         |    100.0, 6) + 0.0 AS mean_line_value
         |FROM j GROUP BY c_mktsegment
         |ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    "q_weekend_effect" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+        |    CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 7
+        |      AS INT) IN (2, 3) AS we
+        |  FROM orders),
+        |j AS (
+        |  SELECT c.c_mktsegment, o.x, o.we
+        |  FROM o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT c_mktsegment,
+        |  CAST(sum(CASE WHEN we THEN 0 ELSE 1 END) AS BIGINT) AS n_weekday,
+        |  CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+        |  round(CAST(sum(CASE WHEN we THEN 0 ELSE x END) AS DOUBLE) /
+        |    sum(CASE WHEN we THEN 0 ELSE 1 END) / 100.0, 6) + 0.0
+        |    AS weekday_mean,
+        |  round(CAST(sum(CASE WHEN we THEN x ELSE 0 END) AS DOUBLE) /
+        |    sum(CASE WHEN we THEN 1 ELSE 0 END) / 100.0, 6) + 0.0
+        |    AS weekend_mean,
+        |  round((CAST(sum(CASE WHEN we THEN x ELSE 0 END) AS DOUBLE) /
+        |      sum(CASE WHEN we THEN 1 ELSE 0 END)) /
+        |    (CAST(sum(CASE WHEN we THEN 0 ELSE x END) AS DOUBLE) /
+        |      sum(CASE WHEN we THEN 0 ELSE 1 END)), 6) + 0.0
+        |    AS weekend_ratio
+        |FROM j GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    "q_len_by_lang" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS BIGINT) AS len
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, len,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY len ASC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n,
+        |    sum(len) OVER (PARTITION BY lang) AS s
+        |  FROM d)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        |  round(CAST(max(s) AS DOUBLE) / max(n), 6) + 0.0 AS mean_tokens,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN len END) AS BIGINT)
+        |    AS median_tokens,
+        |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN len END)
+        |    AS BIGINT) AS p90_tokens
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
+        |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
   )
 
   /** Shared DuckDB prefix for the two-sample rank tests: per-distinct-

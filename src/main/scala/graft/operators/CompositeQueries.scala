@@ -394,6 +394,46 @@ object CompositeQueries {
       .orderBy(asc_nulls_first("c_mktsegment"))
   }
 
+  /** Weekend effect per segment: weekday vs weekend mean order value
+    * and the ratio — the day-mix control a revenue comparison needs
+    * before reading anything into a week-over-week move (q_seasonal's
+    * question asked of the ORDERS fact, collapsed to the binary split
+    * that decides staffing/campaign windows).
+    *
+    * Determinism: weekday is epoch-days mod 7 (the locale-free integer
+    * arithmetic; 0 = Thursday, so weekend = days 2 and 3); sums exact
+    * cents; means and ratio terminal.
+    *
+    * Scale: one map-combinable fold over orders to |segments| rows —
+    * a broadcast customer dimension join is the only exchange input.
+    */
+  def qWeekendEffect(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (c: Column) => round(c * 100).cast("long")
+    val seg = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val isWeekend = pmod(datediff(to_date(col("o_orderdate")),
+      lit("1970-01-01").cast("date")), lit(7)).isin(2, 3)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("x"),
+        isWeekend.as("we"))
+      .join(broadcast(seg), Seq("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(when(col("we"), 0L).otherwise(1L)).as("n_weekday"),
+        sum(when(col("we"), 1L).otherwise(0L)).as("n_weekend"),
+        sum(when(col("we"), 0L).otherwise(col("x"))).as("wd_c"),
+        sum(when(col("we"), col("x")).otherwise(0L)).as("we_c"))
+      .select(col("c_mktsegment"), col("n_weekday"), col("n_weekend"),
+        (round(col("wd_c").cast("double") / col("n_weekday") / 100.0, 6)
+          + lit(0.0)).as("weekday_mean"),
+        (round(col("we_c").cast("double") / col("n_weekend") / 100.0, 6)
+          + lit(0.0)).as("weekend_mean"),
+        (round((col("we_c").cast("double") / col("n_weekend")) /
+          (col("wd_c").cast("double") / col("n_weekday")), 6) + lit(0.0))
+          .as("weekend_ratio"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
+
   /** Fact fan-out profile: the distribution of line counts per order —
     * the join-multiplicity histogram that sizes every orders⋈lineitem
     * estimate (and the skew check before trusting an average-lines

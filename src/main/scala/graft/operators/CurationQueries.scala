@@ -373,6 +373,43 @@ object CurationQueries {
       .orderBy(asc_nulls_first("source"), asc_nulls_first("rk"))
   }
 
+  /** Document-length profile per language: doc count, exact mean and
+    * nearest-rank median/p90 token counts — the per-language sizing
+    * table a context-window budget or per-language pack budget reads
+    * (q_length_buckets gives the global histogram; this is the
+    * language cut with exact order statistics).
+    *
+    * Determinism: per-doc token counts are exact integers; percentile
+    * rows are row_number selections under a (len, doc_id) total
+    * order; the mean is one terminal division.
+    *
+    * Scale: one narrow size() projection (no explode — token counts
+    * come from size(split(...)) per row), one per-lang rank window
+    * (GK at 100 TB per q_anomaly_mad's note), |langs| output rows.
+    */
+  def qLenByLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("len"))
+    val wRank = Window.partitionBy("lang")
+      .orderBy(col("len").asc, col("doc_id").asc)
+    val wAll = Window.partitionBy("lang")
+    d.withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("len")).over(wAll))
+      .filter(col("rn") === expr("(n + 1) DIV 2") ||
+        col("rn") === expr("(9 * n + 9) DIV 10"))
+      .groupBy("lang")
+      .agg(max(col("n")).as("n_docs"),
+        (round(max(col("s")).cast("double") / max(col("n")), 6) + lit(0.0))
+          .as("mean_tokens"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("len")))
+          .as("median_tokens"),
+        max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("len")))
+          .as("p90_tokens"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
   /** Unique-content share per source: documents carrying at least one
     * hapax token (corpus df = 1) — the doc-level complement of
     * q_lexical_richness's type-level hapax count: a source whose docs

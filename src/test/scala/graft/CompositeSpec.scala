@@ -281,6 +281,31 @@ class CompositeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_weekend_effect: day split conserves orders; ratio re-derives") {
+    val rows = SparkEntry.queries("q_weekend_effect")(spark, sfDir).collect()
+    assert(rows.map(r => r.getAs[Long]("n_weekday") +
+      r.getAs[Long]("n_weekend")).sum ==
+      Tables.orders(spark, sfDir).count())
+    rows.foreach { r =>
+      val (wd, we, ratio) = (r.getAs[Double]("weekday_mean"),
+        r.getAs[Double]("weekend_mean"), r.getAs[Double]("weekend_ratio"))
+      assert(wd > 0 && we > 0)
+      assert(math.abs(ratio - we / wd) < 1e-3, s"ratio $ratio vs ${we / wd}")
+    }
+  }
+
+  test("q_len_by_lang: docs conserved; ordered mean-bracketing quantiles") {
+    val rows = SparkEntry.queries("q_len_by_lang")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val (med, p90) = (r.getAs[Long]("median_tokens"),
+        r.getAs[Long]("p90_tokens"))
+      assert(med >= 0 && med <= p90, s"median $med > p90 $p90")
+      assert(r.getAs[Double]("mean_tokens") > 0)
+    }
+  }
+
   test("q_priority_mix: shares sum to 1 per month; deltas telescope") {
     val rows = SparkEntry.queries("q_priority_mix")(spark, sfDir).collect()
     val byMonth = rows.groupBy(_.getAs[java.sql.Timestamp]("month"))
