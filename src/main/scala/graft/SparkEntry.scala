@@ -390,7 +390,12 @@ object SparkEntry {
       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
       |    ELSE [] END AS s
       |  FROM docs
-      |), ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+      |), ex0 AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+      |ex AS (
+      |  SELECT doc_id, sh FROM (
+      |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df
+      |    FROM ex0)
+      |  WHERE df <= 1000),
       |sz AS (SELECT doc_id, len(s) AS n FROM sh),
       |cand AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
@@ -3601,7 +3606,12 @@ object SparkEntry {
         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
         |    ELSE [] END AS s
         |  FROM docs
-        |), ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |), ex0 AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |ex AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df
+        |    FROM ex0)
+        |  WHERE df <= 1000),
         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
         |pairs AS (
         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS shared
@@ -3639,7 +3649,12 @@ object SparkEntry {
         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
         |    ELSE [] END AS s
         |  FROM docs
-        |), ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |), ex0 AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |ex AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df
+        |    FROM ex0)
+        |  WHERE df <= 1000),
         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
         |pairs AS (
         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS shared
@@ -5526,10 +5541,13 @@ object SparkEntry {
         |t AS (SELECT sum(buyer) AS tot_buyers, count(*) AS tot_users FROM d)
         |SELECT CAST(decile AS INT) AS decile, count(*) AS n_users,
         |  CAST(sum(buyer) AS BIGINT) AS n_buyers,
-        |  round(CAST(sum(buyer) AS DOUBLE) / CAST(t.tot_buyers AS DOUBLE), 6)
-        |    + 0.0 AS capture_rate,
-        |  round((CAST(sum(buyer) AS DOUBLE) / count(*)) /
-        |    (CAST(t.tot_buyers AS DOUBLE) / t.tot_users), 6) + 0.0 AS lift
+        |  CASE WHEN t.tot_buyers > 0 THEN
+        |    round(CAST(sum(buyer) AS DOUBLE) / CAST(t.tot_buyers AS DOUBLE),
+        |      6) + 0.0 END AS capture_rate,
+        |  CASE WHEN t.tot_buyers > 0 THEN
+        |    round((CAST(sum(buyer) AS DOUBLE) / count(*)) /
+        |      (CAST(t.tot_buyers AS DOUBLE) / t.tot_users), 6) + 0.0
+        |  END AS lift
         |FROM d CROSS JOIN t
         |GROUP BY decile, t.tot_buyers, t.tot_users
         |ORDER BY decile ASC""".stripMargin,
@@ -5872,7 +5890,12 @@ object SparkEntry {
         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
         |    ELSE [] END AS s
         |  FROM docs
-        |), ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |), ex0 AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |ex AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df
+        |    FROM ex0)
+        |  WHERE df <= 1000),
         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
         |pairs AS (
         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
@@ -6423,7 +6446,7 @@ object SparkEntry {
         |    WHEN n_events <= 16 THEN 16 WHEN n_events <= 32 THEN 32
         |    WHEN n_events <= 64 THEN 64 WHEN n_events <= 128 THEN 128
         |    WHEN n_events <= 256 THEN 256 WHEN n_events <= 512 THEN 512
-        |    WHEN n_events <= 1024 THEN 1024 ELSE 2048 END AS bucket_max,
+        |    WHEN n_events <= 1024 THEN 1024 ELSE -1 END AS bucket_max,
         |    n_events
         |  FROM pu),
         |h AS (

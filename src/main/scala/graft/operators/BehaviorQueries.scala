@@ -754,11 +754,13 @@ object BehaviorQueries {
       .crossJoin(broadcast(tot))
       .select(col("decile").cast("int").as("decile"),
         col("n_users"), col("n_buyers"),
-        (round(col("n_buyers").cast("double") / col("tot_buyers"), 6)
-          + lit(0.0)).as("capture_rate"),
-        (round((col("n_buyers").cast("double") / col("n_users")) /
-          (col("tot_buyers").cast("double") / col("tot_users")), 6)
-          + lit(0.0)).as("lift"))
+        when(col("tot_buyers") > 0,
+          round(col("n_buyers").cast("double") / col("tot_buyers"), 6)
+            + lit(0.0)).as("capture_rate"),
+        when(col("tot_buyers") > 0,
+          round((col("n_buyers").cast("double") / col("n_users")) /
+            (col("tot_buyers").cast("double") / col("tot_users")), 6)
+            + lit(0.0)).as("lift"))
       .orderBy(col("decile").asc)
   }
 
@@ -863,7 +865,9 @@ object BehaviorQueries {
     * 5–8, … events): how heavy-tailed is the event distribution across
     * users — the volume-side companion to q_power_users' days-active
     * curve (many days ≠ many events), bucketed so one mega-user can't
-    * stretch an equal-width histogram flat.
+    * stretch an equal-width histogram flat. The top bucket is
+    * open-ended (>1024 events) and labeled bucket_max = -1 rather
+    * than a fake power-of-two cap.
     *
     * Determinism: bucket edges are literal integer comparisons (no
     * log2 float at power-of-two boundaries); counts exact, shares
@@ -877,7 +881,7 @@ object BehaviorQueries {
     val bucket = when(n <= 1, 1).when(n <= 2, 2).when(n <= 4, 4)
       .when(n <= 8, 8).when(n <= 16, 16).when(n <= 32, 32)
       .when(n <= 64, 64).when(n <= 128, 128).when(n <= 256, 256)
-      .when(n <= 512, 512).when(n <= 1024, 1024).otherwise(2048)
+      .when(n <= 512, 512).when(n <= 1024, 1024).otherwise(-1)
     val wAll = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     Tables.events(spark, sfDir)

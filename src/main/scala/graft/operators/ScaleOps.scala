@@ -108,7 +108,14 @@ object ScaleOps {
     * scan would make.
     */
   def qZorder(spark: SparkSession, sfDir: String): DataFrame =
-    graft.Tables.events(spark, sfDir)
+    zorderCellsFrom(graft.Tables.events(spark, sfDir))
+
+  /** Frame-parameterized body of [[qZorder]] — ZOrderLayoutSpec drives
+    * this with a >512-user synthetic frame where morton2's 9-bit
+    * truncation actually collides, proving the tie-broken order.
+    */
+  def zorderCellsFrom(events: DataFrame): DataFrame =
+    events
       .select(col("user_id"),
         floor(col("value") / 8).cast("long").as("vbucket"))
       .groupBy("user_id", "vbucket")

@@ -676,6 +676,15 @@ object TimeSeriesQueries {
     * (overbought ≳ 70, oversold ≲ 30), emitted once the window holds a
     * full 14 diffs.
     *
+    * Frame semantics: the "14-day" window is a 14-ROW frame over days
+    * that HAVE events (present-days-only, like qRollingMedian's 7-row
+    * frame). On a series with gap days the oscillator spans more
+    * calendar days than the name implies; the events fixture is dense
+    * per type, and a calendar-exact variant would gap-fill the daily
+    * grid (sequence + explode on the per-type min/max day span)
+    * before the window — deliberately not done here to keep the fold
+    * |types|×|active-days| rather than |types|×|calendar|.
+    *
     * Determinism: diffs, gains and losses are exact integer cents; the
     * rolling sums are integer window sums; RSI is the terminal rounded
     * division (null when the window is flat — no gains, no losses).

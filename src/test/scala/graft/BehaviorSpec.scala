@@ -346,7 +346,8 @@ class BehaviorSpec extends AnyFunSuite {
     assert(math.abs(out.map(_.getAs[Double]("event_share")).sum - 1.0) < 1e-4)
     val buckets = out.map(_.getAs[Int]("bucket_max"))
     assert(buckets.distinct.length == buckets.length)
-    assert(buckets.forall(b => (b & (b - 1)) == 0 || b == 2048))
+    // power-of-two closed buckets plus the open-ended >1024 marker
+    assert(buckets.forall(b => (b > 0 && (b & (b - 1)) == 0) || b == -1))
   }
 
   test("q_reorder_gap: gap conservation and ordered percentiles per segment") {

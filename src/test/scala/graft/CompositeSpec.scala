@@ -315,7 +315,7 @@ class CompositeSpec extends AnyFunSuite {
     // per priority, the delta equals this month's share minus last's
     rows.groupBy(_.getAs[String]("o_orderpriority")).values.foreach { g =>
       val ordered = g.sortBy(_.getAs[java.sql.Timestamp]("month").getTime)
-      ordered.head.isNullAt(ordered.head.fieldIndex("mom_delta"))
+      assert(ordered.head.isNullAt(ordered.head.fieldIndex("mom_delta")))
       ordered.sliding(2).foreach {
         case Array(a, b) =>
           assert(math.abs(b.getAs[Double]("mom_delta") -

@@ -96,4 +96,36 @@ class ZOrderLayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(zDir).count() == events.count())
     assert(spark.read.parquet(linDir).count() == events.count())
   }
+
+  test("zorder cells: tie-broken order is deterministic in the 9-bit " +
+      "collision regime (>512 users)") {
+    import spark.implicits._
+    // 1200 users > 512: morton2 keeps 9 bits per key, so users u,
+    // u+512 and u+1024 (same vbucket) share a zcell — the truncation
+    // collision regime the sf0.01 fixture (150 users) never enters.
+    // The raw-key tie-break must make the LIMIT-100 cut exact anyway.
+    val rows = (0 until 1200).flatMap { u =>
+      val copies = if (u % 3 == 0) 2 else 1
+      Seq.fill(copies)((u.toLong, (u % 4) * 8.0 + 1.0))
+    }
+    val got = graft.operators.ScaleOps
+      .zorderCellsFrom(rows.toDF("user_id", "value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+    // independent driver-side morton + total order
+    def spread(x: Long, off: Int): Long =
+      (0 until 9).map(i => ((x >> i) & 1L) << (2 * i + off)).reduce(_ | _)
+    val expected = rows.groupBy(identity).toSeq.map { case ((u, v), g) =>
+      val vb = math.floor(v / 8).toLong
+      (spread(u, 0) | spread(vb, 1), u, vb, g.size.toLong)
+    }.sortBy(t => (t._1, t._2, t._3)).take(100)
+
+    assert(got == expected)
+    // the cut must actually exercise collisions: distinct users mapping
+    // to one zcell inside the top 100
+    assert(got.groupBy(_._1).values.exists(_.map(_._2).distinct.size > 1),
+      "top-100 contains no zcell collisions — fixture regression")
+  }
 }
