@@ -154,6 +154,14 @@ object SparkEntry {
     "q_bpe_pairs"       -> (AdvancedTextQueries.qBpePairs _),
     "q_bpe_merges"      -> (AdvancedTextQueries.qBpeMerges _),
     "q_bpe_encode"      -> (AdvancedTextQueries.qBpeEncode _),
+    // unicode twins of the pipeline-critical text chain (VERDICT r7
+    // item 1): same plans over tokensUnicode on the manufactured
+    // multi-script view — see UnicodeTextQueries
+    "q_dedup_near_unicode"    -> (UnicodeTextQueries.qDedupNearUnicode _),
+    "q_dedup_minhash_unicode" -> (UnicodeTextQueries.qDedupMinhashUnicode _),
+    "q_tfidf_unicode"         -> (UnicodeTextQueries.qTfidfUnicode _),
+    "q_ngram_jaccard_unicode" -> (UnicodeTextQueries.qNgramJaccardUnicode _),
+    "q_bpe_encode_unicode"    -> (UnicodeTextQueries.qBpeEncodeUnicode _),
     "q_source_overlap"  -> (AdvancedTextQueries.qSourceOverlap _),
     "q_lang_id"         -> (AdvancedTextQueries.qLangId _),
     "q_fuzzy_match"     -> (AdvancedTextQueries.qFuzzyMatch _),
@@ -578,15 +586,27 @@ object SparkEntry {
     * BpeMergesSql reads the merge table off it, BpeEncodeSql applies
     * the same merges to every document's token stream.
     */
-  private def bpeChainSql: String = {
+  private def bpeChainSql: String = bpeChainSqlWith(AsciiTokSql)
+
+  /** DuckDB token-stream expressions the text oracles build on: the
+    * ASCII-by-contract tokenizer and the unicode twin (manufactured
+    * multi-script text + `[^\p{L}]+`, the q_wordcount_unicode recipe).
+    */
+  private val AsciiTokSql =
+    "string_split_regex(lower(text), '[^a-z]+')"
+  private val UnicodeTokSql =
+    """string_split_regex(lower(translate(lower(text), 'aeiou', 'αєиωю')),
+      |      '[^\p{L}]+')""".stripMargin
+
+  private def bpeChainSqlWith(tokSql: String): String = {
     val k = operators.AdvancedTextQueries.BpeMergeRounds
     val head =
-      """WITH v1 AS (
-        |  SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s, cnt
+      s"""WITH v1 AS (
+        |  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s, cnt
         |  FROM (
         |    SELECT t AS word, count(*) AS cnt FROM (
         |      SELECT unnest(list_filter(
-        |        string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t
+        |        $tokSql, x -> x <> '')) AS t
         |      FROM documents) tok
         |    GROUP BY t) wc)""".stripMargin
     val rounds = (1 to k).map { r =>
@@ -1377,7 +1397,15 @@ object SparkEntry {
     * occurrence (same two-pass boundary replace as training), then
     * per-document symbol counts — the encode half of the BPE story.
     */
-  private val BpeEncodeSql: String = {
+  private val BpeEncodeSql: String = bpeEncodeSqlWith(AsciiTokSql)
+
+  /** The encode oracle over the unicode token stream — merges train on
+    * the same stream (bpeChainSqlWith), mirroring
+    * UnicodeTextQueries.qBpeEncodeUnicode's tokenizer-tagged model.
+    */
+  private val BpeEncodeUnicodeSql: String = bpeEncodeSqlWith(UnicodeTokSql)
+
+  private def bpeEncodeSqlWith(tokSql: String): String = {
     val k = operators.AdvancedTextQueries.BpeMergeRounds
     val encodeRounds = (1 to k).map { r =>
       s"""e$r AS (
@@ -1389,10 +1417,10 @@ object SparkEntry {
          |      ' ' || b.left_sym || b.right_sym || ' ') AS s
          |  FROM e${r - 1} e CROSS JOIN best$r b)""".stripMargin
     }.mkString(",\n")
-    bpeChainSql + ",\n" +
+    bpeChainSqlWith(tokSql) + ",\n" +
       s"""toks AS (
          |  SELECT doc_id, lang, unnest(list_filter(
-         |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+         |    $tokSql, x -> x <> '')) AS word
          |  FROM documents),
          |e0 AS (
          |  SELECT doc_id, lang, word,
@@ -1594,6 +1622,67 @@ object SparkEntry {
         |ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_diversity_sample" -> DiversitySampleSql,
     "q_bpe_encode" -> BpeEncodeSql,
+    "q_bpe_encode_unicode" -> BpeEncodeUnicodeSql,
+    // unicode dedup-chain twins: identical algebra to the ASCII
+    // originals with the manufactured multi-script token stream
+    // (the q_wordcount_unicode recipe)
+    "q_dedup_near_unicode" ->
+      s"""SELECT min(doc_id) AS canonical_doc_id, count(*) AS group_size
+         |FROM (
+         |  SELECT doc_id,
+         |    array_to_string(list_sort(list_distinct(list_filter(
+         |      $UnicodeTokSql, x -> x <> ''))), ' ') AS signature
+         |  FROM documents) t
+         |GROUP BY signature ORDER BY canonical_doc_id NULLS FIRST""".stripMargin,
+    "q_dedup_minhash_unicode" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, concat_ws('|',
+         |    list_min(list_transform(toks, t -> md5('s1:' || t))),
+         |    list_min(list_transform(toks, t -> md5('s2:' || t))),
+         |    list_min(list_transform(toks, t -> md5('s3:' || t))),
+         |    list_min(list_transform(toks, t -> md5('s4:' || t)))) AS signature
+         |  FROM (SELECT doc_id, list_distinct(list_filter(
+         |          $UnicodeTokSql, x -> x <> '')) AS toks
+         |        FROM documents) d)
+         |SELECT min(doc_id) AS canonical_doc_id, count(*) AS group_size
+         |FROM sigs GROUP BY signature
+         |ORDER BY canonical_doc_id NULLS FIRST""".stripMargin,
+    "q_tfidf_unicode" ->
+      s"""SELECT word, count(DISTINCT doc_id) AS df,
+         |  round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) /
+         |        count(DISTINCT doc_id)), 6) + 0.0 AS idf
+         |FROM (
+         |  SELECT doc_id, unnest($UnicodeTokSql) AS word
+         |  FROM documents) t
+         |WHERE word <> '' GROUP BY word
+         |ORDER BY df DESC, word ASC LIMIT 50""".stripMargin,
+    "q_ngram_jaccard_unicode" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, list_filter(
+         |    $UnicodeTokSql, x -> x <> '') AS toks
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id, CASE WHEN len(toks) >= 3
+         |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |    ELSE [] END AS s
+         |  FROM docs
+         |), ex0 AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |ex AS (
+         |  SELECT doc_id, sh FROM (
+         |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df
+         |    FROM ex0)
+         |  WHERE df <= 1000),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS shared
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_id_1, doc_id_2,
+         |  round(shared * 1.0 / (x.n + y.n - shared), 6) + 0.0 AS jaccard
+         |FROM pairs JOIN sz x ON doc_id_1 = x.doc_id JOIN sz y ON doc_id_2 = y.doc_id
+         |WHERE round(shared * 1.0 / (x.n + y.n - shared), 6) + 0.0 >= 0.5
+         |ORDER BY doc_id_1 NULLS FIRST, doc_id_2 NULLS FIRST""".stripMargin,
     "q_bm25" -> Bm25Sql,
     "q_ewma" -> EwmaSql,
     "q_embed_centroid" ->

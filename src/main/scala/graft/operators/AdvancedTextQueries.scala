@@ -190,8 +190,9 @@ object AdvancedTextQueries {
   def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(spark, sfDir), ShingleDfCap)
 
-  def ngramJaccardPairs(docs: DataFrame, dfCap: Int): DataFrame =
-    sharedShingleCounts(docs, dfCap)
+  def ngramJaccardPairs(docs: DataFrame, dfCap: Int,
+      tok: Column => Column = tokens): DataFrame =
+    sharedShingleCounts(docs, dfCap, tok)
       .withColumn("jaccard",
         round(col("shared").cast("double") /
           (col("n1") + col("n2") - col("shared")), 6) + lit(0.0))
@@ -224,7 +225,8 @@ object AdvancedTextQueries {
     * at least one ≤dfCap-frequency trigram shingle — the common core of
     * the Jaccard and containment pair generators.
     */
-  private def sharedShingleCounts(docs: DataFrame, dfCap: Int): DataFrame = {
+  private def sharedShingleCounts(docs: DataFrame, dfCap: Int,
+      tok: Column => Column = tokens): DataFrame = {
     // SINGLE-SCAN plan. The earlier formulation derived per-doc
     // shingle counts as a separate aggregate joined onto the pairs
     // twice — exchange reuse does NOT cover a three-consumer shape, so
@@ -239,7 +241,7 @@ object AdvancedTextQueries {
     // → Ex(sh) → df window + pair explode → Ex(pair) → Jaccard.
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val shingled = docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), posexplode(tok(col("text"))).as(Seq("pos", "t")))
       .withColumn("t1", lead(col("t"), 1).over(wDoc))
       .withColumn("t2", lead(col("t"), 2).over(wDoc))
       .filter(col("t2").isNotNull)
@@ -887,12 +889,22 @@ object AdvancedTextQueries {
     * driver state — exactly what a tokenizer trainer would persist.
     */
   private val bpeModelMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), Seq[(Int, String, String, Long)]]()
+    (String, Int, String), Seq[(Int, String, String, Long)]]()
 
   private def bpeMergeTable(spark: SparkSession, sfDir: String,
       k: Int): Seq[(Int, String, String, Long)] =
-    bpeModelMemo.computeIfAbsent((sfDir, k),
-      _ => trainBpeMerges(spark, Tables.documents(spark, sfDir), k))
+    bpeMergeTableFor(spark, sfDir, k, "ascii",
+      () => Tables.documents(spark, sfDir), tokens)
+
+  /** Tokenizer-tagged variant — the unicode twin memoizes its own
+    * table under a distinct tag so the two corpora views never share
+    * a model.
+    */
+  private[operators] def bpeMergeTableFor(spark: SparkSession, sfDir: String,
+      k: Int, tag: String, docs: () => DataFrame,
+      tok: Column => Column): Seq[(Int, String, String, Long)] =
+    bpeModelMemo.computeIfAbsent((sfDir, k, tag),
+      _ => trainBpeMerges(spark, docs(), k, tok))
 
   private def mergeTableDf(spark: SparkSession,
       merges: Seq[(Int, String, String, Long)]): DataFrame = {
@@ -910,10 +922,10 @@ object AdvancedTextQueries {
     mergeTableDf(spark, trainBpeMerges(spark, docs, k))
 
   /** The k-round trainer; returns the merge table as driver state. */
-  private def trainBpeMerges(spark: SparkSession, docs: DataFrame,
-      k: Int): Seq[(Int, String, String, Long)] = {
+  private[operators] def trainBpeMerges(spark: SparkSession, docs: DataFrame,
+      k: Int, tok: Column => Column = tokens): Seq[(Int, String, String, Long)] = {
     var v = docs
-      .select(explode(tokens(col("text"))).as("word"))
+      .select(explode(tok(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       // " h e l l o " — every symbol surrounded by spaces so a merge
       // is a literal substring replace
@@ -978,8 +990,9 @@ object AdvancedTextQueries {
       .map { case (_, l, r, _) => (l, r) })
 
   /** Encode-only half: apply a trained merge table in training order. */
-  private def encodeWith(docs: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
+  private[operators] def encodeWith(docs: DataFrame,
+      merges: Seq[(String, String)],
+      tok: Column => Column = tokens): DataFrame = {
     val spaced = concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
     val encoded = merges.foldLeft(spaced) { case (c, (l, r)) =>
       val pat = lit(s" $l $r ")
@@ -988,7 +1001,7 @@ object AdvancedTextQueries {
     }
     docs
       .select(col("doc_id"), col("lang"),
-        explode(tokens(col("text"))).as("word"))
+        explode(tok(col("text"))).as("word"))
       .select(col("doc_id"), col("lang"), col("word"),
         size(filter(split(encoded, " "), x => x =!= ""))
           .cast("long").as("n_sym"))

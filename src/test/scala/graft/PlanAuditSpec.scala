@@ -26,6 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * any scale, nothing pairwise about it.
     */
   private val scalarBroadcasts = Set("q_tfidf",
+    // the unicode twin — same 1-row corpus-size broadcast as q_tfidf
+    "q_tfidf_unicode",
     // corpus token total N entering the ≥1% threshold as a 1-row
     // broadcast — same shape as tfidf's N
     "q_heavy_hitters",
