@@ -340,6 +340,42 @@ object ScaleSmoke {
       }
     }
 
+    // ---- Incremental MinHash band ledger: per-batch cost vs ledger size ----
+    // Each batch is ONE disjoint-token replica of the base corpus (same
+    // batch size every run); the ledger's band index grows by one batch
+    // per row. MinHashLedger's contract is per-batch cost proportional
+    // to the BATCH plus matching buckets — flat seconds down the column
+    // as ledger_rows_before grows 6x. Disjoint token spaces keep
+    // cross-batch pairs at zero, so pairs_out isolates each batch's
+    // internal near-dup structure (identical every run — a constancy
+    // check on the probe itself).
+    sb.append("\n## Incremental MinHash band ledger (per-batch cost vs ledger size)\n\n")
+    sb.append("Same-size batches ingested sequentially; flat seconds while ")
+    sb.append("ledger_rows_before grows = per-batch cost tracks the batch, ")
+    sb.append("not the accumulated corpus.\n\n")
+    sb.append("| batch | ledger_rows_before | pairs_out | seconds |\n|---|---|---|---|\n")
+    val mhLedger = "scale_minhash_ledger"
+    MinHashLedger.init(spark, mhLedger)
+    val mhRoot = Files.createTempDirectory("mh_ledger_scale_")
+    def replicaSlice(i: Int): DataFrame = {
+      val tag = ('a' + i % 26).toChar.toString + ('a' + i / 26).toChar
+      base.select(
+        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "([a-z]+)", s"$$1x$tag").as("text"))
+    }
+    timeNoop(MinHashLedger.bandRows(replicaSlice(0))) // warm the sig path
+    for (i <- 0 until 6) {
+      val before = spark.table(mhLedger).count()
+      val t0 = System.nanoTime()
+      val pairs = MinHashLedger.ingest(spark, replicaSlice(i), mhLedger,
+        s"$mhRoot/run$i")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val line = f"| ${i + 1} | $before | ${pairs.count()} | $sec%.1f |"
+      println(s"[scale] $line")
+      sb.append(line + "\n")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $mhLedger")
+
     // ---- K-means: Lloyd rounds over the same jittered replicas ----
     // Each round is ONE scan (literal-centroid assignment projection)
     // plus ONE k x dim-cell agg whose result is the next model, so

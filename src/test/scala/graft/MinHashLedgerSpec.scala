@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{MinHashLedger, MinHashLsh}
+
+/** Incremental MinHash-LSH: ingesting the corpus in batches must
+  * surface exactly the one-shot LSH candidate pair set (each pair
+  * found by whichever member arrives later probing the band ledger),
+  * with per-batch work that never rescans prior corpora.
+  */
+class MinHashLedgerSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  test("batch-ingest union equals the full-corpus LSH candidate pair set") {
+    val ledger = "minhash_ledger_t"
+    MinHashLedger.init(spark, ledger)
+    try {
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val oneShot = MinHashLsh.candidatePairs(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(oneShot.nonEmpty, "fixture must contain near-dup candidates")
+
+      val incremental = (0 until 3).flatMap { b =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+        MinHashLedger.ingest(spark, batch, ledger,
+          Files.createTempDirectory(s"mh_ledger_run${b}_").toString)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      // no batch may emit a pair twice across runs (append-monotone)
+      assert(incremental.distinct.length == incremental.length,
+        "a pair was emitted by more than one batch")
+      assert(incremental.toSet == oneShot)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $ledger")
+  }
+
+  test("signature-estimated Jaccard: identical docs estimate 1.0; bounds hold") {
+    import spark.implicits._
+    val ledger = "minhash_ledger_est_t"
+    MinHashLedger.init(spark, ledger)
+    try {
+      val run1 = Seq((1L, "alpha beta gamma delta"), (2L, "zeta eta theta iota"))
+        .toDF("doc_id", "text")
+      val out1 = MinHashLedger.ingest(spark, run1, ledger,
+        Files.createTempDirectory("mh_est_run1_").toString)
+      assert(out1.count() == 0, "disjoint docs must not collide")
+
+      // run 2: an exact dup of doc 1 and a 3/5-overlap neighbor
+      val run2 = Seq(
+        (10L, "alpha beta gamma delta"),
+        (11L, "alpha beta gamma kappa lambda")).toDF("doc_id", "text")
+      val out2 = MinHashLedger.ingest(spark, run2, ledger,
+        Files.createTempDirectory("mh_est_run2_").toString).collect()
+      val est = out2.map(r =>
+        (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(est((1L, 10L)) == 1.0,
+        "identical token sets share every minhash slot")
+      est.values.foreach(e => assert(e >= 0.0 && e <= 1.0))
+      // the exact dup must also be found across runs at all, through
+      // the LEDGER (doc 1 was ingested in run 1)
+      assert(est.contains((1L, 10L)))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $ledger")
+  }
+
+  test("hot-bucket cap: an over-cap bucket emits no pairs for the batch") {
+    import spark.implicits._
+    val ledger = "minhash_ledger_cap_t"
+    MinHashLedger.init(spark, ledger)
+    try {
+      // 8 identical docs: every (band, bucket) holds all 8
+      val batch = (1L to 8L).map(i => (i, "same text every time"))
+        .toDF("doc_id", "text")
+      val capped = MinHashLedger.candidatePairsAgainst(
+        spark, batch, ledger, bucketCap = 4)
+      assert(capped.count() == 0)
+      val uncapped = MinHashLedger.candidatePairsAgainst(
+        spark, batch, ledger, bucketCap = 100)
+      assert(uncapped.count() == 8L * 7 / 2)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $ledger")
+  }
+}
