@@ -242,19 +242,21 @@ object JoinQueries {
     * (`spark.sql.optimizer.runtime.bloomFilter.enabled`), which injects
     * it automatically when the creation side is selective — kept off in
     * the session so the demonstrated plan is explicit, not planner-
-    * dependent. The `count()` is a driver scalar sizing the filter.
+    * dependent. The prune runs on the NATIVE BloomFilterMightContain
+    * expression (graft.functions.BloomPrune), so it codegens inside
+    * the fact scan's WholeStageCodegen span; the filter binary is the
+    * one driver-side model value (built by BloomFilterAggregate on
+    * executors — the `count()` is a driver scalar sizing it).
     */
   def qJoinBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val dim = Tables.part(spark, sfDir)
       .filter(col("p_size") <= 5)
       .select("p_partkey", "p_brand")
-    val bf = dim.stat.bloomFilter("p_partkey", math.max(dim.count(), 1000L), 0.01)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightMatch = udf((k: java.lang.Long) =>
-      k != null && bfB.value.mightContainLong(k))
+    val bf = graft.functions.BloomPrune.bloomBinary(
+      dim, col("p_partkey"), dim.count(), 0.01)
     Tables.lineitem(spark, sfDir)
       .select("l_partkey", "l_quantity")
-      .filter(mightMatch(col("l_partkey")))
+      .filter(graft.functions.BloomPrune.mightContain(bf, col("l_partkey")))
       .join(dim, col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(

@@ -422,11 +422,12 @@ object TextQueries {
       probeDocs: DataFrame, fpp: Double = 0.01): DataFrame = {
     val probeSh = AdvancedTextQueries.shingleRows(probeDocs)
       .select("sh").distinct()
-    val bf = probeSh.stat.bloomFilter("sh", math.max(probeSh.count(), 1000L), fpp)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((s: String) => s != null && bfB.value.mightContain(s))
+    // native BloomFilterAggregate/MightContain (BloomPrune): the probe
+    // codegens inside the corpus shingle stream's stage, no UDF boundary
+    val bf = graft.functions.BloomPrune.bloomBinary(
+      probeSh, col("sh"), probeSh.count(), fpp)
     val contaminated = AdvancedTextQueries.shingleRows(corpus)
-      .filter(mightContain(col("sh")))
+      .filter(graft.functions.BloomPrune.mightContain(bf, col("sh")))
       .join(probeSh, Seq("sh"), "left_semi")
       .select("doc_id").distinct()
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
