@@ -800,6 +800,12 @@ object TimeSeriesQueries {
     * within each reified frame; the frame membership is pure date
     * arithmetic.
     *
+    * Frame semantics: trailing-7-CALENDAR-day membership (date
+    * arithmetic), but a row only emits where n_window == 7 — on a
+    * series with gap days those windows are skipped rather than
+    * silently spanning more days (qRsi documents the contrasting
+    * present-days-only row-frame choice).
+    *
     * Scale: fan-out is exactly 7 APPLIED AFTER the |types|×|days|
     * fold, so the reified stream is 7× the daily grid, not the
     * corpus; one (type, day) window ranks each 7-row frame.
