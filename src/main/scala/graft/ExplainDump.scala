@@ -72,7 +72,10 @@ object ExplainDump {
     "q_hist2d", "q_seasonal_strength", "q_supplier_balance",
     "q_brand_prices", "q_user_activity_hist", "q_embed_dedup_sweep",
     "q_cond_entropy", "q_growth_accounting", "q_brand_returns",
-    "q_discount_revenue", "q_lines_per_order", "q_corpus_summary")
+    "q_discount_revenue", "q_lines_per_order", "q_corpus_summary",
+    // round-8 unicode twins of the dedup/tf-idf/BPE chain
+    "q_dedup_near_unicode", "q_dedup_minhash_unicode",
+    "q_ngram_jaccard_unicode", "q_tfidf_unicode", "q_bpe_encode_unicode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
