@@ -90,6 +90,28 @@ object MinHashLedger {
     spark.read.parquet(s"$runDir/pairs")
   }
 
+  /** Rewrite the ledger without duplicate (bkey, doc_id) rows. A
+    * crashed-and-retried batch re-appends its band rows blindly
+    * (at-least-once append is the cheap, lock-free contract — pair
+    * output stays correct because emission dedupes per pair, and the
+    * signature per (bkey, doc_id) is deterministic so duplicates are
+    * bit-identical). What duplicates DO cost is ledger bloat and df
+    * inflation toward `bucketCap`; a periodic compaction restores
+    * minimality. The distinct fold materializes to `tmpDir` first —
+    * a bucketed table cannot be overwritten from a plan that reads it.
+    */
+  def compact(spark: SparkSession, ledgerTable: String,
+      tmpDir: String): Unit = {
+    spark.table(ledgerTable)
+      .groupBy("bkey", "doc_id").agg(min(col("sig")).as("sig"))
+      .write.mode(SaveMode.Overwrite).parquet(tmpDir)
+    spark.read.parquet(tmpDir)
+      .select("bkey", "doc_id", "sig")
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(NBuckets, "bkey").sortBy("bkey")
+      .saveAsTable(ledgerTable)
+  }
+
   /** The pre-append probe plan ingest materializes — exposed so tests
     * can audit it (and its scan set: this batch plus the band ledger,
     * never prior corpora).

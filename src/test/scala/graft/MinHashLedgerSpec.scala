@@ -63,6 +63,35 @@ class MinHashLedgerSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $ledger")
   }
 
+  test("retried batch appends are compactable; probe results unchanged") {
+    import spark.implicits._
+    val ledger = "minhash_ledger_retry_t"
+    MinHashLedger.init(spark, ledger)
+    try {
+      val run1 = Seq((1L, "alpha beta gamma delta"), (2L, "zeta eta theta"))
+        .toDF("doc_id", "text")
+      MinHashLedger.ingest(spark, run1, ledger,
+        Files.createTempDirectory("mh_retry_run1_").toString)
+      val clean = spark.table(ledger).count()
+      // simulate a crashed-then-retried batch: blind re-append
+      MinHashLedger.ingest(spark, run1, ledger,
+        Files.createTempDirectory("mh_retry_run1b_").toString)
+      assert(spark.table(ledger).count() == 2 * clean)
+
+      val probe = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      val before = MinHashLedger.candidatePairsAgainst(spark, probe, ledger)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      MinHashLedger.compact(spark, ledger,
+        Files.createTempDirectory("mh_retry_compact_").toString)
+      assert(spark.table(ledger).count() == clean,
+        "compaction must restore one row per (bkey, doc_id)")
+      val after = MinHashLedger.candidatePairsAgainst(spark, probe, ledger)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(after == before && after.exists(_._1 == 1L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $ledger")
+  }
+
   test("hot-bucket cap: an over-cap bucket emits no pairs for the batch") {
     import spark.implicits._
     val ledger = "minhash_ledger_cap_t"
