@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{ClusterLedger, GraphOps, MinHashLedger, MinHashLsh}
+
+/** Incremental components must equal the full recompute — both on an
+  * adversarial synthetic delta sequence (cluster merges ACROSS
+  * batches, including a merge of two previously-separate old
+  * clusters) and through the real MinHashLedger batch flow on the
+  * fixture corpus.
+  */
+class ClusterLedgerSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+  import spark.implicits._
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("synthetic deltas: late edges merge old clusters to the true min-label") {
+    val t = "cluster_ledger_syn_t"
+    ClusterLedger.init(spark, t)
+    try {
+      // batch 1: {1,2} and {5,6} form two clusters, 9 isolated
+      val out1 = ClusterLedger.ingest(spark,
+        Seq(1L, 2L, 5L, 6L, 9L).toDF("id"),
+        Seq((1L, 2L), (5L, 6L)).toDF("src", "dst"),
+        t, Files.createTempDirectory("cl_syn1_").toString)
+      assert(labelsOf(out1) ==
+        Set((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 9L)))
+
+      // batch 2: new doc 12 chains the TWO old clusters together
+      // (2—12, 12—5) — the old {5,6} cluster must fall to label 1
+      // even though no delta edge touches 6 directly
+      val out2 = ClusterLedger.ingest(spark,
+        Seq(12L).toDF("id"),
+        Seq((2L, 12L), (12L, 5L)).toDF("src", "dst"),
+        t, Files.createTempDirectory("cl_syn2_").toString)
+      assert(labelsOf(out2) ==
+        Set((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L), (9L, 9L), (12L, 1L)))
+
+      // equals the one-shot recompute over all edges + isolated ids
+      val full = GraphOps.connectedComponents(
+        Seq((1L, 2L), (5L, 6L), (2L, 12L), (12L, 5L)).toDF("src", "dst"))
+      val fullSet = labelsOf(full) + ((9L, 9L))
+      assert(labelsOf(spark.table(t)) == fullSet)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("fixture corpus through the ledger flow equals one-shot clusters") {
+    val near = "cluster_ledger_near_t"
+    val clus = "cluster_ledger_labels_t"
+    MinHashLedger.init(spark, near)
+    ClusterLedger.init(spark, clus)
+    try {
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      for (b <- 0 until 3) {
+        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+        val pairs = MinHashLedger.ingest(spark, batch, near,
+          Files.createTempDirectory(s"cl_near${b}_").toString)
+        ClusterLedger.ingest(spark,
+          batch.select(col("doc_id").as("id")),
+          pairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")),
+          clus, Files.createTempDirectory(s"cl_lab${b}_").toString)
+      }
+      val oneShotPairs = MinHashLsh.candidatePairs(docs)
+        .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+      val oneShot = GraphOps.connectedComponents(oneShotPairs)
+      // docs in no pair are self-labeled in the ledger; one-shot CC
+      // only covers paired docs — compare on the paired universe and
+      // check the rest are self-labeled
+      val incr = labelsOf(spark.table(clus))
+      val oneShotSet = labelsOf(oneShot)
+      val pairedIds = oneShotSet.map(_._1)
+      assert(incr.filter(t => pairedIds(t._1)) == oneShotSet)
+      assert(incr.filterNot(t => pairedIds(t._1)).forall(t => t._1 == t._2))
+      assert(incr.map(_._1) ==
+        docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $near")
+      spark.sql(s"DROP TABLE IF EXISTS $clus")
+    }
+  }
+}
