@@ -357,10 +357,16 @@ object ScaleSmoke {
     sb.append("not the accumulated corpus. pairs_out varies a few percent ")
     sb.append("between batches because LSH candidates are hash-dependent ")
     sb.append("(each disjoint-token replica draws fresh minhashes); ")
-    sb.append("cross-batch bucket collisions are chance-level.\n\n")
-    sb.append("| batch | ledger_rows_before | pairs_out | seconds |\n|---|---|---|---|\n")
+    sb.append("cross-batch bucket collisions are chance-level. ")
+    sb.append("cluster_fold_seconds is the SAME batch's pairs folded into ")
+    sb.append("the incremental component labels (ClusterLedger): a ")
+    sb.append("delta-sized CC + broadcast remap + the narrow two-long-per-doc ")
+    sb.append("label rewrite — flat-to-slowly-linear as admitted docs grow.\n\n")
+    sb.append("| batch | ledger_rows_before | pairs_out | probe_seconds | cluster_fold_seconds |\n|---|---|---|---|---|\n")
     val mhLedger = "scale_minhash_ledger"
+    val clLedger = "scale_cluster_ledger"
     MinHashLedger.init(spark, mhLedger)
+    ClusterLedger.init(spark, clLedger)
     val mhRoot = Files.createTempDirectory("mh_ledger_scale_")
     def replicaSlice(i: Int): DataFrame = {
       val tag = ('a' + i % 26).toChar.toString + ('a' + i / 26).toChar
@@ -370,16 +376,30 @@ object ScaleSmoke {
     }
     timeNoop(MinHashLedger.bandRows(replicaSlice(0))) // warm the sig path
     for (i <- 0 until 6) {
+      val batch = replicaSlice(i)
       val before = spark.table(mhLedger).count()
       val t0 = System.nanoTime()
-      val pairs = MinHashLedger.ingest(spark, replicaSlice(i), mhLedger,
+      val pairs = MinHashLedger.ingest(spark, batch, mhLedger,
         s"$mhRoot/run$i")
       val sec = (System.nanoTime() - t0) / 1e9
-      val line = f"| ${i + 1} | $before | ${pairs.count()} | $sec%.1f |"
+      // fold the batch's pairs into the incremental cluster labels:
+      // the delta CC runs on the pair-collapsed super-node graph; its
+      // cost must track the DELTA (pairs_out is ~constant per batch),
+      // with the label-table rewrite the only corpus-linear term (two
+      // longs per admitted doc)
+      val t1 = System.nanoTime()
+      ClusterLedger.ingest(spark,
+        batch.select(col("doc_id").as("id")),
+        pairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")),
+        clLedger, s"$mhRoot/cluster$i")
+      val clSec = (System.nanoTime() - t1) / 1e9
+      val line =
+        f"| ${i + 1} | $before | ${pairs.count()} | $sec%.1f | $clSec%.1f |"
       println(s"[scale] $line")
       sb.append(line + "\n")
     }
     spark.sql(s"DROP TABLE IF EXISTS $mhLedger")
+    spark.sql(s"DROP TABLE IF EXISTS $clLedger")
 
     // ---- K-means: Lloyd rounds over the same jittered replicas ----
     // Each round is ONE scan (literal-centroid assignment projection)
