@@ -159,6 +159,7 @@ object SparkEntry {
     // multi-script view — see UnicodeTextQueries
     "q_dedup_near_unicode"    -> (UnicodeTextQueries.qDedupNearUnicode _),
     "q_dedup_minhash_unicode" -> (UnicodeTextQueries.qDedupMinhashUnicode _),
+    "q_dedup_simhash_unicode" -> (UnicodeTextQueries.qDedupSimhashUnicode _),
     "q_tfidf_unicode"         -> (UnicodeTextQueries.qTfidfUnicode _),
     "q_ngram_jaccard_unicode" -> (UnicodeTextQueries.qNgramJaccardUnicode _),
     "q_bpe_encode_unicode"    -> (UnicodeTextQueries.qBpeEncodeUnicode _),
@@ -346,7 +347,10 @@ object SparkEntry {
   /** Shared DuckDB WITH-prefix computing the 16-bit simhash signature
     * table `sig(doc_id, simhash)` — used by both simhash oracles.
     */
-  private val SimhashSigCte: String = {
+  private val SimhashSigCte: String = simhashSigCteWith(
+    "string_split_regex(lower(text), '[^a-z]+')")
+
+  private def simhashSigCteWith(tokSql: String): String = {
     val bitSums = (0 until 16).map(j =>
       s"    sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
       .mkString(",\n")
@@ -355,7 +359,7 @@ object SparkEntry {
     s"""WITH tok AS (
        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::BIGINT AS h FROM (
        |    SELECT doc_id, unnest(list_filter(
-       |      string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t
+       |      $tokSql, x -> x <> '')) AS t
        |    FROM documents) u
        |), bits AS (
        |  SELECT doc_id,
@@ -1761,6 +1765,10 @@ object SparkEntry {
         |ORDER BY user_id NULLS FIRST, day NULLS FIRST""".stripMargin,
     "q_salted_join" -> JoinInnerSql,
     "q_dedup_simhash" -> (SimhashSigCte + "\n" +
+      """SELECT simhash, min(doc_id) AS canonical_doc_id, count(*) AS group_size
+        |FROM sig GROUP BY simhash
+        |ORDER BY canonical_doc_id NULLS FIRST""".stripMargin),
+    "q_dedup_simhash_unicode" -> (simhashSigCteWith(UnicodeTokSql) + "\n" +
       """SELECT simhash, min(doc_id) AS canonical_doc_id, count(*) AS group_size
         |FROM sig GROUP BY simhash
         |ORDER BY canonical_doc_id NULLS FIRST""".stripMargin),

@@ -59,18 +59,19 @@ object AdvancedTextQueries {
   /** (doc_id, simhash) — the 16-bit signature table both simhash
     * queries build on.
     */
-  private[graft] def simhashSigs(docs: DataFrame, width: Int = 16): DataFrame = {
+  private[graft] def simhashSigs(docs: DataFrame, width: Int = 16,
+      tok: Column => Column = tokens): DataFrame = {
     require(width > 0 && width <= 60,
       "signature width must be in [1, 60] bits (BIGINT-safe)")
     // ceil(width/4) md5 nibbles give >= width bits; only bits 0..width-1
     // feed the per-bit votes below, so no explicit mask is needed.
-    val tok = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val tokd = docs
+      .select(col("doc_id"), explode(tok(col("text"))).as("t"))
       .withColumn("h", md5Bits(col("t"), (width + 3) / 4))
     val bitSums = (0 until width).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
-    tok.groupBy("doc_id")
+    tokd.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until width).map(j =>

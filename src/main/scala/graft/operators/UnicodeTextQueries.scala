@@ -101,6 +101,19 @@ object UnicodeTextQueries {
     AdvancedTextQueries.ngramJaccardPairs(docsU(spark, sfDir),
       AdvancedTextQueries.ShingleDfCap, tokensUnicode)
 
+  /** q_dedup_simhash over unicode tokens — covers the one hash path
+    * the minhash twin doesn't: md5 hex → `conv(…,16,10)` integer bits
+    * (Spark) ≙ `('0x'||substr(md5,1,4))::BIGINT` (DuckDB) over
+    * multi-byte UTF-8 tokens, then the ±1 bit-vote algebra.
+    */
+  def qDedupSimhashUnicode(spark: SparkSession, sfDir: String): DataFrame =
+    AdvancedTextQueries.simhashSigs(docsU(spark, sfDir), 16, tokensUnicode)
+      .groupBy("simhash")
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("group_size"))
+      .select("simhash", "canonical_doc_id", "group_size")
+      .orderBy(asc_nulls_first("canonical_doc_id"))
+
   /** q_bpe_encode over the unicode view: merges trained on (and
     * memoized for) the multi-script corpus, applied to every unicode
     * token occurrence. Per-char spacing (`regexp_replace '(.)'`) and

@@ -69,6 +69,18 @@ class UnicodeChainSpec extends AnyFunSuite {
     assert(groups.length <= q("q_dedup_near_unicode").count())
   }
 
+  test("dedup_simhash: groups conserve docs; 16-bit signatures; text-dups collapse") {
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val rows = q("q_dedup_simhash_unicode").collect()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    rows.foreach(r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 16)))
+    // identical texts always share a signature, so there can never be
+    // more simhash groups than distinct texts
+    assert(rows.length <=
+      Tables.documents(spark, sfDir).select("text").distinct().count())
+  }
+
   test("bpe_encode: per-doc word/char counts invariant; compression sane") {
     val ascii = q("q_bpe_encode").collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
