@@ -75,7 +75,8 @@ object ExplainDump {
     "q_discount_revenue", "q_lines_per_order", "q_corpus_summary",
     // round-8 unicode twins of the dedup/tf-idf/BPE chain
     "q_dedup_near_unicode", "q_dedup_minhash_unicode",
-    "q_ngram_jaccard_unicode", "q_tfidf_unicode", "q_bpe_encode_unicode")
+    "q_dedup_simhash_unicode", "q_ngram_jaccard_unicode",
+    "q_tfidf_unicode", "q_bpe_encode_unicode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
