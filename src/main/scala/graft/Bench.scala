@@ -48,6 +48,16 @@ object Bench {
     // (q_unpivot 4.17s recorded vs 0.55s steady-state in a fresh JVM).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // BPE training cost, accounted explicitly: the merge table is
+    // memoized per (corpus, k, tokenizer) for the JVM's lifetime, so
+    // after this first run every q_bpe_merges/q_bpe_encode rep prices
+    // encode/apply only — the steady state a persisted tokenizer model
+    // gives a real pipeline, but NOT the cost of training itself. This
+    // very first execution (fresh JVM, memo empty) IS the cold train;
+    // record it so the artifact states train vs encode cost instead of
+    // hiding training inside whichever query touches the memo first.
+    val bpeTrainCold = run(SparkEntry.queries("q_bpe_merges"))
+    println(f"""{"metric":"cold","name":"bpe_train","sec":$bpeTrainCold%.3f}""")
     ordered.foreach { case (_, fn) => run(fn) }
 
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
@@ -93,7 +103,8 @@ object Bench {
         .mkString("{", ",", "}")
       val w = new java.io.PrintWriter("bench_full_last.json")
       try w.println(
-        f"""{"sf_dir":"$sfDir","total_min":$total%.3f,"total_med":$totalMed%.3f,"queries":$qjson}""")
+        f"""{"sf_dir":"$sfDir","total_min":$total%.3f,"total_med":$totalMed%.3f,""" +
+          f""""bpe_train_cold_sec":$bpeTrainCold%.3f,"queries":$qjson}""")
       finally w.close()
     } catch { case _: Throwable => () }
     // Stop Spark BEFORE the summary line so no shutdown logging can land

@@ -101,8 +101,55 @@ object ExplainDump {
       sb.append(qe.explainString(ExplainMode.fromString("formatted")))
       sb.append("```\n")
     }
+
+    // The incremental-ledger operators live OUTSIDE SparkEntry.queries
+    // (no-oracle, spec-proven), so their plans are dumped here against
+    // a small seeded ledger: the probe plan must show the pushed In
+    // filter on bkh (the point-lookup prune), the rewrite fold its
+    // delta-sized broadcast remap, the patch resolve its single
+    // broadcast join.
+    {
+      import org.apache.spark.sql.functions._
+      import graft.operators.{ClusterLedger, MinHashLedger}
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val seed = docs.filter(col("doc_id") % 2 === 0)
+      val probeBatch = docs.filter(col("doc_id") % 40 === 1).limit(25)
+      val mh = "explain_minhash_ledger"
+      val cl = "explain_cluster_ledger"
+      val clp = "explain_cluster_ledger_pa"
+      MinHashLedger.init(spark, mh)
+      ClusterLedger.init(spark, cl)
+      ClusterLedger.initPatch(spark, clp)
+      try {
+        val runDir = java.nio.file.Files
+          .createTempDirectory("explain_ledger_").toString
+        val pairs = MinHashLedger.ingest(spark, seed, mh, runDir)
+        val ids = seed.select(col("doc_id").as("id"))
+        val edges = pairs
+          .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+        ClusterLedger.ingest(spark, ids, edges, cl, s"$runDir/cl")
+        ClusterLedger.ingestPatch(spark, ids, edges, clp, s"$runDir/clp")
+        val ledgerPlans = Seq(
+          "minhash_ledger_probe (point-lookup pruned)" ->
+            MinHashLedger.candidatePairsAgainst(spark, probeBatch, mh),
+          "cluster_ledger_rewrite_fold" ->
+            ClusterLedger.updatedLabels(spark.table(cl),
+              probeBatch.select(col("doc_id").as("id")),
+              spark.table(cl).limit(4)
+                .select(col("id").as("src"), col("component").as("dst"))),
+          "cluster_ledger_patch_resolve" ->
+            ClusterLedger.resolvePatch(spark, clp))
+        ledgerPlans.foreach { case (name, df) =>
+          sb.append(s"\n## $name\n\n```\n")
+          sb.append(df.queryExecution
+            .explainString(ExplainMode.fromString("formatted")))
+          sb.append("```\n")
+        }
+      } finally Seq(mh, cl, clp, s"${clp}_patch")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
     Files.writeString(Paths.get(out), sb.toString)
-    println(s"[explain] wrote $out (${Headline.size} plans)")
+    println(s"[explain] wrote $out (${Headline.size} + 3 ledger plans)")
     spark.stop()
   }
 }

@@ -341,32 +341,50 @@ object ScaleSmoke {
     }
 
     // ---- Incremental MinHash band ledger: per-batch cost vs ledger size ----
-    // Each batch is ONE disjoint-token replica of the base corpus (same
-    // batch size every run); the ledger's band index grows by one batch
-    // per row. MinHashLedger's contract is per-batch cost proportional
-    // to the BATCH plus matching buckets — flat seconds down the column
-    // as ledger_rows_before grows 6x. Disjoint token spaces keep
-    // cross-batch bucket collisions to chance, so pairs_out is each
-    // batch's internal candidate structure; it varies a few percent
-    // between batches because LSH candidates are HASH-dependent (each
-    // replica's perturbed tokens draw fresh minhashes), not because
-    // the probe sees the ledger differently.
-    sb.append("\n## Incremental MinHash band ledger (per-batch cost vs ledger size)\n\n")
-    sb.append("Same-size batches ingested sequentially; flat seconds while ")
-    sb.append("ledger_rows_before grows = per-batch cost tracks the batch, ")
-    sb.append("not the accumulated corpus. pairs_out varies a few percent ")
-    sb.append("between batches because LSH candidates are hash-dependent ")
-    sb.append("(each disjoint-token replica draws fresh minhashes); ")
-    sb.append("cross-batch bucket collisions are chance-level. ")
-    sb.append("cluster_fold_seconds is the SAME batch's pairs folded into ")
-    sb.append("the incremental component labels (ClusterLedger): a ")
-    sb.append("delta-sized CC + broadcast remap + the narrow two-long-per-doc ")
-    sb.append("label rewrite — flat-to-slowly-linear as admitted docs grow.\n\n")
-    sb.append("| batch | ledger_rows_before | pairs_out | probe_seconds | cluster_fold_seconds |\n|---|---|---|---|---|\n")
+    // Each ingested batch is ONE disjoint-token half-replica of the base
+    // corpus (same batch size every run); the ledger's band index grows
+    // by one batch per row, 12x end to end. MinHashLedger's contract is
+    // per-batch cost proportional to the BATCH plus matching buckets.
+    // Two IO columns prove it:
+    //   - ingest_read_mb: bytes the ingest probe read. The batch's own
+    //     key set is pushed into the ledger scan as an In filter, so the
+    //     read is bounded by min(batch_keys, row_groups) x row-group
+    //     size — at this fixture scale a 10k-key batch touches most row
+    //     groups (pigeonhole), at production scale batch_keys << groups
+    //     and the bound is the batch's.
+    //   - probe64_read_mb: the pruning regime made visible — a FIXED
+    //     64-doc batch (256 band keys) probed after every ingest+compact
+    //     must read ~flat bytes while the ledger grows 12x (~256 sorted
+    //     row groups, LSM point lookups), where the r8 bucketed layout
+    //     read the WHOLE ledger.
+    // compact_sec is the LSM amortization (sorted-run fold), priced
+    // separately so probe and maintenance cost are not conflated.
+    // cluster_rw_write_mb vs cluster_pa_write_mb: the SAME batch's pairs
+    // folded into the incremental component labels by BOTH ClusterLedger
+    // modes — rewrite mode rewrites the whole label table (bytes grow
+    // with admitted docs), patch-append mode writes the delta + the
+    // touched-clusters patch map (bytes track the batch).
+    sb.append("\n## Incremental MinHash band ledger (per-batch IO vs ledger size)\n\n")
+    sb.append("Same-size batches ingested sequentially; the ledger grows 12x. ")
+    sb.append("probe64_read_mb is a FIXED 64-doc probe after each ingest+compact: ")
+    sb.append("~flat bytes = probe IO tracks the probe batch, not the corpus ")
+    sb.append("(In-pushdown point lookups over the bkh-sorted runs; the r8 ")
+    sb.append("layout re-read the whole ledger per batch). ingest_read_mb is ")
+    sb.append("bounded by min(batch_keys, row_groups) x row-group size; at this ")
+    sb.append("fixture scale a 10k-key batch touches most 256 KB row groups, at ")
+    sb.append("production scale batch_keys << row_groups. compact_sec is the ")
+    sb.append("amortized LSM sorted-run fold. cluster_rw/pa_write_mb compare ")
+    sb.append("ClusterLedger's rewrite vs patch-append folds of the same pairs: ")
+    sb.append("rewrite bytes grow with admitted docs, patch bytes track the ")
+    sb.append("delta.\n\n")
+    sb.append("| batch | ledger_rows_before | pairs_out | ingest_sec | ingest_read_mb | compact_sec | probe64_sec | probe64_read_mb | cluster_rw_write_mb | cluster_pa_write_mb |\n")
+    sb.append("|---|---|---|---|---|---|---|---|---|---|\n")
     val mhLedger = "scale_minhash_ledger"
     val clLedger = "scale_cluster_ledger"
+    val clLedgerPa = "scale_cluster_ledger_pa"
     MinHashLedger.init(spark, mhLedger)
     ClusterLedger.init(spark, clLedger)
+    ClusterLedger.initPatch(spark, clLedgerPa)
     val mhRoot = Files.createTempDirectory("mh_ledger_scale_")
     def replicaSlice(i: Int): DataFrame = {
       val tag = ('a' + i % 26).toChar.toString + ('a' + i / 26).toChar
@@ -374,32 +392,95 @@ object ScaleSmoke {
         (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
         regexp_replace(col("text"), "([a-z]+)", s"$$1x$tag").as("text"))
     }
-    timeNoop(MinHashLedger.bandRows(replicaSlice(0))) // warm the sig path
-    for (i <- 0 until 6) {
-      val batch = replicaSlice(i)
+    // half-replicas: 12 same-size batches instead of 6 so the ledger
+    // grows >10x within the same smoke budget (pair materialization,
+    // which scales with the fixture's dup density, dominates wall time)
+    def halfSlice(i: Int): DataFrame =
+      replicaSlice(i).filter(pmod(col("doc_id"), lit(2)) === 0)
+    // the FIXED probe: 64 docs from a replica tag never ingested
+    val fixedProbe = replicaSlice(20)
+      .orderBy("doc_id").limit(64).localCheckpoint(true)
+    timeNoop(MinHashLedger.bandRows(halfSlice(0))) // warm the sig path
+    for (i <- 0 until 12) {
+      val batch = halfSlice(i)
       val before = spark.table(mhLedger).count()
       val t0 = System.nanoTime()
-      val pairs = MinHashLedger.ingest(spark, batch, mhLedger,
-        s"$mhRoot/run$i")
+      val (pairs, ingestIo) = IoMeter.measure(spark) {
+        MinHashLedger.ingest(spark, batch, mhLedger, s"$mhRoot/run$i")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
-      // fold the batch's pairs into the incremental cluster labels:
-      // the delta CC runs on the pair-collapsed super-node graph; its
-      // cost must track the DELTA (pairs_out is ~constant per batch),
-      // with the label-table rewrite the only corpus-linear term (two
-      // longs per admitted doc)
-      val t1 = System.nanoTime()
-      ClusterLedger.ingest(spark,
-        batch.select(col("doc_id").as("id")),
-        pairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")),
-        clLedger, s"$mhRoot/cluster$i")
-      val clSec = (System.nanoTime() - t1) / 1e9
-      val line =
-        f"| ${i + 1} | $before | ${pairs.count()} | $sec%.1f | $clSec%.1f |"
-      println(s"[scale] $line")
+      val tc = System.nanoTime()
+      MinHashLedger.compact(spark, mhLedger, s"$mhRoot/compact$i")
+      val compactSec = (System.nanoTime() - tc) / 1e9
+      val tp = System.nanoTime()
+      val (probeCnt, probeIo) = IoMeter.measure(spark) {
+        MinHashLedger.candidatePairsAgainst(spark, fixedProbe, mhLedger)
+          .count()
+      }
+      val probeSec = (System.nanoTime() - tp) / 1e9
+      // fold the batch's pairs into the incremental cluster labels in
+      // BOTH modes; the delta CC cost tracks the DELTA, the write
+      // volumes are the two persistence contracts under comparison
+      val ids = batch.select(col("doc_id").as("id"))
+      val edges = pairs
+        .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+      val (_, rwIo) = IoMeter.measure(spark) {
+        ClusterLedger.ingest(spark, ids, edges, clLedger,
+          s"$mhRoot/cluster$i")
+      }
+      val (_, paIo) = IoMeter.measure(spark) {
+        ClusterLedger.ingestPatch(spark, ids, edges, clLedgerPa,
+          s"$mhRoot/clusterpa$i")
+      }
+      val line = f"| ${i + 1} | $before | ${pairs.count()} | $sec%.1f | " +
+        f"${ingestIo.readMb}%.1f | $compactSec%.1f | $probeSec%.1f | " +
+        f"${probeIo.readMb}%.1f | ${rwIo.writtenMb}%.1f | " +
+        f"${paIo.writtenMb}%.1f |"
+      println(s"[scale] $line (probe64 pairs=$probeCnt)")
       sb.append(line + "\n")
     }
+    // Byte-footprint evaluation (r8 ask): the ledger denormalizes the
+    // full signature onto every band row (x4 duplication at rest) so a
+    // probe never needs a second lookup; the alternative normalizes to
+    // narrow band rows + one (doc_id, sig) side table. Both written
+    // once from the final ledger and sized. The denormalized form is
+    // KEPT: at-rest duplication is parquet-columnar and row-group-
+    // pruned out of probe IO (the probe64 column above), while the
+    // normalized form would add a second corpus-sized point-lookup
+    // join (sig fetch) to every probe — the measured at-rest delta
+    // below is the price of keeping probes single-lookup.
+    def dirMb(path: String): Double = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else f.length
+      walk(new java.io.File(path)) / 1e6
+    }
+    val finalLedger = spark.table(mhLedger)
+    finalLedger.select("bkh", "bkey", "doc_id")
+      .write.mode("overwrite").parquet(s"$mhRoot/norm_bands")
+    finalLedger.select("doc_id", "sig").distinct()
+      .write.mode("overwrite").parquet(s"$mhRoot/norm_sigs")
+    val denormMb = dirMb(spark.sql(s"DESC FORMATTED $mhLedger")
+      .filter(col("col_name") === "Location")
+      .head().getString(1).stripPrefix("file:"))
+    sb.append(f"\nAt-rest footprint of the final ledger: denormalized " +
+      f"(sig on every band row, as shipped) ${denormMb}%.1f MB vs " +
+      f"normalized (bands ${dirMb(s"$mhRoot/norm_bands")}%.1f MB + " +
+      f"doc→sig side table ${dirMb(s"$mhRoot/norm_sigs")}%.1f MB). " +
+      "Denormalized is kept: probes stay single-lookup (no second " +
+      "corpus-sized sig fetch) and row-group pruning keeps the " +
+      "duplication out of probe IO (probe64_read_mb above).\n")
+
+    // the two modes must agree after the full sequence
+    val rwLabels = spark.table(clLedger)
+    val paLabels = ClusterLedger.resolvePatch(spark, clLedgerPa)
+    require(rwLabels.exceptAll(paLabels).isEmpty &&
+      paLabels.exceptAll(rwLabels).isEmpty,
+      "ClusterLedger rewrite and patch-append modes diverged")
     spark.sql(s"DROP TABLE IF EXISTS $mhLedger")
     spark.sql(s"DROP TABLE IF EXISTS $clLedger")
+    spark.sql(s"DROP TABLE IF EXISTS $clLedgerPa")
+    spark.sql(s"DROP TABLE IF EXISTS ${clLedgerPa}_patch")
 
     // ---- K-means: Lloyd rounds over the same jittered replicas ----
     // Each round is ONE scan (literal-centroid assignment projection)

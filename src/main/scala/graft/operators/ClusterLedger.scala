@@ -25,26 +25,69 @@ import org.apache.spark.sql.functions._
   * (ClusterLedgerSpec proves it pair-for-pair on the fixture corpus
   * through the real MinHashLedger batch flow).
   *
-  * Cost per batch: the delta CC (delta-sized), one broadcast-sized
-  * remap table (old-label → new-label, rows = touched clusters only),
-  * and one narrow rewrite of the (id, component) table — two longs
-  * per admitted doc, the unavoidable persistence floor. At a scale
-  * where even that rewrite hurts, the remap tables can instead be
-  * APPENDED as label patches and composed at read (labels are
-  * monotone decreasing, so patch composition is a min-fold); the
-  * rewrite form is chosen here because it keeps reads free.
+  * == Two persistence modes ==
+  *
+  * REWRITE mode ([[init]]/[[ingest]]): one narrow rewrite of the
+  * (id, component) table per batch — two longs per admitted doc.
+  * Reads are free (the table IS the answer), but per-batch write
+  * volume is corpus-linear: at billions of docs the rewrite dominates.
+  *
+  * PATCH-APPEND mode ([[initPatch]]/[[ingestPatch]]/[[resolvePatch]]):
+  * per-batch writes are proportional to the DELTA. The base label
+  * table is APPEND-ONLY — each batch appends its new docs labeled as
+  * of admission — and merges land in a separate, fully-resolved
+  * `<table>_patch` map (stale label → current label). Because labels
+  * are monotone decreasing and a stale label can never become current
+  * again (a cluster's label is its min member id; once remapped to a
+  * smaller min, the old min's cluster contains that smaller id
+  * forever), the patch map composes by a single substitution pass per
+  * batch — no chains survive — and a read resolves with ONE
+  * broadcast-join: `coalesce(patch[component], component)`.
+  * Per-batch write = |delta| appended labels + the (touched-clusters-
+  * sized) patch rewrite; measured against rewrite mode in SCALING.md.
+  * ClusterLedgerSpec proves both modes resolve to identical labels
+  * through the real MinHashLedger batch flow.
+  *
+  * Retry-safe (both modes): MinHashLedger blesses blind re-append for
+  * a crashed-then-retried batch, and the composed pipeline forwards
+  * the same batch here — so `newIds` is anti-joined against the
+  * already-admitted ids before labeling. Without that, a retried doc
+  * would emit a SECOND self-labeled row (`coalesce(component, id)`)
+  * conflicting with its already-merged label. Retried deltaEdges are
+  * harmless either way (their endpoints collapse to the super-nodes
+  * they already merged into, a no-op CC).
   */
 object ClusterLedger {
 
   val NBuckets = 16
 
-  /** Create the empty label table. */
+  /** Create the empty label table (rewrite mode). */
   def init(spark: SparkSession, ledgerTable: String): Unit = {
     import spark.implicits._
     Seq.empty[(Long, Long)].toDF("id", "component")
       .write.mode(SaveMode.Overwrite)
       .bucketBy(NBuckets, "id").sortBy("id")
       .saveAsTable(ledgerTable)
+  }
+
+  /** The delta-sized remap: collapse delta-edge endpoints to their
+    * current cluster labels (super-nodes), run CC on that collapsed
+    * graph, return (old label → merged min label) rows for every
+    * touched super-node. Bounded by the delta (≤ 2 super-nodes per
+    * delta edge) — this is the only state a batch's merges produce.
+    */
+  private def mergeRemap(currentLabels: DataFrame,
+      deltaEdges: DataFrame): DataFrame = {
+    val l = currentLabels.select(col("id"), col("component"))
+    val superEdges = deltaEdges
+      .join(l.select(col("id").as("src"), col("component").as("sc")),
+        Seq("src"), "left")
+      .join(l.select(col("id").as("dst"), col("component").as("dc")),
+        Seq("dst"), "left")
+      .select(coalesce(col("sc"), col("src")).as("src"),
+        coalesce(col("dc"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    GraphOps.connectedComponents(superEdges)
   }
 
   /** Pure delta update: `oldLabels` (a valid min-label components
@@ -56,35 +99,26 @@ object ClusterLedger {
   def updatedLabels(oldLabels: DataFrame, newIds: DataFrame,
       deltaEdges: DataFrame): DataFrame = {
     val l = oldLabels.select(col("id"), col("component"))
-    // collapse endpoints to super-nodes: a doc's current component if
-    // previously admitted, itself if new this batch
-    val superEdges = deltaEdges
-      .join(l.select(col("id").as("src"), col("component").as("sc")),
-        Seq("src"), "left")
-      .join(l.select(col("id").as("dst"), col("component").as("dc")),
-        Seq("dst"), "left")
-      .select(coalesce(col("sc"), col("src")).as("src"),
-        coalesce(col("dc"), col("dst")).as("dst"))
-      .filter(col("src") =!= col("dst"))
     // delta-sized CC; its (super-node -> merged min) rows are the only
     // remap state — broadcast-joined below so the corpus-sized sides
     // never exchange
-    val merged = GraphOps.connectedComponents(superEdges)
+    val merged = mergeRemap(l, deltaEdges)
     val relabeledOld = l
       .join(broadcast(merged.select(col("id").as("component"),
         col("component").as("c2"))), Seq("component"), "left")
       .select(col("id"), coalesce(col("c2"), col("component")).as("component"))
     val newLabeled = newIds.select(col("id"))
+      .join(l.select("id"), Seq("id"), "left_anti")
       .join(broadcast(merged), Seq("id"), "left")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("component"))
     relabeledOld.unionByName(newLabeled)
   }
 
-  /** Fold one batch into the persistent table: materialize the updated
-    * labels BEFORE overwriting (the plan reads the table it replaces),
-    * then swap. Returns the updated labels (reading the materialized
-    * parquet, valid after the swap).
+  /** Fold one batch into the persistent table (rewrite mode):
+    * materialize the updated labels BEFORE overwriting (the plan reads
+    * the table it replaces), then swap. Returns the updated labels
+    * (reading the materialized parquet, valid after the swap).
     */
   def ingest(spark: SparkSession, newIds: DataFrame, deltaEdges: DataFrame,
       ledgerTable: String, tmpDir: String): DataFrame = {
@@ -96,5 +130,95 @@ object ClusterLedger {
       .bucketBy(NBuckets, "id").sortBy("id")
       .saveAsTable(ledgerTable)
     spark.read.parquet(tmpDir)
+  }
+
+  // ---------------- patch-append mode ----------------
+
+  /** Create the empty append-only base table + empty patch map. */
+  def initPatch(spark: SparkSession, ledgerTable: String): Unit = {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("id", "component")
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(NBuckets, "id").sortBy("id")
+      .saveAsTable(ledgerTable)
+    Seq.empty[(Long, Long)].toDF("from_label", "to_label")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(patchTable(ledgerTable))
+  }
+
+  private def patchTable(ledgerTable: String): String = s"${ledgerTable}_patch"
+
+  /** The resolved labels view: base (as-of-admission labels) composed
+    * with the fully-resolved patch map in ONE broadcast join. This is
+    * the read path patch mode trades its cheap writes for — still a
+    * single narrow join, never an iteration (the patch map has no
+    * chains by construction, see the class doc).
+    */
+  def resolvePatch(spark: SparkSession, ledgerTable: String): DataFrame =
+    spark.table(ledgerTable)
+      .join(broadcast(spark.table(patchTable(ledgerTable))
+        .withColumnRenamed("from_label", "component")),
+        Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("to_label"), col("component")).as("component"))
+
+  /** Fold one batch in patch-append mode. Writes: the batch's
+    * first-time ids labeled as of admission (APPEND, delta-sized) and
+    * the substituted patch map (overwrite of a touched-clusters-sized
+    * side table). The corpus-sized base table is never rewritten.
+    * Returns the resolved labels after the fold.
+    */
+  def ingestPatch(spark: SparkSession, newIds: DataFrame,
+      deltaEdges: DataFrame, ledgerTable: String, tmpDir: String): DataFrame = {
+    val resolved = resolvePatch(spark, ledgerTable)
+    val merged = mergeRemap(resolved, deltaEdges)
+      .select(col("id").as("from_label"), col("component").as("to_label"))
+      .filter(col("from_label") =!= col("to_label"))
+    // materialize the delta remap BEFORE touching the patch table (the
+    // resolve plan reads it); delta-sized
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$tmpDir/merged")
+    val m = spark.read.parquet(s"$tmpDir/merged")
+    // the patch map records only OLD cluster labels that moved: a
+    // remap entry keyed by one of this batch's first-time ids is
+    // served by the base append below (the doc lands already-merged),
+    // and keeping it out is what makes the patch grow with TOUCHED
+    // CLUSTERS rather than with admitted docs. First-time ids and old
+    // labels are disjoint (labels are previously-admitted doc ids), so
+    // the anti-join drops nothing a read could ever need.
+    val firstTime = newIds.select(col("id"))
+      .join(spark.table(ledgerTable).select("id"), Seq("id"), "left_anti")
+    val mOld = m.join(firstTime.withColumnRenamed("id", "from_label"),
+      Seq("from_label"), "left_anti")
+    // one substitution pass keeps the map fully resolved: existing
+    // entries pointing at a label this batch re-merged follow it to
+    // the new min; no chains can survive, so reads stay one join
+    val composed = spark.table(patchTable(ledgerTable))
+      .join(broadcast(mOld.select(col("from_label").as("to_label"),
+        col("to_label").as("to2"))),
+        Seq("to_label"), "left")
+      .select(col("from_label"),
+        coalesce(col("to2"), col("to_label")).as("to_label"))
+      .unionByName(mOld)
+    composed.write.mode(SaveMode.Overwrite).parquet(s"$tmpDir/patch")
+    spark.read.parquet(s"$tmpDir/patch")
+      .select("from_label", "to_label")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(patchTable(ledgerTable))
+    // first-time admissions, labeled as of NOW (post-merge), appended;
+    // future merges reach them through the patch map
+    // first-time admissions, labeled as of NOW (post-merge). A new
+    // doc's super-node id IS itself (never previously admitted), so
+    // the m join lands its merged min; unpaired docs self-label.
+    // Materialized before the append — the plan anti-joins the table
+    // it inserts into.
+    firstTime
+      .join(broadcast(m.withColumnRenamed("from_label", "id")), Seq("id"),
+        "left")
+      .select(col("id"), coalesce(col("to_label"), col("id")).as("component"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmpDir/new_labels")
+    spark.read.parquet(s"$tmpDir/new_labels")
+      .select("id", "component")
+      .write.mode(SaveMode.Append).insertInto(ledgerTable)
+    resolvePatch(spark, ledgerTable)
   }
 }

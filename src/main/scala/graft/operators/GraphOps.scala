@@ -93,6 +93,11 @@ object GraphOps {
       l.join(l.select(col("id").as("component"), col("component").as("c2")),
           Seq("component"))
         .select(col("id"), col("c2").as("component"))
+    // an empty edge set (e.g. a retried ledger batch whose merges all
+    // collapsed to no-ops) has a null label sum every round — without
+    // this exit the null-vs-null comparison below never converges and
+    // the loop runs maxIter empty actions
+    if (labels.isEmpty) return (labels, 0)
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0

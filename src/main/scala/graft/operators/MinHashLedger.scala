@@ -3,14 +3,15 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Incremental NEAR-dup detection across ingestion runs: a persistent,
-  * bucketed ledger of MinHash band rows — DedupLedger's
+/** Incremental NEAR-dup detection across ingestion runs: a persistent
+  * ledger of MinHash band rows — DedupLedger's
   * cost-proportional-to-the-batch contract extended from exact
   * content hashes to the LSH band index.
   *
   * The ledger stores one row per (band, bucket) membership:
-  * `(bkey, doc_id, sig)` with `bkey = band '#' bucket-hash` exactly as
-  * `MinHashLsh.candidatePairs` keys its shuffle, and `sig` the full
+  * `(bkh, bkey, doc_id, sig)` with `bkey = band '#' bucket-hash`
+  * exactly as `MinHashLsh.candidatePairs` keys its shuffle, `bkh =
+  * xxhash64(bkey)` the fixed-width probe key, and `sig` the full
   * NumHashes-slot signature (pipe-joined md5 hex strings). A new
   * batch:
   *
@@ -25,18 +26,50 @@ import org.apache.spark.sql.functions._
   *      no old-document fetch),
   *   4. appends its band rows.
   *
-  * Scale: the ledger is bucketed AND bucket-sorted by bkey, so its
-  * side of the probe join reads co-located (no ledger-side exchange,
-  * ever); the batch side exchanges once on bkey. Per-batch cost is
-  * O(batch + matching buckets), flat in ledger size — measured in
-  * SCALING.md's `minhash_ledger_batch*` rows. The same hot-bucket
-  * guard as the one-shot path applies, accounted over ledger∪batch:
-  * a (band, bucket) whose TOTAL population exceeds `bucketCap` emits
-  * no pairs for this batch (boilerplate clusters, not near-dup
-  * signal). Pairs already emitted while the bucket was small stay
-  * emitted — the incremental cap is append-monotone, the one
-  * documented divergence from re-running one-shot LSH on the full
-  * corpus with a binding cap.
+  * == Probe IO is bounded by the BATCH, not the corpus (r8 fix) ==
+  *
+  * The r8 layout bucketed the table by bkey, which kept the probe
+  * join exchange-free on the ledger side but still READ the whole
+  * ledger every ingest (the hot-bucket guard re-aggregated per-bkey
+  * counts over all rows, and the pair join scanned every bucket file).
+  * The layout is now an LSM-style sorted run set with point-lookup
+  * probes instead:
+  *
+  *   - every write (batch append and compaction) is range-partitioned
+  *     and sorted by `bkh`, with small parquet row groups
+  *     ([[RowGroupBytes]]) so each row group covers a narrow key range
+  *     and carries tight min/max stats;
+  *   - a probe collects the batch's distinct `bkh` set (8 bytes/key,
+  *     ≤ [[MaxPushdownKeys]] — the index-lookup vs full-scan planner
+  *     choice; a batch too large to push is itself corpus-sized, the
+  *     regime where a scan join is proportional anyway) and pushes it
+  *     into the ledger scan as an In filter. Parquet row-group
+  *     pruning then reads ONLY the row groups whose key range
+  *     contains a probed key: probe IO ≈ batch_keys × row-group size,
+  *     FLAT in ledger size — measured as the bytes-read column in
+  *     SCALING.md's ledger section.
+  *   - `bkh` collisions are harmless: the pushed In-set is a superset
+  *     filter, and every later step (guard counts, pair join) keys on
+  *     the exact `bkey` string, so a collision row can never produce
+  *     a pair or perturb a batch bucket's count.
+  *
+  * The hot-bucket guard's per-bkey totals come off the SAME pruned
+  * read (a batch bucket's total population over ledger∪batch needs
+  * exactly the rows the In filter admits), so no separate count
+  * side-table is required — the pruned read subsumes it. Appends stay
+  * blind (at-least-once, crash-retry-safe); `compact` periodically
+  * folds the accumulated sorted runs into one globally-sorted run,
+  * restoring one row per (bkey, doc_id) and the tightest row-group
+  * ranges — the standard LSM amortization, measured separately in
+  * SCALING.md so probe cost and maintenance cost are not conflated.
+  *
+  * Hot-bucket guard semantics, accounted over ledger∪batch: a
+  * (band, bucket) whose TOTAL population exceeds `bucketCap` emits no
+  * pairs for this batch (boilerplate clusters, not near-dup signal).
+  * Pairs already emitted while the bucket was small stay emitted —
+  * the incremental cap is append-monotone, the one documented
+  * divergence from re-running one-shot LSH on the full corpus with a
+  * binding cap.
   *
   * Batch-ingest ≡ full-corpus equivalence (cap non-binding): every
   * pair of the one-shot `MinHashLsh.candidatePairs(allDocs)` shares
@@ -46,19 +79,33 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLedger {
 
-  val NBuckets = 16
+  /** Uncompressed parquet row-group target for ledger writes. Small
+    * groups = fine-grained probe pruning (probe IO ≈ keys × this).
+    * 256 KB suits the test fixtures; a production deployment would
+    * raise it to 4–16 MB, scaling [[MaxPushdownKeys]] with it.
+    */
+  val RowGroupBytes: Int = 256 * 1024
+  val PageBytes: Int = 32 * 1024
 
-  /** Create the empty band-index ledger (bucketed by the probe key). */
+  /** Largest batch key set pushed as an In filter (8 MB of longs at
+    * the limit). Beyond this the probe falls back to the plain scan
+    * join — a batch that large is corpus-scale, where a scan IS
+    * proportional to the batch.
+    */
+  val MaxPushdownKeys: Int = 1 << 20
+
+  /** Create the empty band-index ledger. */
   def init(spark: SparkSession, ledgerTable: String): Unit = {
     import spark.implicits._
-    Seq.empty[(String, Long, String)].toDF("bkey", "doc_id", "sig")
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(NBuckets, "bkey").sortBy("bkey")
-      .saveAsTable(ledgerTable)
+    writeSorted(
+      Seq.empty[(Long, String, Long, String)]
+        .toDF("bkh", "bkey", "doc_id", "sig"),
+      ledgerTable, SaveMode.Overwrite)
   }
 
-  /** Band rows of a batch: (bkey, doc_id, sig) — one row per band per
-    * doc, sig carried whole so pair estimation never refetches docs.
+  /** Band rows of a batch: (bkh, bkey, doc_id, sig) — one row per band
+    * per doc, sig carried whole so pair estimation never refetches
+    * docs.
     */
   def bandRows(docs: DataFrame): DataFrame = {
     import MinHashLsh.{Bands, RowsPerBand}
@@ -69,8 +116,34 @@ object MinHashLedger {
             concat_ws("|", (0 until RowsPerBand).map(r =>
               element_at(col("sig"), b * RowsPerBand + r + 1)): _*))): _*))
           .as("bkey"))
-      .select(col("bkey"), col("doc_id"),
+      .select(xxhash64(col("bkey")).as("bkh"), col("bkey"), col("doc_id"),
         array_join(col("sig"), "|").as("sig"))
+  }
+
+  /** Range-sorted small-row-group write — every ledger file is one
+    * sorted run over `bkh`, the layout the point-lookup probe prunes.
+    */
+  private def writeSorted(df: DataFrame, table: String,
+      mode: SaveMode): Unit = {
+    val spark = df.sparkSession
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = Option(hc.get("parquet.block.size"))
+    val prevPage = Option(hc.get("parquet.page.size"))
+    hc.setInt("parquet.block.size", RowGroupBytes)
+    hc.setInt("parquet.page.size", PageBytes)
+    try {
+      val n = spark.sessionState.conf.numShufflePartitions
+      val sorted = df
+        .repartitionByRange(n, col("bkh"))
+        .sortWithinPartitions("bkh")
+      if (mode == SaveMode.Append) sorted.write.mode(mode).insertInto(table)
+      else sorted.write.mode(mode).format("parquet").saveAsTable(table)
+    } finally {
+      prevBlock.fold(hc.unset("parquet.block.size"))(
+        hc.set("parquet.block.size", _))
+      prevPage.fold(hc.unset("parquet.page.size"))(
+        hc.set("parquet.page.size", _))
+    }
   }
 
   /** Ingest one batch: emit its candidate near-dup pairs against the
@@ -83,57 +156,68 @@ object MinHashLedger {
     */
   def ingest(spark: SparkSession, batch: DataFrame, ledgerTable: String,
       runDir: String, bucketCap: Int = MinHashLsh.BucketCap): DataFrame = {
-    candidatePairsAgainst(spark, batch, ledgerTable, bucketCap)
+    // one signature pass for both the probe and the append
+    val bands = bandRows(batch).localCheckpoint(false)
+    candidatesFromBands(spark, bands, ledgerTable, bucketCap)
       .write.mode(SaveMode.Overwrite).parquet(s"$runDir/pairs")
-    bandRows(batch)
-      .write.mode(SaveMode.Append).insertInto(ledgerTable)
+    writeSorted(bands, ledgerTable, SaveMode.Append)
     spark.read.parquet(s"$runDir/pairs")
   }
 
-  /** Rewrite the ledger without duplicate (bkey, doc_id) rows. A
-    * crashed-and-retried batch re-appends its band rows blindly
-    * (at-least-once append is the cheap, lock-free contract — pair
-    * output stays correct because emission dedupes per pair, and the
-    * signature per (bkey, doc_id) is deterministic so duplicates are
-    * bit-identical). What duplicates DO cost is ledger bloat and df
-    * inflation toward `bucketCap`; a periodic compaction restores
-    * minimality. The distinct fold materializes to `tmpDir` first —
-    * a bucketed table cannot be overwritten from a plan that reads it.
+  /** Fold the accumulated sorted runs into ONE globally-sorted run
+    * without duplicate (bkey, doc_id) rows. A crashed-and-retried
+    * batch re-appends its band rows blindly (at-least-once append is
+    * the cheap, lock-free contract — pair output stays correct because
+    * emission dedupes per pair, and the signature per (bkey, doc_id)
+    * is deterministic so duplicates are bit-identical). What
+    * duplicates and accumulated runs DO cost is probe fan-out (a probe
+    * reads ≤ keys row groups PER RUN) and df inflation toward
+    * `bucketCap`; periodic compaction restores minimality — the LSM
+    * amortization, priced separately from probes in SCALING.md. The
+    * distinct fold materializes to `tmpDir` first — a table cannot be
+    * overwritten from a plan that reads it.
     */
   def compact(spark: SparkSession, ledgerTable: String,
       tmpDir: String): Unit = {
     spark.table(ledgerTable)
       .groupBy("bkey", "doc_id").agg(min(col("sig")).as("sig"))
       .write.mode(SaveMode.Overwrite).parquet(tmpDir)
-    spark.read.parquet(tmpDir)
-      .select("bkey", "doc_id", "sig")
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(NBuckets, "bkey").sortBy("bkey")
-      .saveAsTable(ledgerTable)
+    writeSorted(
+      spark.read.parquet(tmpDir)
+        .select(xxhash64(col("bkey")).as("bkh"), col("bkey"), col("doc_id"),
+          col("sig")),
+      ledgerTable, SaveMode.Overwrite)
   }
 
   /** The pre-append probe plan ingest materializes — exposed so tests
-    * can audit it (and its scan set: this batch plus the band ledger,
-    * never prior corpora).
+    * can audit it (and its scan set: this batch plus the pruned band
+    * ledger, never prior corpora).
     */
   def candidatePairsAgainst(spark: SparkSession, batch: DataFrame,
-      ledgerTable: String, bucketCap: Int = MinHashLsh.BucketCap): DataFrame = {
+      ledgerTable: String,
+      bucketCap: Int = MinHashLsh.BucketCap): DataFrame =
+    candidatesFromBands(spark, bandRows(batch).localCheckpoint(false),
+      ledgerTable, bucketCap)
+
+  private def candidatesFromBands(spark: SparkSession, fresh: DataFrame,
+      ledgerTable: String, bucketCap: Int): DataFrame = {
     require(bucketCap > 1, "bucketCap must exceed 1")
-    val fresh = bandRows(batch)
-    val old = spark.table(ledgerTable)
-    // hot-bucket guard over the POST-append population: the batch side
-    // is one count fold of `fresh`; the ledger side's per-bkey counts
-    // read co-located off the bucketed table
-    val totals = old.groupBy("bkey").agg(count(lit(1)).as("n_old"))
-      .join(fresh.groupBy("bkey").agg(count(lit(1)).as("n_new")),
-        Seq("bkey"), "full_outer")
+    val old = prunedLedger(spark, fresh, ledgerTable)
+    // hot-bucket guard over the POST-append population. Only buckets
+    // with a batch member can emit pairs this run, so totals are
+    // computed for the batch's keys alone: batch-side counts plus the
+    // pruned ledger's rows (the In filter admits every ledger row of
+    // every batch bucket, so the counts are exact).
+    val totals = fresh.groupBy("bkey").agg(count(lit(1)).as("n_new"))
+      .join(old.groupBy("bkey").agg(count(lit(1)).as("n_old")),
+        Seq("bkey"), "left")
       .select(col("bkey"),
-        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
-          .as("df"))
+        (col("n_new") + coalesce(col("n_old"), lit(0L))).as("df"))
     val okKeys = totals.filter(col("df") > 1 && col("df") <= bucketCap)
       .select("bkey")
     val freshOk = fresh.join(okKeys, Seq("bkey"))
-    val corpusOk = old.join(okKeys, Seq("bkey")).unionAll(freshOk)
+    val corpusOk = old.select("bkey", "doc_id", "sig").join(okKeys, Seq("bkey"))
+      .unionAll(freshOk.select("bkey", "doc_id", "sig"))
     val estJaccard = round(
       size(filter(zip_with(
         split(col("a.sig"), "\\|"), split(col("b.sig"), "\\|"),
@@ -148,5 +232,30 @@ object MinHashLedger {
         estJaccard.as("est_jaccard"))
       .groupBy("doc_id_1", "doc_id_2")
       .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** The ledger, pruned to the batch's touched keys when the batch is
+    * small enough to push: collect the batch's distinct `bkh` set (a
+    * bounded driver model — longs, capped at [[MaxPushdownKeys]]) and
+    * push it as an In filter the parquet reader prunes row groups
+    * with. Collisions only ADMIT extra rows (superset filter); every
+    * consumer keys on the exact `bkey`. Falls back to the full scan
+    * when the batch outgrows the cap — at that size the batch is
+    * corpus-scale and a scan join is proportional to it anyway.
+    */
+  private def prunedLedger(spark: SparkSession, fresh: DataFrame,
+      ledgerTable: String): DataFrame = {
+    // parquet translates In to a row-group-prunable filter only below
+    // this threshold (above it, it degrades to a [min,max] range — on
+    // hashed keys, the whole file); raise it once for the session
+    val threshKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    if (spark.conf.get(threshKey).toInt < MaxPushdownKeys)
+      spark.conf.set(threshKey, MaxPushdownKeys)
+    val keys = fresh.select("bkh").distinct()
+      .limit(MaxPushdownKeys + 1).collect().map(_.getLong(0))
+    val all = spark.table(ledgerTable)
+    if (keys.length <= MaxPushdownKeys)
+      all.filter(col("bkh").isInCollection(keys))
+    else all
   }
 }

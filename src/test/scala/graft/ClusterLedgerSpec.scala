@@ -48,6 +48,111 @@ class ClusterLedgerSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("retried batch re-ingest leaves labels exactly as before (no dup rows)") {
+    val t = "cluster_ledger_retry_t"
+    ClusterLedger.init(spark, t)
+    try {
+      ClusterLedger.ingest(spark,
+        Seq(1L, 2L, 5L).toDF("id"), Seq((1L, 2L)).toDF("src", "dst"),
+        t, Files.createTempDirectory("cl_retry1_").toString)
+      val clean = labelsOf(spark.table(t))
+      assert(clean == Set((1L, 1L), (2L, 1L), (5L, 5L)))
+      // crashed-then-retried batch: same newIds + same deltaEdges again.
+      // The anti-join must drop the already-admitted ids; the retried
+      // edges collapse to a no-op merge. One row per doc, labels equal.
+      ClusterLedger.ingest(spark,
+        Seq(1L, 2L, 5L).toDF("id"), Seq((1L, 2L)).toDF("src", "dst"),
+        t, Files.createTempDirectory("cl_retry2_").toString)
+      assert(spark.table(t).count() == 3, "retry must not duplicate label rows")
+      assert(labelsOf(spark.table(t)) == clean)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("patch-append mode: adversarial merges + retry resolve identically") {
+    val t = "cluster_ledger_patch_syn_t"
+    ClusterLedger.initPatch(spark, t)
+    try {
+      val out1 = ClusterLedger.ingestPatch(spark,
+        Seq(1L, 2L, 5L, 6L, 9L).toDF("id"),
+        Seq((1L, 2L), (5L, 6L)).toDF("src", "dst"),
+        t, Files.createTempDirectory("clp_syn1_").toString)
+      assert(labelsOf(out1) ==
+        Set((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 9L)))
+      // first-batch merges land in the base append, NOT the patch map
+      // (patch size must track touched OLD clusters, not admitted docs)
+      assert(spark.table(s"${t}_patch").count() == 0)
+
+      // late chain merge of two OLD clusters: label 5 must fall to 1
+      // through the patch map (5 -> 1), never a base rewrite
+      val out2 = ClusterLedger.ingestPatch(spark,
+        Seq(12L).toDF("id"),
+        Seq((2L, 12L), (12L, 5L)).toDF("src", "dst"),
+        t, Files.createTempDirectory("clp_syn2_").toString)
+      assert(labelsOf(out2) ==
+        Set((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L), (9L, 9L), (12L, 1L)))
+      // the base table was NOT rewritten: rows 5/6 still carry their
+      // as-of-admission label, the patch map carries the merge
+      assert(labelsOf(spark.table(t)).contains((6L, 5L)))
+      assert(spark.table(s"${t}_patch").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((5L, 1L)))
+
+      // chain-freeness: batch 3 merges label 1 into 0 — the existing
+      // (5 -> 1) entry must follow to (5 -> 0) in the SAME pass
+      val out3 = ClusterLedger.ingestPatch(spark,
+        Seq(0L).toDF("id"),
+        Seq((0L, 6L)).toDF("src", "dst"),
+        t, Files.createTempDirectory("clp_syn3_").toString)
+      assert(labelsOf(out3) == Set((0L, 0L), (1L, 0L), (2L, 0L),
+        (5L, 0L), (6L, 0L), (9L, 9L), (12L, 0L)))
+      val patch = spark.table(s"${t}_patch").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(patch == Set((5L, 0L), (1L, 0L)),
+        s"patch map must stay chain-free, got $patch")
+
+      // retried batch: blind re-ingest of batch 3 changes nothing
+      val out3b = ClusterLedger.ingestPatch(spark,
+        Seq(0L).toDF("id"),
+        Seq((0L, 6L)).toDF("src", "dst"),
+        t, Files.createTempDirectory("clp_syn3b_").toString)
+      assert(labelsOf(out3b) == labelsOf(out3))
+      assert(spark.table(t).count() == 7)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_patch")
+    }
+  }
+
+  test("patch mode ≡ rewrite mode through the real MinHashLedger batch flow") {
+    val near = "cluster_ledger_pvr_near_t"
+    val rw = "cluster_ledger_pvr_rw_t"
+    val pa = "cluster_ledger_pvr_pa_t"
+    MinHashLedger.init(spark, near)
+    ClusterLedger.init(spark, rw)
+    ClusterLedger.initPatch(spark, pa)
+    try {
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      for (b <- 0 until 3) {
+        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+        val pairs = MinHashLedger.ingest(spark, batch, near,
+          Files.createTempDirectory(s"clpvr_near${b}_").toString)
+        val ids = batch.select(col("doc_id").as("id"))
+        val edges = pairs
+          .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+        val rwOut = ClusterLedger.ingest(spark, ids, edges, rw,
+          Files.createTempDirectory(s"clpvr_rw${b}_").toString)
+        val paOut = ClusterLedger.ingestPatch(spark, ids, edges, pa,
+          Files.createTempDirectory(s"clpvr_pa${b}_").toString)
+        assert(labelsOf(paOut) == labelsOf(rwOut),
+          s"batch $b: patch-composed labels diverge from rewrite mode")
+      }
+      assert(labelsOf(ClusterLedger.resolvePatch(spark, pa)) ==
+        labelsOf(spark.table(rw)))
+    } finally {
+      Seq(near, rw, pa, s"${pa}_patch")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("fixture corpus through the ledger flow equals one-shot clusters") {
     val near = "cluster_ledger_near_t"
     val clus = "cluster_ledger_labels_t"
