@@ -39,8 +39,19 @@ object SynthScale {
     spark.sparkContext.setLogLevel("WARN")
 
     def load(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    // single FILE per table, matching the driver fixtures' layout (the
+    // DuckDB oracle globs `<dir>/<table>.parquet` as a file)
     def save(df: DataFrame, name: String): Unit = {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+      val tmp = s"$out/_tmp_$name"
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$out/$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      new java.io.File(tmp).delete()
       println(s"[synth] wrote $name")
     }
     val Off = 10000000L
