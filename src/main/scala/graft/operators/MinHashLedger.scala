@@ -195,14 +195,16 @@ object MinHashLedger {
     */
   def candidatePairsAgainst(spark: SparkSession, batch: DataFrame,
       ledgerTable: String,
-      bucketCap: Int = MinHashLsh.BucketCap): DataFrame =
+      bucketCap: Int = MinHashLsh.BucketCap,
+      maxPushdownKeys: Int = MaxPushdownKeys): DataFrame =
     candidatesFromBands(spark, bandRows(batch).localCheckpoint(false),
-      ledgerTable, bucketCap)
+      ledgerTable, bucketCap, maxPushdownKeys)
 
   private def candidatesFromBands(spark: SparkSession, fresh: DataFrame,
-      ledgerTable: String, bucketCap: Int): DataFrame = {
+      ledgerTable: String, bucketCap: Int,
+      maxPushdownKeys: Int = MaxPushdownKeys): DataFrame = {
     require(bucketCap > 1, "bucketCap must exceed 1")
-    val old = prunedLedger(spark, fresh, ledgerTable)
+    val old = prunedLedger(spark, fresh, ledgerTable, maxPushdownKeys)
     // hot-bucket guard over the POST-append population. Only buckets
     // with a batch member can emit pairs this run, so totals are
     // computed for the batch's keys alone: batch-side counts plus the
@@ -244,7 +246,7 @@ object MinHashLedger {
     * corpus-scale and a scan join is proportional to it anyway.
     */
   private def prunedLedger(spark: SparkSession, fresh: DataFrame,
-      ledgerTable: String): DataFrame = {
+      ledgerTable: String, maxPushdownKeys: Int): DataFrame = {
     // parquet translates In to a row-group-prunable filter only below
     // this threshold (above it, it degrades to a [min,max] range — on
     // hashed keys, the whole file); raise it once for the session
@@ -252,9 +254,9 @@ object MinHashLedger {
     if (spark.conf.get(threshKey).toInt < MaxPushdownKeys)
       spark.conf.set(threshKey, MaxPushdownKeys)
     val keys = fresh.select("bkh").distinct()
-      .limit(MaxPushdownKeys + 1).collect().map(_.getLong(0))
+      .limit(maxPushdownKeys + 1).collect().map(_.getLong(0))
     val all = spark.table(ledgerTable)
-    if (keys.length <= MaxPushdownKeys)
+    if (keys.length <= maxPushdownKeys)
       all.filter(col("bkh").isInCollection(keys))
     else all
   }

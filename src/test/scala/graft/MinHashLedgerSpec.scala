@@ -92,6 +92,54 @@ class MinHashLedgerSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $ledger")
   }
 
+  test("probe pushes its key set into the ledger scan; fallback path agrees") {
+    val ledger = "minhash_ledger_push_t"
+    MinHashLedger.init(spark, ledger)
+    try {
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      MinHashLedger.ingest(spark, docs, ledger,
+        Files.createTempDirectory("mh_push_seed_").toString)
+      val probe = docs.filter(pmod(col("doc_id"), lit(7)) === 1)
+
+      // the point-lookup prune must be IN THE PLAN: every ledger scan
+      // carries a pushed In filter on bkh (if the translation breaks —
+      // conf too low, InSet not converted — this silently degrades to
+      // a full read and the SCALING flat-probe-IO claim dies with it)
+      val pushed = MinHashLedger.candidatePairsAgainst(spark, probe, ledger)
+      pushed.collect()
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: QueryStageExec => q +: flatten(q.plan)
+        case r: ReusedExchangeExec => r +: flatten(r.child)
+        case n => n +: n.children.flatMap(flatten)
+      }
+      val ledgerScans = flatten(pushed.queryExecution.executedPlan).collect {
+        case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains(ledger)) => s
+      }
+      assert(ledgerScans.nonEmpty, "no ledger file scan found in the plan")
+      assert(ledgerScans.forall(
+        _.metadata.get("PushedFilters").exists(_.contains("In(bkh"))),
+        s"ledger scan lost its pushed In(bkh,...) filter: " +
+          ledgerScans.map(_.metadata.get("PushedFilters")).mkString("; "))
+
+      // a batch too large to push falls back to the plain scan join —
+      // pair-for-pair identical output
+      val fallback = MinHashLedger.candidatePairsAgainst(
+        spark, probe, ledger, maxPushdownKeys = 0)
+      val a = pushed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val b = fallback.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a == b, "pushed and fallback probes diverge")
+      assert(a.nonEmpty, "fixture probe should find near-dups")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $ledger")
+  }
+
   test("hot-bucket cap: an over-cap bucket emits no pairs for the batch") {
     import spark.implicits._
     val ledger = "minhash_ledger_cap_t"
