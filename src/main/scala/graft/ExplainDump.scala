@@ -76,7 +76,9 @@ object ExplainDump {
     // round-8 unicode twins of the dedup/tf-idf/BPE chain
     "q_dedup_near_unicode", "q_dedup_minhash_unicode",
     "q_dedup_simhash_unicode", "q_ngram_jaccard_unicode",
-    "q_tfidf_unicode", "q_bpe_encode_unicode")
+    "q_tfidf_unicode", "q_bpe_encode_unicode",
+    // round-9 oracle-checked incremental ledger flow
+    "q_dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

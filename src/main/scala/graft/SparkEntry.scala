@@ -140,6 +140,7 @@ object SparkEntry {
     "q_knn_classify"    -> (SimilarityQueries.qKnnClassify _),
     "q_dedup_embed"     -> (SimilarityQueries.qDedupEmbed _),
     "q_dedup_minhash"   -> (AdvancedTextQueries.qDedupMinhash _),
+    "q_dedup_incremental" -> (MinHashLedger.qDedupIncremental _),
     "q_dedup_simhash"   -> (AdvancedTextQueries.qDedupSimhash _),
     "q_dedup_hamming"   -> (AdvancedTextQueries.qDedupHamming _),
     "q_ngram_jaccard"   -> (AdvancedTextQueries.qNgramJaccard _),
@@ -3679,6 +3680,51 @@ object SparkEntry {
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
         |    6) + 0.0 >= 0.4
         |ORDER BY vec_id_1 NULLS FIRST, vec_id_2 NULLS FIRST""".stripMargin,
+    // The incremental-ledger flow's output IS the one-shot banded-LSH
+    // candidate pair set (append-monotone theorem, MinHashLedgerSpec);
+    // the oracle computes that one-shot set directly: 16 salted-md5
+    // min-hashes per doc, 4 bands of 4 slots, docs sharing a full band
+    // bucket pair up, bucket df capped at 10000 (never binds at
+    // fixture scale but encoded for faithfulness).
+    "q_dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS toks
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), sigs AS (
+        |  SELECT doc_id, [
+        |    list_min(list_transform(toks, t -> md5('mh0:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh1:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh2:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh3:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh4:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh5:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh6:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh7:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh8:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh9:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh10:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh11:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh12:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh13:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh14:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh15:' || t)))] AS sig
+        |  FROM toks WHERE len(toks) > 0
+        |), bands AS (
+        |  SELECT doc_id, g.b AS band,
+        |    sig[g.b*4+1] || '|' || sig[g.b*4+2] || '|' ||
+        |    sig[g.b*4+3] || '|' || sig[g.b*4+4] AS bucket
+        |  FROM sigs, (SELECT unnest([0,1,2,3]) AS b) g
+        |), ok AS (
+        |  SELECT band, bucket FROM bands
+        |  GROUP BY band, bucket HAVING count(*) > 1 AND count(*) <= 10000
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_id_1, c.doc_id AS doc_id_2
+        |FROM bands a
+        |JOIN ok o ON o.band = a.band AND o.bucket = a.bucket
+        |JOIN bands c ON a.band = c.band AND a.bucket = c.bucket
+        |  AND a.doc_id < c.doc_id
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
     "q_dedup_minhash" ->
       """WITH sigs AS (
         |  SELECT doc_id, concat_ws('|',

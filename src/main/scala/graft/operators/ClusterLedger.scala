@@ -61,9 +61,22 @@ object ClusterLedger {
 
   val NBuckets = 16
 
+  /** Drop metadata AND any stale physical location from a previous JVM
+    * (in-memory catalog forgets the table, the warehouse dir persists,
+    * and CREATE then fails with LOCATION_ALREADY_EXISTS).
+    */
+  private def dropWithLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Create the empty label table (rewrite mode). */
   def init(spark: SparkSession, ledgerTable: String): Unit = {
     import spark.implicits._
+    dropWithLocation(spark, ledgerTable)
     Seq.empty[(Long, Long)].toDF("id", "component")
       .write.mode(SaveMode.Overwrite)
       .bucketBy(NBuckets, "id").sortBy("id")
@@ -137,6 +150,8 @@ object ClusterLedger {
   /** Create the empty append-only base table + empty patch map. */
   def initPatch(spark: SparkSession, ledgerTable: String): Unit = {
     import spark.implicits._
+    dropWithLocation(spark, ledgerTable)
+    dropWithLocation(spark, patchTable(ledgerTable))
     Seq.empty[(Long, Long)].toDF("id", "component")
       .write.mode(SaveMode.Overwrite)
       .bucketBy(NBuckets, "id").sortBy("id")

@@ -94,13 +94,55 @@ object MinHashLedger {
     */
   val MaxPushdownKeys: Int = 1 << 20
 
-  /** Create the empty band-index ledger. */
+  /** Create the empty band-index ledger. Robust to a stale warehouse
+    * directory from a previous JVM (the in-memory catalog forgets the
+    * table but its location persists; CREATE would then fail with
+    * LOCATION_ALREADY_EXISTS): drop any metadata AND the physical dir
+    * before writing.
+    */
   def init(spark: SparkSession, ledgerTable: String): Unit = {
     import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS $ledgerTable")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), ledgerTable.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     writeSorted(
       Seq.empty[(Long, String, Long, String)]
         .toDF("bkh", "bkey", "doc_id", "sig"),
       ledgerTable, SaveMode.Overwrite)
+  }
+
+  /** The incremental near-dup flow as an ORACLE-CHECKED query: ingest
+    * a bounded document universe (doc_id % 5 == 0, ≥1 token) in three
+    * modulo batches through a real throwaway ledger and return the
+    * union of per-batch candidate pairs. By the append-monotone ledger
+    * theorem (MinHashLedgerSpec proves it pair-for-pair) that union IS
+    * the one-shot banded-LSH candidate pair set — which the DuckDB
+    * oracle computes directly from the same salted-md5 signatures, so
+    * the incremental≡one-shot equivalence is hash-checked by the
+    * driver, not just spec-asserted. The cap (bucket df ≤ 10000) is
+    * encoded on both sides; it never binds at fixture scale.
+    */
+  def qDedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .filter(size(array_distinct(TextQueries.tokens(col("text")))) > 0)
+      .select("doc_id", "text")
+    // unique table per invocation: audit/determinism suites may drive
+    // this query concurrently from parallel ScalaTest suites
+    val table = "q_dedup_incr_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    init(spark, table)
+    val root = java.nio.file.Files.createTempDirectory("q_dedup_incr_")
+    try {
+      (0 until 3).map { b =>
+        ingest(spark, docs.filter(pmod(col("doc_id"), lit(3)) === b),
+          table, s"$root/run$b")
+          .select("doc_id_1", "doc_id_2")
+      }.reduce(_ unionAll _)
+        .orderBy("doc_id_1", "doc_id_2")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
   /** Band rows of a batch: (bkh, bkey, doc_id, sig) — one row per band

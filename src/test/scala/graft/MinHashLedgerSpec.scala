@@ -140,6 +140,21 @@ class MinHashLedgerSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $ledger")
   }
 
+  test("q_dedup_incremental: the query-surface flow equals one-shot LSH on its universe") {
+    val out = SparkEntry.queries("q_dedup_incremental")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ordered output (the oracle compare is row-order-sensitive)
+    assert(out.sameElements(out.sorted))
+    val universe = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .filter(size(array_distinct(
+        graft.operators.TextQueries.tokens(col("text")))) > 0)
+      .select("doc_id", "text")
+    val oneShot = MinHashLsh.candidatePairs(universe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.toSet == oneShot && out.length == out.toSet.size)
+  }
+
   test("hot-bucket cap: an over-cap bucket emits no pairs for the batch") {
     import spark.implicits._
     val ledger = "minhash_ledger_cap_t"
