@@ -93,11 +93,6 @@ object GraphOps {
       l.join(l.select(col("id").as("component"), col("component").as("c2")),
           Seq("component"))
         .select(col("id"), col("c2").as("component"))
-    // an empty edge set (e.g. a retried ledger batch whose merges all
-    // collapsed to no-ops) has a null label sum every round — without
-    // this exit the null-vs-null comparison below never converges and
-    // the loop runs maxIter empty actions
-    if (labels.isEmpty) return (labels, 0)
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
@@ -107,7 +102,12 @@ object GraphOps {
         else shortcut(step(labels).localCheckpoint(false))
       val next = prop.localCheckpoint(false)
       val s = next.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
-      converged = prevSum != null && s.compareTo(prevSum) == 0
+      // a NULL sum means an empty label table (components are never
+      // null): an empty edge set — e.g. a retried ledger batch whose
+      // merges all collapsed to no-ops — is converged after its first
+      // action, with no standing pre-loop emptiness probe taxing every
+      // non-empty call (the hot per-batch ledger path runs this).
+      converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       labels = next
       iter += 1

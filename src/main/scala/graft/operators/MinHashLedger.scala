@@ -113,6 +113,17 @@ object MinHashLedger {
       ledgerTable, SaveMode.Overwrite)
   }
 
+  /** The document universe the incremental query-surface flows ingest:
+    * a bounded slice (doc_id % 5 == 0) with at least one token, so
+    * every admitted doc has a signature.
+    */
+  private[operators] def incrUniverse(spark: SparkSession,
+      sfDir: String): DataFrame =
+    graft.Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .filter(size(array_distinct(TextQueries.tokens(col("text")))) > 0)
+      .select("doc_id", "text")
+
   /** The incremental near-dup flow as an ORACLE-CHECKED query: ingest
     * a bounded document universe (doc_id % 5 == 0, ≥1 token) in three
     * modulo batches through a real throwaway ledger and return the
@@ -123,23 +134,32 @@ object MinHashLedger {
     * the incremental≡one-shot equivalence is hash-checked by the
     * driver, not just spec-asserted. The cap (bucket df ≤ 10000) is
     * encoded on both sides; it never binds at fixture scale.
+    *
+    * Unlike the durable [[ingest]] API (whose runDir parquet is the
+    * caller-owned at-least-once output contract), the query flow
+    * materializes each batch's pairs as an EAGER localCheckpoint —
+    * computed before the append mutates the ledger, held in executor
+    * storage, nothing written outside the throwaway table (which the
+    * finally drops, data included).
     */
   def qDedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = graft.Tables.documents(spark, sfDir)
-      .filter(pmod(col("doc_id"), lit(5)) === 0)
-      .filter(size(array_distinct(TextQueries.tokens(col("text")))) > 0)
-      .select("doc_id", "text")
+    val docs = incrUniverse(spark, sfDir)
     // unique table per invocation: audit/determinism suites may drive
     // this query concurrently from parallel ScalaTest suites
     val table = "q_dedup_incr_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     init(spark, table)
-    val root = java.nio.file.Files.createTempDirectory("q_dedup_incr_")
     try {
       (0 until 3).map { b =>
-        ingest(spark, docs.filter(pmod(col("doc_id"), lit(3)) === b),
-          table, s"$root/run$b")
+        val bands = bandRows(docs.filter(pmod(col("doc_id"), lit(3)) === b))
+          .localCheckpoint(false)
+        // eager: this batch's pairs are fixed BEFORE its band rows land
+        val pairs = candidatesFromBands(spark, bands, table,
+          MinHashLsh.BucketCap)
           .select("doc_id_1", "doc_id_2")
+          .localCheckpoint(true)
+        writeSorted(bands, table, SaveMode.Append)
+        pairs
       }.reduce(_ unionAll _)
         .orderBy("doc_id_1", "doc_id_2")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -164,28 +184,24 @@ object MinHashLedger {
 
   /** Range-sorted small-row-group write — every ledger file is one
     * sorted run over `bkh`, the layout the point-lookup probe prunes.
+    * The parquet sizes ride on the WRITE (DataFrameWriter options reach
+    * the per-job output conf), not on the shared Hadoop configuration —
+    * a set/restore window there races concurrent writers (parallel
+    * ScalaTest suites drive qDedupIncremental concurrently) into
+    * default-128MB ledger runs or 256KB unrelated tables.
     */
-  private def writeSorted(df: DataFrame, table: String,
+  private[operators] def writeSorted(df: DataFrame, table: String,
       mode: SaveMode): Unit = {
     val spark = df.sparkSession
-    val hc = spark.sparkContext.hadoopConfiguration
-    val prevBlock = Option(hc.get("parquet.block.size"))
-    val prevPage = Option(hc.get("parquet.page.size"))
-    hc.setInt("parquet.block.size", RowGroupBytes)
-    hc.setInt("parquet.page.size", PageBytes)
-    try {
-      val n = spark.sessionState.conf.numShufflePartitions
-      val sorted = df
-        .repartitionByRange(n, col("bkh"))
-        .sortWithinPartitions("bkh")
-      if (mode == SaveMode.Append) sorted.write.mode(mode).insertInto(table)
-      else sorted.write.mode(mode).format("parquet").saveAsTable(table)
-    } finally {
-      prevBlock.fold(hc.unset("parquet.block.size"))(
-        hc.set("parquet.block.size", _))
-      prevPage.fold(hc.unset("parquet.page.size"))(
-        hc.set("parquet.page.size", _))
-    }
+    val n = spark.sessionState.conf.numShufflePartitions
+    val w = df
+      .repartitionByRange(n, col("bkh"))
+      .sortWithinPartitions("bkh")
+      .write.mode(mode)
+      .option("parquet.block.size", RowGroupBytes.toString)
+      .option("parquet.page.size", PageBytes.toString)
+    if (mode == SaveMode.Append) w.insertInto(table)
+    else w.format("parquet").saveAsTable(table)
   }
 
   /** Ingest one batch: emit its candidate near-dup pairs against the
@@ -242,7 +258,7 @@ object MinHashLedger {
     candidatesFromBands(spark, bandRows(batch).localCheckpoint(false),
       ledgerTable, bucketCap, maxPushdownKeys)
 
-  private def candidatesFromBands(spark: SparkSession, fresh: DataFrame,
+  private[operators] def candidatesFromBands(spark: SparkSession, fresh: DataFrame,
       ledgerTable: String, bucketCap: Int,
       maxPushdownKeys: Int = MaxPushdownKeys): DataFrame = {
     require(bucketCap > 1, "bucketCap must exceed 1")
@@ -286,15 +302,18 @@ object MinHashLedger {
     * consumer keys on the exact `bkey`. Falls back to the full scan
     * when the batch outgrows the cap — at that size the batch is
     * corpus-scale and a scan join is proportional to it anyway.
+    *
+    * Parquet translates the In to a row-group-prunable predicate only
+    * while the key-set is under `spark.sql.parquet.pushdown.
+    * inFilterThreshold` (above it, it degrades to a [min,max] range —
+    * on hashed keys, the whole file). That conf is a SESSION choice,
+    * set visibly in every shipped session builder (Verify/Bench/tests)
+    * rather than mutated here as a probe side effect; on a session
+    * left at the default the probe stays correct, just unpruned, and
+    * the pushdown guard in MinHashLedgerSpec pins the pruned regime.
     */
   private def prunedLedger(spark: SparkSession, fresh: DataFrame,
       ledgerTable: String, maxPushdownKeys: Int): DataFrame = {
-    // parquet translates In to a row-group-prunable filter only below
-    // this threshold (above it, it degrades to a [min,max] range — on
-    // hashed keys, the whole file); raise it once for the session
-    val threshKey = "spark.sql.parquet.pushdown.inFilterThreshold"
-    if (spark.conf.get(threshKey).toInt < MaxPushdownKeys)
-      spark.conf.set(threshKey, MaxPushdownKeys)
     val keys = fresh.select("bkh").distinct()
       .limit(maxPushdownKeys + 1).collect().map(_.getLong(0))
     val all = spark.table(ledgerTable)
