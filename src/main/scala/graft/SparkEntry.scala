@@ -141,6 +141,7 @@ object SparkEntry {
     "q_dedup_embed"     -> (SimilarityQueries.qDedupEmbed _),
     "q_dedup_minhash"   -> (AdvancedTextQueries.qDedupMinhash _),
     "q_dedup_incremental" -> (MinHashLedger.qDedupIncremental _),
+    "q_dedup_incr_clusters" -> (ClusterLedger.qDedupIncrClusters _),
     "q_dedup_simhash"   -> (AdvancedTextQueries.qDedupSimhash _),
     "q_dedup_hamming"   -> (AdvancedTextQueries.qDedupHamming _),
     "q_ngram_jaccard"   -> (AdvancedTextQueries.qNgramJaccard _),
@@ -3725,6 +3726,63 @@ object SparkEntry {
         |JOIN bands c ON a.band = c.band AND a.bucket = c.bucket
         |  AND a.doc_id < c.doc_id
         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+    // The incremental CLUSTER flow resolves to the min-label connected
+    // components of the one-shot banded-LSH pair set over the same
+    // universe (ClusterLedger patch-append folds compose to a full
+    // recompute — ClusterLedgerSpec); the oracle replays exactly that:
+    // the q_dedup_incremental pair CTE, recursive reachability, min
+    // label per vertex, unpaired universe docs self-labeled.
+    "q_dedup_incr_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS toks
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), sigs AS (
+        |  SELECT doc_id, [
+        |    list_min(list_transform(toks, t -> md5('mh0:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh1:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh2:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh3:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh4:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh5:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh6:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh7:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh8:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh9:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh10:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh11:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh12:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh13:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh14:' || t))),
+        |    list_min(list_transform(toks, t -> md5('mh15:' || t)))] AS sig
+        |  FROM toks WHERE len(toks) > 0
+        |), bands AS (
+        |  SELECT doc_id, g.b AS band,
+        |    sig[g.b*4+1] || '|' || sig[g.b*4+2] || '|' ||
+        |    sig[g.b*4+3] || '|' || sig[g.b*4+4] AS bucket
+        |  FROM sigs, (SELECT unnest([0,1,2,3]) AS b) g
+        |), ok AS (
+        |  SELECT band, bucket FROM bands
+        |  GROUP BY band, bucket HAVING count(*) > 1 AND count(*) <= 10000
+        |), jp AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM bands a
+        |  JOIN ok o ON o.band = a.band AND o.bucket = a.bucket
+        |  JOIN bands c ON a.band = c.band AND a.bucket = c.bucket
+        |    AND a.doc_id < c.doc_id
+        |), edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM jp
+        |  UNION
+        |  SELECT d2 AS src, d1 AS dst FROM jp
+        |), verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+        |SELECT s.doc_id AS id, COALESCE(c.component, s.doc_id) AS component
+        |FROM sigs s LEFT JOIN comp c ON c.id = s.doc_id
+        |ORDER BY id""".stripMargin,
     "q_dedup_minhash" ->
       """WITH sigs AS (
         |  SELECT doc_id, concat_ws('|',

@@ -184,15 +184,40 @@ object ClusterLedger {
     * Returns the resolved labels after the fold.
     */
   def ingestPatch(spark: SparkSession, newIds: DataFrame,
-      deltaEdges: DataFrame, ledgerTable: String, tmpDir: String): DataFrame = {
+      deltaEdges: DataFrame, ledgerTable: String, tmpDir: String): DataFrame =
+    ingestPatchImpl(spark, newIds, deltaEdges, ledgerTable,
+      (df, name) => {
+        df.write.mode(SaveMode.Overwrite).parquet(s"$tmpDir/$name")
+        spark.read.parquet(s"$tmpDir/$name")
+      })
+
+  /** Patch-mode fold whose intermediates live in executor storage
+    * (eager localCheckpoints) instead of caller-owned parquet dirs —
+    * the query-surface form: same fold, nothing written outside the
+    * ledger tables, nothing leaked when the tables drop. The durable
+    * [[ingestPatch]] keeps the tmpDir contract for pipelines that want
+    * the delta remap and new labels as restartable artifacts.
+    */
+  def ingestPatchEphemeral(spark: SparkSession, newIds: DataFrame,
+      deltaEdges: DataFrame, ledgerTable: String): DataFrame =
+    ingestPatchImpl(spark, newIds, deltaEdges, ledgerTable,
+      (df, _) => df.localCheckpoint(true))
+
+  /** The fold body; `materialize(df, name)` must return an EAGERLY
+    * computed stand-in for `df` that stays valid after the ledger
+    * tables it reads are overwritten/appended.
+    */
+  private def ingestPatchImpl(spark: SparkSession, newIds: DataFrame,
+      deltaEdges: DataFrame, ledgerTable: String,
+      materialize: (DataFrame, String) => DataFrame): DataFrame = {
     val resolved = resolvePatch(spark, ledgerTable)
-    val merged = mergeRemap(resolved, deltaEdges)
-      .select(col("id").as("from_label"), col("component").as("to_label"))
-      .filter(col("from_label") =!= col("to_label"))
     // materialize the delta remap BEFORE touching the patch table (the
     // resolve plan reads it); delta-sized
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$tmpDir/merged")
-    val m = spark.read.parquet(s"$tmpDir/merged")
+    val m = materialize(
+      mergeRemap(resolved, deltaEdges)
+        .select(col("id").as("from_label"), col("component").as("to_label"))
+        .filter(col("from_label") =!= col("to_label")),
+      "merged")
     // the patch map records only OLD cluster labels that moved: a
     // remap entry keyed by one of this batch's first-time ids is
     // served by the base append below (the doc lands already-merged),
@@ -207,33 +232,82 @@ object ClusterLedger {
     // one substitution pass keeps the map fully resolved: existing
     // entries pointing at a label this batch re-merged follow it to
     // the new min; no chains can survive, so reads stay one join
-    val composed = spark.table(patchTable(ledgerTable))
-      .join(broadcast(mOld.select(col("from_label").as("to_label"),
-        col("to_label").as("to2"))),
-        Seq("to_label"), "left")
-      .select(col("from_label"),
-        coalesce(col("to2"), col("to_label")).as("to_label"))
-      .unionByName(mOld)
-    composed.write.mode(SaveMode.Overwrite).parquet(s"$tmpDir/patch")
-    spark.read.parquet(s"$tmpDir/patch")
+    val composed = materialize(
+      spark.table(patchTable(ledgerTable))
+        .join(broadcast(mOld.select(col("from_label").as("to_label"),
+          col("to_label").as("to2"))),
+          Seq("to_label"), "left")
+        .select(col("from_label"),
+          coalesce(col("to2"), col("to_label")).as("to_label"))
+        .unionByName(mOld),
+      "patch")
+    composed
       .select("from_label", "to_label")
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(patchTable(ledgerTable))
-    // first-time admissions, labeled as of NOW (post-merge), appended;
-    // future merges reach them through the patch map
     // first-time admissions, labeled as of NOW (post-merge). A new
     // doc's super-node id IS itself (never previously admitted), so
     // the m join lands its merged min; unpaired docs self-label.
     // Materialized before the append — the plan anti-joins the table
     // it inserts into.
-    firstTime
-      .join(broadcast(m.withColumnRenamed("from_label", "id")), Seq("id"),
-        "left")
-      .select(col("id"), coalesce(col("to_label"), col("id")).as("component"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$tmpDir/new_labels")
-    spark.read.parquet(s"$tmpDir/new_labels")
+    materialize(
+      firstTime
+        .join(broadcast(m.withColumnRenamed("from_label", "id")), Seq("id"),
+          "left")
+        .select(col("id"),
+          coalesce(col("to_label"), col("id")).as("component")),
+      "new_labels")
       .select("id", "component")
       .write.mode(SaveMode.Append).insertInto(ledgerTable)
     resolvePatch(spark, ledgerTable)
+  }
+
+  /** The incremental CLUSTER flow as an ORACLE-CHECKED query — the
+    * composed pipeline q_dedup_incremental feeds: the same bounded
+    * universe (doc_id % 5 == 0, ≥1 token) ingested in the same three
+    * modulo batches, each batch's MinHashLedger candidate pairs folded
+    * into a patch-append cluster ledger as its delta edges, every
+    * admitted doc labeled. The final resolved table is the min-label
+    * connected components of the union of per-batch pairs — by the
+    * append-monotone theorem, of the ONE-SHOT banded-LSH pair set —
+    * which the DuckDB oracle replays directly (same salted-md5
+    * signatures, recursive-CTE reachability, unpaired docs
+    * self-labeled), so incremental-fold ≡ full-recompute is
+    * hash-checked by the driver, not just spec-asserted
+    * (ClusterLedgerSpec proves the same equality through ingest-mode
+    * folds).
+    *
+    * Everything ephemeral: band + label + patch tables are throwaway
+    * UUIDs dropped in the finally, intermediates are eager
+    * localCheckpoints — no caller-owned dirs, nothing leaked.
+    */
+  def qDedupIncrClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = MinHashLedger.incrUniverse(spark, sfDir)
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+    val bandTable = s"q_incr_cl_band_$suffix"
+    val labelTable = s"q_incr_cl_lab_$suffix"
+    MinHashLedger.init(spark, bandTable)
+    initPatch(spark, labelTable)
+    try {
+      (0 until 3).foreach { b =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+        val bands = MinHashLedger.bandRows(batch).localCheckpoint(false)
+        // this batch's pairs are fixed BEFORE its band rows land
+        val pairs = MinHashLedger.candidatesFromBands(spark, bands,
+          bandTable, MinHashLsh.BucketCap).localCheckpoint(true)
+        MinHashLedger.writeSorted(bands, bandTable, SaveMode.Append)
+        ingestPatchEphemeral(spark,
+          batch.select(col("doc_id").as("id")),
+          pairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")),
+          labelTable)
+      }
+      // materialize the final resolve before the finally drops the
+      // tables the lazy plan would otherwise re-read
+      resolvePatch(spark, labelTable).orderBy("id").localCheckpoint(true)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $bandTable")
+      spark.sql(s"DROP TABLE IF EXISTS $labelTable")
+      spark.sql(s"DROP TABLE IF EXISTS ${patchTable(labelTable)}")
+    }
   }
 }

@@ -153,6 +153,32 @@ class ClusterLedgerSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_incr_clusters: the query-surface flow equals one-shot CC on its universe") {
+    val out = SparkEntry.queries("q_dedup_incr_clusters")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ordered output (the oracle compare is row-order-sensitive)
+    assert(out.map(_._1).sameElements(out.map(_._1).sorted))
+    val universe = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .filter(size(array_distinct(
+        graft.operators.TextQueries.tokens(col("text")))) > 0)
+      .select("doc_id", "text")
+    val oneShot = GraphOps.connectedComponents(
+      MinHashLsh.candidatePairs(universe)
+        .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
+    val oneShotSet = labelsOf(oneShot)
+    val pairedIds = oneShotSet.map(_._1)
+    val got = out.toSet
+    assert(got.filter(t => pairedIds(t._1)) == oneShotSet,
+      "paired docs must carry the one-shot min-label components")
+    assert(got.filterNot(t => pairedIds(t._1)).forall(t => t._1 == t._2),
+      "unpaired docs must self-label")
+    assert(got.map(_._1) ==
+      universe.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "every admitted doc must be labeled exactly once")
+    assert(out.length == got.size, "no duplicate label rows")
+  }
+
   test("fixture corpus through the ledger flow equals one-shot clusters") {
     val near = "cluster_ledger_near_t"
     val clus = "cluster_ledger_labels_t"
