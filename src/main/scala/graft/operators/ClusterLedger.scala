@@ -262,6 +262,36 @@ object ClusterLedger {
     resolvePatch(spark, ledgerTable)
   }
 
+  /** Fold the patch map into the base table and truncate it — patch
+    * mode's LSM amortization, the counterpart of MinHashLedger.compact:
+    * per-batch folds keep writes delta-sized, but the read-side
+    * contract (ONE broadcast join) only holds while the patch map
+    * stays broadcast-small, and it grows with touched clusters across
+    * the whole history. A periodic checkpoint rewrites the base with
+    * every patch applied (one corpus-sized write, amortized over many
+    * delta-sized batches) and empties the map — resolved labels are
+    * bit-identical before and after (resolvePatch over an empty map IS
+    * the base), proven in ClusterLedgerSpec, which also folds further
+    * batches on top of a checkpoint. Maintenance cost is priced
+    * separately from per-batch folds, exactly like compact vs probe in
+    * SCALING.md's band-ledger section.
+    */
+  def checkpointPatch(spark: SparkSession, ledgerTable: String,
+      tmpDir: String): Unit = {
+    import spark.implicits._
+    // materialize the resolve BEFORE overwriting the tables it reads
+    resolvePatch(spark, ledgerTable)
+      .write.mode(SaveMode.Overwrite).parquet(tmpDir)
+    spark.read.parquet(tmpDir)
+      .select("id", "component")
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(NBuckets, "id").sortBy("id")
+      .saveAsTable(ledgerTable)
+    Seq.empty[(Long, Long)].toDF("from_label", "to_label")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(patchTable(ledgerTable))
+  }
+
   /** The incremental CLUSTER flow as an ORACLE-CHECKED query — the
     * composed pipeline q_dedup_incremental feeds: the same bounded
     * universe (doc_id % 5 == 0, ≥1 token) ingested in the same three

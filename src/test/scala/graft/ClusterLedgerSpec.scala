@@ -122,6 +122,44 @@ class ClusterLedgerSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpointPatch: base absorbs the map, resolve unchanged, later folds compose") {
+    val t = "cluster_ledger_ckpt_t"
+    ClusterLedger.initPatch(spark, t)
+    try {
+      ClusterLedger.ingestPatch(spark,
+        Seq(1L, 2L, 5L, 6L, 9L).toDF("id"),
+        Seq((1L, 2L), (5L, 6L)).toDF("src", "dst"),
+        t, Files.createTempDirectory("clc_1_").toString)
+      ClusterLedger.ingestPatch(spark,
+        Seq(12L).toDF("id"),
+        Seq((2L, 12L), (12L, 5L)).toDF("src", "dst"),
+        t, Files.createTempDirectory("clc_2_").toString)
+      val before = labelsOf(ClusterLedger.resolvePatch(spark, t))
+      assert(spark.table(s"${t}_patch").count() == 1, "fixture must have a live patch entry")
+
+      ClusterLedger.checkpointPatch(spark, t,
+        Files.createTempDirectory("clc_ckpt_").toString)
+      // the map is empty, the base IS the resolved table, and the read
+      // path returns bit-identical labels
+      assert(spark.table(s"${t}_patch").count() == 0)
+      assert(labelsOf(spark.table(t)) == before)
+      assert(labelsOf(ClusterLedger.resolvePatch(spark, t)) == before)
+
+      // folds after a checkpoint compose: merging the 1-cluster into 0
+      // patches exactly the one touched (post-checkpoint) old label
+      val out = ClusterLedger.ingestPatch(spark,
+        Seq(0L).toDF("id"), Seq((0L, 6L)).toDF("src", "dst"),
+        t, Files.createTempDirectory("clc_3_").toString)
+      assert(labelsOf(out) == Set((0L, 0L), (1L, 0L), (2L, 0L),
+        (5L, 0L), (6L, 0L), (9L, 9L), (12L, 0L)))
+      assert(spark.table(s"${t}_patch").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 0L)))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_patch")
+    }
+  }
+
   test("patch mode ≡ rewrite mode through the real MinHashLedger batch flow") {
     val near = "cluster_ledger_pvr_near_t"
     val rw = "cluster_ledger_pvr_rw_t"
