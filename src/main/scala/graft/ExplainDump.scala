@@ -77,8 +77,11 @@ object ExplainDump {
     "q_dedup_near_unicode", "q_dedup_minhash_unicode",
     "q_dedup_simhash_unicode", "q_ngram_jaccard_unicode",
     "q_tfidf_unicode", "q_bpe_encode_unicode",
-    // round-9 oracle-checked incremental ledger flow
-    "q_dedup_incremental")
+    // round-9/10 oracle-checked incremental ledger flows (their
+    // component plans — pruned probe, folds, resolve — are dumped in
+    // the ledger section below; these entries record the composed
+    // queries' result shapes)
+    "q_dedup_incremental", "q_dedup_incr_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
