@@ -21,12 +21,6 @@ object BenchOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // MinHashLedger's point-lookup probe pushes up to MaxPushdownKeys
-      // In(bkh,...) keys into the ledger scan; parquet only row-group-prunes
-      // an In under this threshold (set here, visibly, not as a probe side
-      // effect)
-      .config("spark.sql.parquet.pushdown.inFilterThreshold",
-        graft.operators.MinHashLedger.MaxPushdownKeys.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -303,14 +303,22 @@ object MinHashLedger {
     * when the batch outgrows the cap — at that size the batch is
     * corpus-scale and a scan join is proportional to it anyway.
     *
-    * Parquet translates the In to a row-group-prunable predicate only
-    * while the key-set is under `spark.sql.parquet.pushdown.
-    * inFilterThreshold` (above it, it degrades to a [min,max] range —
-    * on hashed keys, the whole file). That conf is a SESSION choice,
-    * set visibly in every shipped session builder (Verify/Bench/tests)
-    * rather than mutated here as a probe side effect; on a session
-    * left at the default the probe stays correct, just unpruned, and
-    * the pushdown guard in MinHashLedgerSpec pins the pruned regime.
+    * How Spark 4 translates the pushed In decides whether this is
+    * merely correct or also SAFE. At or under
+    * `spark.sql.parquet.pushdown.inFilterThreshold` (default 10) the
+    * In becomes a LEFT-DEEP or-chain of parquet `eq` predicates —
+    * whose recursive evaluation overflows a default task stack
+    * somewhere past a few thousand keys (observed as
+    * StackOverflowError inside the scan's nextBatch at the 10x-scale
+    * sweep). ABOVE the threshold Spark 4 builds parquet's NATIVE
+    * set-based In predicate (`FilterApi.in`) — no recursion at any
+    * set size, and row groups are still pruned through min/max
+    * statistics and dictionary checks, which is everything the
+    * point-lookup layout needs. So the threshold is deliberately LEFT
+    * AT ITS DEFAULT: every real probe (>10 keys) routes onto the
+    * stack-safe native path, and no session mutation is needed
+    * anywhere. (Raising it, as earlier rounds did for Spark 3.x
+    * reasons, re-arms the or-chain stack bomb — do not.)
     */
   private def prunedLedger(spark: SparkSession, fresh: DataFrame,
       ledgerTable: String, maxPushdownKeys: Int): DataFrame = {
