@@ -93,6 +93,16 @@ object Bench {
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMed = results.map(_._3).filter(_ >= 0).sum
+    // Pipeline-IO accounting, split out like bpe_train_cold_sec: these
+    // queries execute a full multi-batch ledger WRITE pipeline (bucketed
+    // table creates + appends + CC rounds) inside one bench entry — the
+    // cost is real ingest IO by design, not query compute, so it gets
+    // its own named field and an ex-pipeline total that stays comparable
+    // round-over-round as more pipeline flows join the surface.
+    val pipelineQueries = Set("q_dedup_incremental", "q_dedup_incr_clusters")
+    val pipelineIo = results
+      .filter(r => pipelineQueries(r._1) && r._2 >= 0).map(_._2).sum
+    val totalExPipeline = total - pipelineIo
     // The recorder keeps only a 2000-char stdout tail, so the per-query
     // map is also persisted to a file in the working tree — committed
     // next session, it gives every round a full timing history that no
@@ -104,7 +114,9 @@ object Bench {
       val w = new java.io.PrintWriter("bench_full_last.json")
       try w.println(
         f"""{"sf_dir":"$sfDir","total_min":$total%.3f,"total_med":$totalMed%.3f,""" +
-          f""""bpe_train_cold_sec":$bpeTrainCold%.3f,"queries":$qjson}""")
+          f""""bpe_train_cold_sec":$bpeTrainCold%.3f,""" +
+          f""""pipeline_io_sec":$pipelineIo%.3f,""" +
+          f""""total_min_ex_pipeline":$totalExPipeline%.3f,"queries":$qjson}""")
       finally w.close()
     } catch { case _: Throwable => () }
     // Stop Spark BEFORE the summary line so no shutdown logging can land
@@ -135,6 +147,8 @@ object Bench {
       .mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       f""""median_total":$totalMed%.3f,"queries_count":${results.size},""" +
+      f""""pipeline_io_sec":$pipelineIo%.3f,""" +
+      f""""total_ex_pipeline":$totalExPipeline%.3f,""" +
       f""""slowest":$slowestTail,"sf":$sfNum}""")
     Console.out.flush()
   }

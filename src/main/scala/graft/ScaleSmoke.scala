@@ -500,6 +500,57 @@ object ScaleSmoke {
     spark.sql(s"DROP TABLE IF EXISTS $clLedgerPa")
     spark.sql(s"DROP TABLE IF EXISTS ${clLedgerPa}_patch")
 
+    // ---- Production ingest regime: batch_keys << row_groups ----
+    // The 12-batch table above shows ingest_read_mb ~flat at ~35 MB —
+    // the FIXTURE CEILING, not the production claim: a 10k-key batch
+    // touches most of a ~40-row-group ledger by pigeonhole, so reads
+    // are bounded by the LEDGER. The claimed regime is the other one:
+    // many small batches against a big ledger, where the In-pushdown
+    // point lookups prune to ~batch_keys row groups and reads track
+    // the BATCH. Manufacture that regime honestly: bulk-load a
+    // 60-replica ledger (~1.2M band rows across hundreds of 256 KB row
+    // groups) as one sorted run, then run FULL ingests of shrinking
+    // batch size drawn from ALREADY-INGESTED replicas — their band
+    // keys exist in the ledger, so no-match dictionary pruning cannot
+    // fake the result — and record what each ingest read.
+    sb.append("\n### Ingest read IO vs batch size (fixed big ledger — the production regime)\n\n")
+    val regime = "scale_minhash_regime"
+    MinHashLedger.init(spark, regime)
+    val regimeRoot = Files.createTempDirectory("mh_regime_")
+    val nRep = 60
+    MinHashLedger.bulkLoad(spark,
+      (0 until nRep).map(replicaSlice).reduce(_ unionAll _), regime)
+    val ledgerRows = spark.table(regime).count()
+    val ledgerMb = dirMb(spark.sql(s"DESC FORMATTED $regime")
+      .filter(col("col_name") === "Location")
+      .head().getString(1).stripPrefix("file:"))
+    val approxGroups = math.max(1, (ledgerMb * 1e6 /
+      MinHashLedger.RowGroupBytes).round)
+    sb.append(f"Ledger: $ledgerRows rows, $ledgerMb%.1f MB at rest " +
+      f"≈ $approxGroups x 256 KB row groups. Batches are slices of " +
+      "ingested replicas (matching keys, so pruning must earn its " +
+      "bytes). Read MB must FALL with batch size once batch keys " +
+      "(4/doc) drop below the row-group count — the flat-table " +
+      "ceiling above inverts into proportionality here.\n\n")
+    sb.append("| batch_docs | batch_band_keys | ledger_rows_before | pairs_out | ingest_sec | ingest_read_mb |\n")
+    sb.append("|---|---|---|---|---|---|\n")
+    for ((n, i) <- Seq(2048, 512, 128, 32, 8).zipWithIndex) {
+      val batch = replicaSlice(7 * i % nRep).orderBy("doc_id").limit(n)
+        .localCheckpoint(true)
+      val keys = batch.count() * MinHashLsh.Bands
+      val before = spark.table(regime).count()
+      val t0 = System.nanoTime()
+      val (pairs, io) = IoMeter.measure(spark) {
+        MinHashLedger.ingest(spark, batch, regime, s"$regimeRoot/run$n")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val line = f"| $n | $keys | $before | ${pairs.count()} | " +
+        f"$sec%.1f | ${io.readMb}%.1f |"
+      println(s"[scale] $line")
+      sb.append(line + "\n")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $regime")
+
     // ---- K-means: Lloyd rounds over the same jittered replicas ----
     // Each round is ONE scan (literal-centroid assignment projection)
     // plus ONE k x dim-cell agg whose result is the next model, so
@@ -613,6 +664,35 @@ object ScaleSmoke {
         println(s"[scale] $line")
         sb.append(line + "\n")
       }
+    }
+    // Plan evidence that STOCK AQE skew splitting actually fires on
+    // this hot-key fixture — the "or let AQE handle it" claims around
+    // the salted rewrites, observed rather than asserted: execute the
+    // plain join with splitting on and snapshot the skew markers from
+    // the ADAPTIVE final plan (the skewed SMJ and its AQEShuffleRead).
+    {
+      val ev = skewedEvents(32).localCheckpoint(true)
+      val users = ev.select(col("user_id")).distinct()
+        .withColumn("segment", pmod(col("user_id"), lit(7)))
+        .localCheckpoint(true)
+      val confs = Map(skewConf -> "true", skewThresh -> "2m",
+        skewFactor -> "2", advisory -> "1m")
+      confs.foreach { case (c, v) => spark.conf.set(c, v) }
+      val df = ev.join(users, Seq("user_id"))
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      confs.keys.foreach(c => spark.conf.set(c, prevConf(c)))
+      val marks = plan.linesIterator
+        .filter(l => l.toLowerCase.contains("skew"))
+        .map(_.trim.replaceAll("#\\d+L?", "").take(120)).take(6).toSeq
+      require(marks.nonEmpty,
+        "AQE skew-join split did not fire on the hot-key fixture")
+      sb.append("\nStock AQE skew-split OBSERVED on the 32x hot-key fixture " +
+        "(executed adaptive plan, test-scale thresholds — defaults " +
+        "trigger at 256 MB partitions):\n\n```\n")
+      marks.foreach(m => sb.append(m + "\n"))
+      sb.append("```\n")
+      println(s"[scale] aqe skew markers: ${marks.size}")
     }
     spark.conf.set(bcConf, prevConf(bcConf))
 

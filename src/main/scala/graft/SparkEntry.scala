@@ -306,6 +306,9 @@ object SparkEntry {
     "q_power_users"     -> (BehaviorQueries.qPowerUsers _),
     "q_qq_plot"         -> (StatsQueries.qQqPlot _),
     "q_session_percentiles" -> (EventQueries.qSessionPercentiles _),
+    // GK-sketch production swap of the line above (no-oracle: DuckDB's
+    // approx_quantile is a t-digest; EventsSpec bounds the rank error)
+    "q_session_percentiles_gk" -> (EventQueries.qSessionPercentilesGk _),
     "q_cosine_hist"     -> (SimilarityQueries.qCosineHist _),
     "q_token_len_dist"  -> (AdvancedTextQueries.qTokenLenDist _),
     "q_char_entropy"    -> (AdvancedTextQueries.qCharEntropy _),
@@ -3732,6 +3735,14 @@ object SparkEntry {
     // recompute — ClusterLedgerSpec); the oracle replays exactly that:
     // the q_dedup_incremental pair CTE, recursive reachability, min
     // label per vertex, unpaired universe docs self-labeled.
+    // CAP CAVEAT: the oracle's `count(*) <= 10000` applies to ONE-SHOT
+    // full-bucket populations, while the ledger guard evaluates the cap
+    // per batch over ledger-so-far ∪ batch — the two sides are equal
+    // only while the cap never binds (append-monotone divergence once a
+    // bucket crosses it mid-stream). That holds at fixture and 10x scale
+    // with margin; ClusterLedgerSpec's cap-headroom guard fails loudly
+    // if a future fixture approaches the cap, instead of surfacing as an
+    // opaque oracle hash mismatch here.
     "q_dedup_incr_clusters" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, list_distinct(list_filter(

@@ -407,6 +407,45 @@ object EventQueries {
       .orderBy(asc_nulls_first("week"))
   }
 
+  /** The GK production swap of q_session_percentiles, as CODE rather
+    * than a "swap at 100 TB" comment: same weekly session-duration
+    * report, but the per-week p50/p90 come from percentile_approx —
+    * Spark's Greenwald-Khanna mergeable quantile summary (built per
+    * partition, merged associatively, O(accuracy·log n) space) —
+    * instead of the exact nearest-rank window. The exact form
+    * materializes rank/count windows over EVERY session row per week
+    * (a full-column shuffle + sort); this form folds each partition
+    * into a few-KB sketch and merges, the plan that survives a 100 TB
+    * week. Accuracy=100 keeps the rank-error regime REAL at fixture
+    * scale (bound n/100, exercised, not vacuously exact) while
+    * ScalarEventSpec bounds every reported value against the exact order
+    * statistics; production would raise it (10⁴ ⇒ rank error n/10⁴).
+    *
+    * NOT oracle-checked: DuckDB's approx_quantile is a t-digest — a
+    * different sketch with different answers (the sketch_percentiles
+    * precedent); the spec rank-error gate is the verification, the
+    * driver records rows>0.
+    */
+  val GkAccuracy = 100
+  def qSessionPercentilesGk(spark: SparkSession, sfDir: String): DataFrame =
+    sessionWindows(Tables.events(spark, sfDir))
+      .withColumn("week", date_trunc("week", col("session_start")))
+      .groupBy("week")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        percentile_approx(col("duration_us"),
+          array(lit(0.5), lit(0.9)), lit(GkAccuracy)).as("ps"),
+        sum(col("n_events")).as("se"))
+      .select(
+        col("week"), col("n_sessions"),
+        (element_at(col("ps"), 1).cast("double") / 1000000.0 + lit(0.0))
+          .as("p50_duration_s"),
+        (element_at(col("ps"), 2).cast("double") / 1000000.0 + lit(0.0))
+          .as("p90_duration_s"),
+        (round(col("se").cast("double") / col("n_sessions"), 6) + lit(0.0))
+          .as("avg_events"))
+      .orderBy(asc_nulls_first("week"))
+
   /** Weekly bounce rate: share of sessions with exactly one event —
     * the engagement-quality headline next to q_session_percentiles'
     * duration trend, over the SAME 30-min-gap sessionization (so the

@@ -107,6 +107,11 @@ object GraphOps {
       // merges all collapsed to no-ops — is converged after its first
       // action, with no standing pre-loop emptiness probe taxing every
       // non-empty call (the hot per-batch ledger path runs this).
+      // The null⇒empty reading leans on ANSI mode (Spark 4 default):
+      // a decimal(38,0) sum overflow THROWS rather than returning null,
+      // so null cannot also mean "overflowed sum of labels" here — and
+      // reaching 1e38 would need ~1e19 vertices anyway. If ANSI were
+      // ever disabled, distinguish empty via next.isEmpty instead.
       converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       labels = next

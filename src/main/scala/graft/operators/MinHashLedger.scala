@@ -184,16 +184,26 @@ object MinHashLedger {
 
   /** Range-sorted small-row-group write — every ledger file is one
     * sorted run over `bkh`, the layout the point-lookup probe prunes.
-    * The parquet sizes ride on the WRITE (DataFrameWriter options reach
-    * the per-job output conf), not on the shared Hadoop configuration —
-    * a set/restore window there races concurrent writers (parallel
-    * ScalaTest suites drive qDedupIncremental concurrently) into
-    * default-128MB ledger runs or 256KB unrelated tables.
+    * How the parquet sizes reach the writer differs by mode: on CREATE
+    * (saveAsTable) the options are persisted into the table's catalog
+    * storage properties; on APPEND, Spark 4.1's V1 `insertInto` builds
+    * an InsertIntoStatement with an EMPTY options map — the
+    * DataFrameWriter options are dropped — and the append job instead
+    * INHERITS the storage properties saved at create time. Appends only
+    * get 256KB row groups because init/compact created the table with
+    * them; `assertLedgerLayout` makes that dependency loud rather than
+    * a silent revert to 128MB row groups (and degraded probe pruning)
+    * if a ledger table is ever created elsewhere without the options.
+    * Nothing touches the shared Hadoop configuration — a set/restore
+    * window there races concurrent writers (parallel ScalaTest suites
+    * drive qDedupIncremental concurrently) into default-128MB ledger
+    * runs or 256KB unrelated tables.
     */
   private[operators] def writeSorted(df: DataFrame, table: String,
       mode: SaveMode): Unit = {
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
+    if (mode == SaveMode.Append) assertLedgerLayout(spark, table)
     val w = df
       .repartitionByRange(n, col("bkh"))
       .sortWithinPartitions("bkh")
@@ -202,6 +212,22 @@ object MinHashLedger {
       .option("parquet.page.size", PageBytes.toString)
     if (mode == SaveMode.Append) w.insertInto(table)
     else w.format("parquet").saveAsTable(table)
+  }
+
+  /** Append-path guard: the small-row-group layout rides on the table's
+    * catalog storage properties (see writeSorted) — verify they exist
+    * before appending, so a mis-created ledger fails loudly instead of
+    * silently writing 128MB row groups that the point-lookup probe
+    * cannot prune. */
+  private def assertLedgerLayout(spark: SparkSession, table: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val props = spark.sessionState.catalog.getTableMetadata(ident)
+      .storage.properties
+    require(props.get("parquet.block.size").contains(RowGroupBytes.toString),
+      s"ledger table $table lacks parquet.block.size=$RowGroupBytes in its " +
+        "catalog storage properties; appends would revert to 128MB row " +
+        "groups and probe pruning would degrade — recreate the table via " +
+        "writeSorted(..., Overwrite/ErrorIfExists)")
   }
 
   /** Ingest one batch: emit its candidate near-dup pairs against the
@@ -246,6 +272,18 @@ object MinHashLedger {
           col("sig")),
       ledgerTable, SaveMode.Overwrite)
   }
+
+  /** Bulk backfill: append a corpus's band rows as ONE sorted run
+    * WITHOUT emitting candidate pairs — the initial-load path for
+    * standing up a ledger over an already-deduped historical corpus
+    * (its internal pairs are the one-shot MinHashLsh job's business;
+    * the ledger only needs the index rows so FUTURE batches can probe
+    * against it). Same layout contract as ingest's append
+    * (writeSorted: bkh-sorted runs, small row groups).
+    */
+  def bulkLoad(spark: SparkSession, docs: DataFrame,
+      ledgerTable: String): Unit =
+    writeSorted(bandRows(docs), ledgerTable, SaveMode.Append)
 
   /** The pre-append probe plan ingest materializes — exposed so tests
     * can audit it (and its scan set: this batch plus the pruned band

@@ -215,6 +215,18 @@ class ClusterLedgerSpec extends AnyFunSuite {
       universe.select("doc_id").collect().map(_.getLong(0)).toSet,
       "every admitted doc must be labeled exactly once")
     assert(out.length == got.size, "no duplicate label rows")
+    // Cap-headroom guard: the DuckDB oracle applies BucketCap to the
+    // ONE-SHOT bucket populations while the ledger applies it per batch
+    // over ledger-so-far ∪ batch — equal only while the cap never binds.
+    // Keep a 10x margin so a fixture change that approaches the cap
+    // fails HERE with a message, not as an opaque oracle hash mismatch.
+    val maxBucketDf = MinHashLedger.bandRows(universe)
+      .groupBy("bkey").count().agg(max("count")).head().getLong(0)
+    assert(maxBucketDf * 10 <= MinHashLsh.BucketCap,
+      s"fixture's hottest LSH bucket df=$maxBucketDf is within 10x of " +
+        s"BucketCap=${MinHashLsh.BucketCap}; the q_dedup_incr_clusters " +
+        "oracle equality is cap-conditional (one-shot vs per-batch cap " +
+        "evaluation) — revisit before the cap can bind")
   }
 
   test("fixture corpus through the ledger flow equals one-shot clusters") {

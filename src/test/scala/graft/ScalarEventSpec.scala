@@ -141,6 +141,49 @@ class ScalarEventSpec extends AnyFunSuite {
     }
   }
 
+  test("q_session_percentiles_gk: GK values are order statistics within rank error n/accuracy") {
+    import spark.implicits._
+    // exact per-week sorted duration columns, recomputed independently
+    val exact = graft.operators.EventQueries
+      .sessionWindows(Tables.events(spark, sfDir))
+      .select(date_trunc("week", $"session_start").as("week"), $"duration_us")
+      .as[(java.sql.Timestamp, Long)].collect()
+      .groupBy(_._1).map { case (w, v) => w -> v.map(_._2).sorted }
+    val out = q("q_session_percentiles_gk").collect()
+    assert(out.nonEmpty && out.length == exact.size)
+    // the swap is drop-in: same weeks + session counts as the exact query
+    val exactQ = q("q_session_percentiles").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("week"),
+        r.getAs[Long]("n_sessions"))).toMap
+    out.foreach { r =>
+      val w = r.getAs[java.sql.Timestamp]("week")
+      val n = r.getAs[Long]("n_sessions").toInt
+      assert(exactQ(w) == n, s"week $w session count diverges from exact")
+      val sorted = exact(w)
+      assert(sorted.length == n)
+      Seq(50 -> "p50_duration_s", 90 -> "p90_duration_s").foreach {
+        case (p, cname) =>
+          val us = math.round(r.getAs[Double](cname) * 1e6)
+          // GK guarantee: the reported value is a MEMBER of the column
+          // whose rank is within n/accuracy of the target (+1 for the
+          // boundary convention); ties occupy a rank range.
+          val lo = sorted.indexOf(us)
+          val hi = sorted.lastIndexOf(us)
+          assert(lo >= 0, s"week $w $cname=$us not a member of the column")
+          val target = math.ceil(n * p / 100.0)
+          val slack = n.toDouble / graft.operators.EventQueries.GkAccuracy + 1
+          val dist = if (target < lo + 1) (lo + 1) - target
+                     else if (target > hi + 1) target - (hi + 1)
+                     else 0.0
+          assert(dist <= slack,
+            s"week $w $cname=$us at ranks ${lo + 1}..${hi + 1}, " +
+              s"target $target, slack $slack")
+      }
+      assert(r.getAs[Double]("p50_duration_s") <=
+        r.getAs[Double]("p90_duration_s") + 1e-9)
+    }
+  }
+
   test("q_bounce_rate: reconciles with q_session_percentiles week counts") {
     val out = q("q_bounce_rate").collect()
     val weeks = q("q_session_percentiles").collect()

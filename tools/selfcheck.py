@@ -34,6 +34,61 @@ def table_rows(tbl, cols):
     return [tuple(norm(x) for x in row) for row in zip(*data)]
 
 
+def pagerank_iterative(con):
+    """Resource-feasible q_pagerank oracle: the SAME integer fixed-point
+    recurrence as SparkEntry's unrolled 10-round CTE chain (PagerankSql),
+    but materialized one round at a time in temp tables so DuckDB's
+    spill stays one-round-sized (the unrolled chain exceeds local spill
+    disk at sf1.0). Faithfulness is pinned by selfcheck itself: at
+    sf0.01/sf0.1 this hook and the unrolled oracle_sql.json SQL are both
+    run and must agree (see main's cross-check).
+    """
+    con.execute("""
+        CREATE OR REPLACE TEMP TABLE pr_edges AS
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+          JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)
+        SELECT src, dst FROM pairs GROUP BY src, dst HAVING count(*) >= 2""")
+    con.execute("CREATE OR REPLACE TEMP TABLE pr_nodes AS "
+                "SELECT DISTINCT src AS node FROM pr_edges")
+    con.execute("CREATE OR REPLACE TEMP TABLE pr_deg AS "
+                "SELECT src, count(*) AS outdeg FROM pr_edges GROUP BY src")
+    con.execute("CREATE OR REPLACE TEMP TABLE pr_nn AS "
+                "SELECT count(*) AS n FROM pr_nodes")
+    con.execute("CREATE OR REPLACE TEMP TABLE pr_rank AS "
+                "SELECT node, 1000000000000 // n AS rank "
+                "FROM pr_nodes CROSS JOIN pr_nn")
+    for _ in range(10):
+        con.execute("""
+            CREATE OR REPLACE TEMP TABLE pr_next AS
+            SELECT n.node,
+              (1000000000000 * 15) // (100 * pr_nn.n) +
+              (85 * coalesce(c.contrib, 0)) // 100 AS rank
+            FROM pr_nodes n
+            CROSS JOIN pr_nn
+            LEFT JOIN (
+              SELECT e.dst AS node, sum(p.rank // d.outdeg) AS contrib
+              FROM pr_rank p
+              JOIN pr_edges e ON p.node = e.src
+              JOIN pr_deg d ON d.src = e.src
+              GROUP BY e.dst) c ON c.node = n.node""")
+        con.execute("DROP TABLE pr_rank")
+        con.execute("ALTER TABLE pr_next RENAME TO pr_rank")
+    tbl = con.execute(
+        "SELECT node, CAST(rank AS BIGINT) AS rank FROM pr_rank "
+        "ORDER BY rank DESC, node NULLS FIRST").fetch_arrow_table()
+    for t in ("pr_rank", "pr_edges", "pr_nodes", "pr_deg", "pr_nn"):
+        con.execute(f"DROP TABLE IF EXISTS {t}")
+    return tbl
+
+
+# Per-query oracle hooks that replace the single-statement SQL with a
+# resource-bounded multi-statement program (identical math).
+ITERATIVE = {"q_pagerank": pagerank_iterative}
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -55,7 +110,21 @@ def main():
             failures += 1
             continue
         try:
-            duck = con.execute(sql).fetch_arrow_table()
+            if name in ITERATIVE:
+                duck = ITERATIVE[name](con)
+                # faithfulness cross-check: at driver-fixture scales the
+                # unrolled oracle_sql.json SQL is also feasible — run it
+                # and require the hook to agree, so the iterative form
+                # can never drift from the contract SQL it stands in for
+                if "sf1" not in sf_dir:
+                    unrolled = con.execute(sql).fetch_arrow_table()
+                    if not duck.equals(unrolled):
+                        print(f"FAIL {name}: iterative hook diverges "
+                              "from the unrolled oracle SQL")
+                        failures += 1
+                        continue
+            else:
+                duck = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             failures += 1
