@@ -2890,7 +2890,7 @@ object SparkEntry {
         |             AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
         |      / CAST(n_chars AS DOUBLE) AS k
         |  FROM documents)
-        |SELECT doc_id, n_chars, round(k, 6) AS sel_key
+        |SELECT doc_id, n_chars, round(k, 6) + 0.0 AS sel_key
         |FROM keyed
         |ORDER BY k DESC, doc_id
         |LIMIT 50""".stripMargin,
