@@ -603,6 +603,14 @@ object ScaleSmoke {
     // plan size grows with k): the skew effect only dominates wall
     // time once the hot task's row count clears the per-task fixed
     // costs, so this section runs at 8x/32x/128x the base events.
+    // The trailing repartition(32) is load-bearing for realism: the
+    // explode multiplies ROWS, not partitions, so without it the whole
+    // fixture collapses into the parquet scan's 1-2 map tasks — and AQE
+    // skew-split divides a skewed reduce partition BY MAPPER RANGES
+    // (PartialReducerPartitionSpec), so with one mapper it detects the
+    // skew and can split nothing (observed: "number of skewed
+    // partitions: left 0"). A real cluster job has thousands of
+    // mappers; 32 reproduces that regime at fixture scale.
     def skewedEvents(k: Int): DataFrame =
       events
         .select(explode(sequence(lit(0L), lit(k - 1L))).as("r"),
@@ -612,6 +620,7 @@ object ScaleSmoke {
           when(pmod(col("event_id"), lit(5)) === 0, lit(1L))
             .otherwise(col("user_id") + col("r") * 10000000L).as("user_id"),
           col("ts"))
+        .repartition(32)
 
     sb.append("\n## Skew: plain vs salted (~20% of events on one hot user)\n\n")
     sb.append("Auto-broadcast off for all join rows (a 100 TB user dim does not ")
@@ -679,7 +688,14 @@ object ScaleSmoke {
         skewFactor -> "2", advisory -> "1m")
       confs.foreach { case (c, v) => spark.conf.set(c, v) }
       val df = ev.join(users, Seq("user_id"))
-      df.write.format("noop").mode("overwrite").save()
+      // Execute THIS Dataset's own QueryExecution (a write/noop sink
+      // builds a separate one, whose adaptive plan would print
+      // unfinalized — no skew markers): after collect(), executedPlan
+      // is the finalized AdaptiveSparkPlanExec and shows what AQE did.
+      // 32x puts the hot reduce partition (~6 MB compressed) clear of
+      // the 2m test threshold; skewedEvents' repartition(32) supplies
+      // the mapper ranges the split is made of.
+      df.collect()
       val plan = df.queryExecution.executedPlan.toString
       confs.keys.foreach(c => spark.conf.set(c, prevConf(c)))
       val marks = plan.linesIterator
@@ -689,7 +705,12 @@ object ScaleSmoke {
         "AQE skew-join split did not fire on the hot-key fixture")
       sb.append("\nStock AQE skew-split OBSERVED on the 32x hot-key fixture " +
         "(executed adaptive plan, test-scale thresholds — defaults " +
-        "trigger at 256 MB partitions):\n\n```\n")
+        "trigger at 256 MB partitions). The fixture detail that matters " +
+        "at any scale: the split is composed of MAPPER ranges " +
+        "(PartialReducerPartitionSpec), so a skewed partition fed by a " +
+        "single map task is detected but unsplittable — AQE needs " +
+        "upstream parallelism, which real jobs have and a collapsed " +
+        "test fixture must reproduce:\n\n```\n")
       marks.foreach(m => sb.append(m + "\n"))
       sb.append("```\n")
       println(s"[scale] aqe skew markers: ${marks.size}")
