@@ -63,6 +63,7 @@ object ExplainDump {
     "q_levene", "q_bartlett", "q_chao1", "q_stickiness", "q_lift",
     "q_brier", "q_drawdown", "q_rsi", "q_jl_project", "q_embed_outliers",
     "q_power_users", "q_qq_plot", "q_session_percentiles",
+    "q_session_percentiles_gk",
     "q_cosine_hist", "q_token_len_dist", "q_char_entropy", "q_tukey",
     "q_dedup_sweep", "q_bigram_coverage", "q_bounce_rate", "q_ab_test",
     "q_pacf", "q_forecast_eval", "q_freshness", "q_priority_mix",

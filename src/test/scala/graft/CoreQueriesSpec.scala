@@ -20,8 +20,12 @@ class CoreQueriesSpec extends AnyFunSuite {
     // sketch); their error bound is spec-checked in StatsSpec instead.
     // The ANN paths are approximate in recall (no SQL oracle exists);
     // deterministic + recall-bounded in ScalePathSpec and SCALING.md.
+    // q_session_percentiles_gk: the GK production swap — DuckDB's
+    // approx_quantile is a t-digest (different sketch, different
+    // answers); rank-error gated in ScalarEventSpec instead.
     val declaredNoOracle = Set("sketch_distinct", "sketch_percentiles",
-      "ann_lsh_topk", "ann_ivf_topk", "ann_quant_topk")
+      "ann_lsh_topk", "ann_ivf_topk", "ann_quant_topk",
+      "q_session_percentiles_gk")
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- declaredNoOracle
     assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")
