@@ -7,12 +7,16 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * feature-extract / frame-sample. Image and audio DECODE are real
   * (JdkMediaDecoder); video METADATA is real (`ContainerMeta` parses
   * MP4/ISO-BMFF and Matroska/WebM container headers for duration and
-  * resolution — see [[probeMetadata]]); video FRAME decode has no
-  * in-JDK codec, so `StubDecoder` stands in — a clearly marked,
-  * deterministic fake — while the schema, partitioning, batch shape and
-  * typed Dataset plumbing are real and tested. A production deployment
-  * swaps `MediaDecoder` for one backed by javacv/ffmpeg or a JNI codec;
-  * nothing else changes.
+  * resolution — see [[probeMetadata]]); video FRAME decode is REAL for
+  * MJPEG (concatenated baseline JPEGs — the webcam / AVI-'MJPG'
+  * format; [[MjpegCodec]] splits frames on the marker structure and
+  * the JDK JPEG codec decodes the pixels, so [[mjpegFrames]] and the
+  * video feature path run on real decoded frames). Inter-coded codecs
+  * (H.264/VP9/AV1…) have no in-JDK decoder, so `StubDecoder` stands in
+  * for those — a clearly marked, deterministic fake — while the
+  * schema, partitioning, batch shape and typed Dataset plumbing are
+  * real and tested. A production deployment swaps `MediaDecoder` for
+  * one backed by javacv/ffmpeg or a JNI codec; nothing else changes.
   *
   * Scale notes: decode runs inside mapPartitions in fixed-size batches
   * (amortizing per-batch codec setup exactly like an Arrow-batched
@@ -65,19 +69,71 @@ object Multimodal {
     }
   }
 
+  /** MJPEG elementary-stream codec — REAL video frame access with zero
+    * external dependencies, because an MJPEG stream is concatenated
+    * baseline JPEG images (the webcam / AVI-'MJPG' / http multipart
+    * video format) and the JPEG codec itself ships in the JDK
+    * (javax.imageio). Frame boundaries are the JPEG SOI (FF D8 FF) and
+    * EOI (FF D9) markers; inside baseline entropy-coded data a raw FF
+    * is always byte-stuffed as FF 00 (or is an RST marker FF D0-D7),
+    * so a bare FF D9 IS the frame end — the scan needs no bit-level
+    * decoding. Caveat, documented not hidden: a frame embedding its
+    * own thumbnail JPEG (EXIF APP1) would end at the thumbnail's EOI;
+    * camera MJPEG streams don't embed thumbnails, and the decoder
+    * degrades per-frame (skip), never per-task.
+    */
+  object MjpegCodec extends Serializable {
+    /** Cheap sniff: a JPEG/MJPEG payload starts SOI + marker prefix. */
+    def isMjpeg(content: Array[Byte]): Boolean =
+      content.length >= 4 && (content(0) & 0xff) == 0xff &&
+        (content(1) & 0xff) == 0xd8 && (content(2) & 0xff) == 0xff
+
+    /** (start, endExclusive) byte ranges of each complete JPEG frame. */
+    def frameRanges(content: Array[Byte]): IndexedSeq[(Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var i = 0
+      val n = content.length
+      while (i + 3 < n) {
+        if ((content(i) & 0xff) == 0xff && (content(i + 1) & 0xff) == 0xd8 &&
+            (content(i + 2) & 0xff) == 0xff) {
+          var j = i + 2
+          var end = -1
+          while (end < 0 && j + 1 < n) {
+            if ((content(j) & 0xff) == 0xff && (content(j + 1) & 0xff) == 0xd9)
+              end = j + 2
+            j += 1
+          }
+          if (end < 0) i = n // truncated tail frame: drop, stop
+          else { out += ((i, end)); i = end }
+        } else i += 1
+      }
+      out.toIndexedSeq
+    }
+
+    def frames(content: Array[Byte]): IndexedSeq[Array[Byte]] =
+      frameRanges(content).map { case (s, e) =>
+        java.util.Arrays.copyOfRange(content, s, e)
+      }
+  }
+
   /** Real in-JDK decoders — zero external dependencies:
     *   - image via javax.imageio (PNG / BMP / GIF / JPEG): decoded
     *     pixels reduce to a 4×4 grid of mean luminance;
     *   - audio via javax.sound.sampled (WAV / AIFF / AU): decoded PCM
-    *     reduces to per-segment RMS energy over 16 equal time slices.
-    * Both are 16-dim, deterministic for a given encoded payload, and
+    *     reduces to per-segment RMS energy over 16 equal time slices;
+    *   - video via [[MjpegCodec]] for MJPEG payloads: up to 8 frames
+    *     sampled evenly across the stream, each decoded by the JDK
+    *     JPEG codec to the image luminance grid, averaged per cell —
+    *     a real temporal-mean video feature from real decoded pixels.
+    * All are 16-dim, deterministic for a given encoded payload, and
     * identical for byte-identical media regardless of container
-    * details. Video has no in-JDK codec and falls back to StubDecoder,
-    * as does any undecodable payload (truncated file, codec plugin
-    * throwing) — a decode failure must not kill a 100 TB batch job
-    * over one bad blob, so failures degrade per-record, not per-task.
-    * JDK image/sound plugins throw RuntimeExceptions (not just
-    * IOException) on malformed payloads, hence the NonFatal catch.
+    * details. Non-MJPEG video (H.264/VP9/AV1…) has no in-JDK codec
+    * and falls back to StubDecoder, as does any undecodable payload
+    * (truncated file, codec plugin throwing) — a decode failure must
+    * not kill a 100 TB batch job over one bad blob, so failures
+    * degrade per-record, not per-task. JDK image/sound plugins throw
+    * RuntimeExceptions (not just IOException) on malformed payloads,
+    * hence the NonFatal catch.
     */
   object JdkMediaDecoder extends MediaDecoder {
     val featureDim = 16
@@ -85,7 +141,34 @@ object Multimodal {
     def decode(kind: String, content: Array[Byte]): Array[Float] = kind match {
       case "image" => decodeImage(content)
       case "audio" => decodeAudio(content)
+      case "video" => decodeVideo(content)
       case _ => StubDecoder.decode(kind, content)
+    }
+
+    /** Sample ≤ 8 frames evenly (deterministic indices), decode each
+      * with the JDK JPEG codec, average the luminance grids. Frames
+      * that fail to decode are skipped; if nothing decodes (or the
+      * payload isn't MJPEG at all) the stub stands in, per the
+      * per-record degradation policy.
+      */
+    private def decodeVideo(content: Array[Byte]): Array[Float] = {
+      if (!MjpegCodec.isMjpeg(content))
+        return StubDecoder.decode("video", content)
+      val all = MjpegCodec.frames(content)
+      if (all.isEmpty) return StubDecoder.decode("video", content)
+      val k = math.min(8, all.length)
+      val sampled = (0 until k).map(i => all((i.toLong * all.length / k).toInt))
+      val grids = sampled.flatMap(decodeImageOpt)
+      if (grids.isEmpty) return StubDecoder.decode("video", content)
+      val out = new Array[Float](featureDim)
+      var c = 0
+      while (c < featureDim) {
+        var s = 0.0
+        grids.foreach(g => s += g(c))
+        out(c) = (s / grids.length).toFloat
+        c += 1
+      }
+      out
     }
 
     /** WAV/AIFF/AU → mono PCM → RMS energy per 1/16th of the clip,
@@ -129,12 +212,16 @@ object Multimodal {
       out
     }
 
-    private def decodeImage(content: Array[Byte]): Array[Float] = {
+    private def decodeImage(content: Array[Byte]): Array[Float] =
+      decodeImageOpt(content)
+        .getOrElse(StubDecoder.decode("image", content))
+
+    private def decodeImageOpt(content: Array[Byte]): Option[Array[Float]] = {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
         catch { case scala.util.control.NonFatal(_) => null }
-      if (img == null) StubDecoder.decode("image", content)
-      else {
+      if (img == null) None
+      else Some {
         val w = img.getWidth
         val h = img.getHeight
         val sums = new Array[Double](featureDim)
@@ -221,6 +308,18 @@ object Multimodal {
         else ContainerMeta.parse(m.content) match {
           case Some(v) =>
             m.copy(width = v.width, height = v.height, duration_ms = v.durationMs)
+          case None if MjpegCodec.isMjpeg(m.content) =>
+            // containerless MJPEG elementary stream: the resolution is
+            // intrinsic to the first frame's JPEG headers (the JDK
+            // codec reads it); duration is not encoded — left as-is
+            val dims =
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(
+                    MjpegCodec.frames(m.content).headOption.getOrElse(m.content)))
+                if (img == null) None else Some((img.getWidth, img.getHeight))
+              } catch { case scala.util.control.NonFatal(_) => None }
+            dims.fold(m) { case (w, h) => m.copy(width = w, height = h) }
           case None => m
         }
       }
@@ -268,6 +367,26 @@ object Multimodal {
       .agg(min(col("media_id")).as("canonical_media_id"),
         count(lit(1)).as("group_size"))
       .orderBy(asc_nulls_first("kind"), asc_nulls_first("bucket"))
+  }
+
+  /** REAL frame sampling for MJPEG video: every `everyN`-th JPEG frame
+    * of the elementary stream, one row per sampled frame carrying the
+    * frame's own decodable JPEG bytes (downstream: ImageIO, the image
+    * feature path, thumbnailing…). Non-MJPEG payloads produce no rows
+    * — frame access for inter-coded codecs needs an external decoder,
+    * which is exactly the boundary StubDecoder marks. Same narrow
+    * flatMap fan-out shape as [[frameSample]].
+    */
+  def mjpegFrames(
+      ds: Dataset[MediaRecord],
+      everyN: Int = 2): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { m =>
+      if (m.kind != "video" || !MjpegCodec.isMjpeg(m.content)) Iterator.empty
+      else MjpegCodec.frames(m.content).iterator.zipWithIndex.collect {
+        case (jpeg, idx) if idx % everyN == 0 => Frame(m.media_id, idx, jpeg)
+      }
+    }
   }
 
   /** Frame sampling: every `everyN`-th fixed-size chunk of the payload
