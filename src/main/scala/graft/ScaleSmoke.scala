@@ -532,20 +532,36 @@ object ScaleSmoke {
       "bytes). Read MB must FALL with batch size once batch keys " +
       "(4/doc) drop below the row-group count — the flat-table " +
       "ceiling above inverts into proportionality here.\n\n")
-    sb.append("| batch_docs | batch_band_keys | ledger_rows_before | pairs_out | ingest_sec | ingest_read_mb |\n")
-    sb.append("|---|---|---|---|---|---|\n")
+    sb.append("probe_read_mb isolates the point-lookup read path ")
+    sb.append("(candidatePairsAgainst alone). It falls with batch keys until ")
+    sb.append("it saturates at the LAYOUT's per-probe minimum: the probe plan ")
+    sb.append("scans the pruned ledger twice (hot-bucket-cap totals + the ")
+    sb.append("pair join), and every file with any probed key in range ")
+    sb.append("contributes footer/dictionary pages plus at least one row ")
+    sb.append("group — so the floor is ~2 scans x files-touched x row-group ")
+    sb.append("size (here 32 files from one bulk-load write), not zero. At a ")
+    sb.append("production layout (thousands of files over many TB) that ")
+    sb.append("per-file minimum is a vanishing fraction of the corpus, which ")
+    sb.append("is the claim that matters: a 256x smaller batch never re-reads ")
+    sb.append("the corpus. ingest_read_mb is the full ingest (probe + its own ")
+    sb.append("pair-materialization re-read + the batch source).\n\n")
+    sb.append("| batch_docs | batch_band_keys | ledger_rows_before | pairs_out | probe_read_mb | ingest_sec | ingest_read_mb |\n")
+    sb.append("|---|---|---|---|---|---|---|\n")
     for ((n, i) <- Seq(2048, 512, 128, 32, 8).zipWithIndex) {
       val batch = replicaSlice(7 * i % nRep).orderBy("doc_id").limit(n)
         .localCheckpoint(true)
       val keys = batch.count() * MinHashLsh.Bands
       val before = spark.table(regime).count()
+      val (_, probeIo) = IoMeter.measure(spark) {
+        MinHashLedger.candidatePairsAgainst(spark, batch, regime).count()
+      }
       val t0 = System.nanoTime()
       val (pairs, io) = IoMeter.measure(spark) {
         MinHashLedger.ingest(spark, batch, regime, s"$regimeRoot/run$n")
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val line = f"| $n | $keys | $before | ${pairs.count()} | " +
-        f"$sec%.1f | ${io.readMb}%.1f |"
+        f"${probeIo.readMb}%.1f | $sec%.1f | ${io.readMb}%.1f |"
       println(s"[scale] $line")
       sb.append(line + "\n")
     }
