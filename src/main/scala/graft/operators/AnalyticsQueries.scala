@@ -996,22 +996,20 @@ object AnalyticsQueries {
     * under the (revenue desc, partkey asc) total order; the emitted
     * share doubles divide once at the end.
     *
-    * Scale: one shuffle to per-part revenue; the cumulative window is
-    * global but runs over the PART axis (a fold of the fact table).
-    * For a part axis too large for one ordered partition, the
-    * boundary ranks fall out of a two-pass quantile over revenue
-    * (q_equidepth's recipe) instead of a full sort.
+    * Scale: one shuffle to per-part revenue; the cumulative revenue
+    * comes from [[ScaleOps.partitionedRank]] — range-partitioned
+    * parallel running sums plus broadcast prefix offsets, with the
+    * grand total emitted from the same n-partition offset frame — so
+    * no corpus-sized ordered partition exists anywhere in the plan.
     */
   def qAbc(spark: SparkSession, sfDir: String): DataFrame = {
     val byPart = Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), cents(col("l_extendedprice")).as("c"))
       .groupBy("l_partkey").agg(sum(col("c")).as("rev"))
-    val wCum = Window.orderBy(col("rev").desc, col("l_partkey").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    val classed = byPart
-      .withColumn("cum", sum(col("rev").cast("decimal(38,0)")).over(wCum))
-      .withColumn("tot", sum(col("rev").cast("decimal(38,0)")).over(wAll))
+    val classed = ScaleOps.partitionedRank(byPart,
+      Seq(col("rev").desc, col("l_partkey").asc),
+      sums = Seq("cum" -> col("rev").cast("decimal(38,0)")))
+      .withColumnRenamed("tot_cum", "tot")
       .withColumn("abc_class",
         when(col("cum") * 100 <= col("tot") * 80, "A")
           .when(col("cum") * 100 <= col("tot") * 95, "B")

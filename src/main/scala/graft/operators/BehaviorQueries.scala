@@ -725,16 +725,17 @@ object BehaviorQueries {
     * buyer capture and lift over the base rate. The validation a
     * campaign owner runs before spending on the top decile.
     *
-    * Determinism: the score is an exact integer count; ntile runs
-    * over a fully tie-broken total order (score DESC, user ASC) and
-    * both engines define ntile identically (floor-equal buckets,
-    * remainder to the leading buckets); all outputs are integer
-    * counts plus terminal rounded ratios.
+    * Determinism: the score is an exact integer count; the decile is
+    * DuckDB's (and Spark's) shared ntile definition — floor-equal
+    * buckets, remainder to the leading buckets — reconstructed with
+    * exact integer algebra ([[ScaleOps.ntileFromRank]]) from the
+    * tie-broken (score DESC, user ASC) global rank; all outputs are
+    * integer counts plus terminal rounded ratios.
     *
-    * Scale: one user-level fold of the stream (map-combinable), a
-    * single global ntile over the USER dimension (users ≪ events; at
-    * true 100 TB swap for range-partitioned rank arithmetic), and a
-    * 10-row aggregate.
+    * Scale: one user-level fold of the stream (map-combinable), the
+    * global rank via [[ScaleOps.partitionedRank]] — range-partitioned
+    * parallel windows plus broadcast prefix offsets, never an
+    * unpartitioned ntile window — and a 10-row aggregate.
     */
   def qLift(spark: SparkSession, sfDir: String): DataFrame = {
     val cut = lit("2024-01-22").cast("date")
@@ -745,9 +746,11 @@ object BehaviorQueries {
         max(when(to_date(col("ts")) >= cut &&
           col("event_type") === "purchase", 1L).otherwise(0L)).as("buyer"))
       .filter(col("score") >= 1)
-    val deciled = perUser.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("score").desc, col("user_id").asc)))
-    val tot = deciled.agg(sum(col("buyer")).as("tot_buyers"),
+    val deciled = ScaleOps.partitionedRank(perUser,
+      Seq(col("score").desc, col("user_id").asc))
+      .withColumn("decile",
+        ScaleOps.ntileFromRank(col("rn"), col("n_total"), 10))
+    val tot = perUser.agg(sum(col("buyer")).as("tot_buyers"),
       count(lit(1)).as("tot_users"))
     deciled.groupBy("decile")
       .agg(count(lit(1)).as("n_users"), sum(col("buyer")).as("n_buyers"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-handling building blocks (SURVEY.md §4.1: the reference has
@@ -96,6 +97,102 @@ object ScaleOps {
         saltedBig(bigKey) === replicatedSmall(smallKey) &&
           saltedBig("__salt") === replicatedSmall("__salt"))
       .drop("__salt")
+  }
+
+  /** EXACT two-pass global rank (and optional running sums) with no
+    * corpus-sized ordered partition — the 100 TB swap for a bare
+    * `Window.orderBy(total order)` that q_lorenz / q_abc / q_lift's
+    * docs promise. A global-order window shuffles EVERY row into ONE
+    * reducer; this computes the identical numbers from parallel
+    * pieces:
+    *
+    *   1. `repartitionByRange(n, order)` cuts the total order into n
+    *      contiguous ranges (the same shuffle a distributed sort
+    *      does; n is explicit, so AQE never re-coalesces it — the
+    *      partition ids must mean the same thing on every branch).
+    *   2. One window per RANGE (partitioned by `spark_partition_id`)
+    *      yields the local row_number and local running sums — n
+    *      parallel sorts instead of one.
+    *   3. A per-range (count, subtotal…) aggregate — n rows, bounded
+    *      by CONFIG, not the corpus — gets exclusive prefix offsets
+    *      from the only single-partition window in the plan (over
+    *      those n rows; PlanAuditSpec recognizes this bounded shape
+    *      by its `__pr_pid` grouping key).
+    *   4. The n-row offset frame broadcast-joins back:
+    *      global rank = local rank + prior-range count, global
+    *      running sum = local sum + prior-range subtotal.
+    *
+    * Ranges only decide WHERE the order is cut, never the order
+    * itself, so results are EXACT for any boundary choice — `order`
+    * must be a tie-broken total order, the same contract as the
+    * window this replaces. The range exchange is read by both the
+    * window branch and the stats branch through ONE shuffle: under
+    * AQE, exchange reuse happens at stage-creation time, so the
+    * AQE-initial plans in EXPLAINS.md show the two branches textually
+    * duplicated while the EXECUTED plan (verified: the stats branch
+    * reads `ReusedExchange … rangepartitioning`) materializes the
+    * fold once.
+    *
+    * Output: the input columns plus `rn` (1-based global row number,
+    * long), `n_total` (total row count, long), and per `sums` entry
+    * `name` (inclusive global running sum) and `tot_name` (grand
+    * total) — the scalars these queries previously fetched with a
+    * 1-row cross join or an unbounded-frame window. Names `rn`,
+    * `n_total`, `tot_*` and the `__pr_*` scratch space are reserved.
+    */
+  def partitionedRank(df: DataFrame, order: Seq[Column],
+      sums: Seq[(String, Column)] = Nil, numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(n, order: _*)
+      .withColumn("__pr_pid", spark_partition_id())
+    val wLoc = Window.partitionBy(col("__pr_pid")).orderBy(order: _*)
+    val wRun = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sums.foldLeft(
+      parted.withColumn("__pr_lrn", row_number().over(wLoc).cast("long"))) {
+      case (d, (name, c)) => d.withColumn(name, sum(c).over(wRun))
+    }
+    val aggExprs = count(lit(1)).as("__pr_cnt") +:
+      sums.map { case (name, c) => sum(c).as("__pr_s_" + name) }
+    val stats = parted.groupBy(col("__pr_pid"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    // exclusive prefix + grand total over the n-row stats frame: the
+    // one single-partition window, bounded by shuffle-partition config
+    val wOff = Window.orderBy(col("__pr_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy(col("__pr_pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = sums.foldLeft(
+      stats
+        .withColumn("__pr_off_rn", coalesce(sum(col("__pr_cnt")).over(wOff), lit(0L)))
+        .withColumn("n_total", sum(col("__pr_cnt")).over(wTot))) {
+      case (d, (name, _)) =>
+        d.withColumn("__pr_off_" + name, sum(col("__pr_s_" + name)).over(wOff))
+          .withColumn("tot_" + name, sum(col("__pr_s_" + name)).over(wTot))
+    }.drop("__pr_cnt").drop(sums.map { case (name, _) => "__pr_s_" + name }: _*)
+    val joined = local.join(broadcast(offs), Seq("__pr_pid"))
+      .withColumn("rn", col("__pr_lrn") + col("__pr_off_rn"))
+    sums.foldLeft(joined) { case (d, (name, _)) =>
+      d.withColumn(name,
+        col(name) + coalesce(col("__pr_off_" + name), lit(0)))
+        .drop("__pr_off_" + name)
+    }.drop("__pr_pid", "__pr_lrn", "__pr_off_rn")
+  }
+
+  /** NTILE reconstructed from [[partitionedRank]]'s exact global rank
+    * with pure integer algebra — identical to Spark's and DuckDB's
+    * shared definition (floor-equal buckets, remainder to the leading
+    * buckets): the first n mod b buckets take ⌈n/b⌉ rows, the rest
+    * ⌊n/b⌋. Divisions are floored doubles — exact while the operands
+    * stay under 2^52, i.e. for any rank a long row count can reach.
+    */
+  def ntileFromRank(rn: Column, nTotal: Column, buckets: Int): Column = {
+    val b = lit(buckets.toLong)
+    val q = floor(nTotal / b)
+    val r = nTotal - q * b
+    val cutoff = (q + lit(1L)) * r
+    when(rn <= cutoff, floor((rn - lit(1L)) / (q + lit(1L))) + lit(1L))
+      .otherwise(r + floor((rn - cutoff - lit(1L)) / q) + lit(1L))
   }
 
   /** Z-order cell map of the events table: events bucketed on the

@@ -640,11 +640,16 @@ object StatsQueries {
     twoSampleValueCountsFrom(Tables.events(spark, sfDir))
 
   /** DataFrame-core form — ScaleSmoke replicates the event stream
-    * through this to show the window's frame is the value DOMAIN (near
-    * scale-invariant on replicated data), not the stream.
+    * through this to show the fold's frame is the value DOMAIN (near
+    * scale-invariant on replicated data), not the stream. The running
+    * ECDF totals come from [[ScaleOps.partitionedRank]] (parallel
+    * range-partitioned windows + broadcast prefix offsets), so even an
+    * adversarial corpus whose value domain GROWS with the data never
+    * sees a single-partition window; `rn`/`n_total` ride along for
+    * consumers that need rank arithmetic on the same axis (q_emd's
+    * segment widths).
     */
   def twoSampleValueCountsFrom(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = events
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("value"),
@@ -652,11 +657,8 @@ object StatsQueries {
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("ib"))
     val byValue = ev.groupBy("value")
       .agg(sum(col("ia")).as("c_a"), sum(col("ib")).as("c_b"))
-    val wOrd = Window.orderBy(asc_nulls_first("value"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byValue
-      .withColumn("cum_a", sum(col("c_a")).over(wOrd))
-      .withColumn("cum_b", sum(col("c_b")).over(wOrd))
+    ScaleOps.partitionedRank(byValue, Seq(asc_nulls_first("value")),
+      sums = Seq("cum_a" -> col("c_a"), "cum_b" -> col("c_b")))
       .withColumn("p", col("cum_a") + col("cum_b") - col("c_a") - col("c_b"))
   }
 
@@ -779,16 +781,19 @@ object StatsQueries {
   }
 
   def qKsTest(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = twoSampleValueCounts(spark, sfDir)
     val totals = counts.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
     val scored = counts.crossJoin(broadcast(totals))
       .withColumn("gap",
         abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
-    scored
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("gap").desc, col("value").asc)))
-      .filter(col("rk") === 1)
+    // argmax (gap desc, value asc) WITHOUT a global-order window: the
+    // exact integer max gap is a 1-row broadcast; min(value) breaks
+    // ties — two map-combinable aggs at any scale (q_grubbs's shape)
+    val gmax = scored.agg(max(col("gap")).as("g_max"))
+    scored.crossJoin(broadcast(gmax))
+      .filter(col("gap") === col("g_max"))
+      .groupBy("n_a", "n_b", "gap")
+      .agg(min(col("value")).as("value"))
       .select(col("n_a"), col("n_b"),
         (round(col("gap").cast("double") /
           (col("n_a") * col("n_b")).cast("double"), 6) + lit(0.0))
@@ -944,31 +949,28 @@ object StatsQueries {
     * dialect differences); spend sums are exact cent longs; shares
     * divide once, at the end, from DECIMAL totals.
     *
-    * Scale: one shuffle to per-customer spend; the rank window is
-    * global, but over CUSTOMERS (a fold of the fact table), and the
-    * decile roll-up then touches 10 rows. For a customer axis too
-    * large for one ordered partition, the same decile boundaries fall
-    * out of q_equidepth's two-pass quantile recipe.
+    * Scale: one shuffle to per-customer spend; the global rank AND
+    * the cumulative spend both come from [[ScaleOps.partitionedRank]]
+    * — range-partitioned parallel windows plus broadcast prefix
+    * offsets, never a corpus-sized ordered partition — and the decile
+    * roll-up reads the running sum at each decile's last rank
+    * (max_by), so no window ever touches the 10-row frame either.
     */
   def qLorenz(spark: SparkSession, sfDir: String): DataFrame = {
     val spend = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), cents(col("o_totalprice")).as("c"))
       .groupBy("o_custkey").agg(sum(col("c")).as("spend_c"))
-    val w = Window.orderBy(col("spend_c").asc, col("o_custkey").asc)
-    val ranked = spend.withColumn("rn", row_number().over(w))
-    val n = ranked.agg(count(lit(1)).as("n_customers"))
-    val deciles = ranked.crossJoin(broadcast(n))
-      .select(col("spend_c"), col("n_customers"),
-        ceil(col("rn") * 10.0 / col("n_customers")).cast("int").as("decile"))
+    val ranked = ScaleOps.partitionedRank(spend,
+      Seq(col("spend_c").asc, col("o_custkey").asc),
+      sums = Seq("cum_c" -> col("spend_c").cast("decimal(38,0)")))
+    ranked
+      .select(col("spend_c"), col("rn"), col("cum_c"), col("tot_cum_c"),
+        ceil(col("rn") * 10.0 / col("n_total")).cast("int").as("decile"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"),
-        sum(col("spend_c").cast("decimal(38,0)")).as("dec_c"))
-    val wCum = Window.orderBy(asc_nulls_first("decile"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    deciles
-      .withColumn("cum_c", sum(col("dec_c")).over(wCum))
-      .withColumn("tot_c", sum(col("dec_c")).over(wAll))
+        sum(col("spend_c").cast("decimal(38,0)")).as("dec_c"),
+        max_by(col("cum_c"), col("rn")).as("cum_c"),
+        max(col("tot_cum_c")).as("tot_c"))
       .select(col("decile"), col("n_customers"),
         (round(col("dec_c").cast("double") / col("tot_c").cast("double"), 6)
           + lit(0.0)).as("spend_share"),
@@ -1141,10 +1143,13 @@ object StatsQueries {
         col("o_custkey") === col("c_custkey"))
     val byValSeg = joined.groupBy("v", "c_mktsegment")
       .agg(count(lit(1)).as("c_g"))
-    val wOrd = Window.orderBy(asc_nulls_first("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val byVal = byValSeg.groupBy("v").agg(sum(col("c_g")).as("t"))
-      .withColumn("p", sum(col("t")).over(wOrd) - col("t"))
+    // predecessor count p per distinct value via partitionedRank's
+    // parallel running sum (the value axis is distinct-cents-bounded
+    // today, but the plan stays safe even if it grew with the corpus)
+    val byVal = ScaleOps.partitionedRank(
+      byValSeg.groupBy("v").agg(sum(col("c_g")).as("t")),
+      Seq(asc_nulls_first("v")), sums = Seq("cum_t" -> col("t")))
+      .withColumn("p", col("cum_t") - col("t"))
     val shared = byVal.agg(
       sum(col("t")).as("n_total"),
       sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
@@ -1173,17 +1178,21 @@ object StatsQueries {
     * one IEEE div·mul·round per distinct value from exact integers),
     * so the total is an exact long sum.
     *
-    * Scale: everything after the fold is value-domain-bounded; the
-    * sample sizes enter as a declared 1-row broadcast.
+    * Scale: everything after the fold is proportional to the value
+    * axis AND safe even when that axis grows with the corpus: the
+    * running totals come from the helper's partitionedRank, and the
+    * next-value segment width is the rank self-join (rn ↔ rn+1) — a
+    * parallel hash join, never a global lead window; the sample sizes
+    * enter as a declared 1-row broadcast.
     */
   def qEmd(spark: SparkSession, sfDir: String): DataFrame = {
     val cum = twoSampleValueCounts(spark, sfDir)
     val tot = cum.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
-    val wOrd = Window.orderBy(asc_nulls_first("value"))
+    val nxt = cum.select((col("rn") - 1).as("rn"), col("value").as("next_v"))
     cum
-      .withColumn("width", lead(col("value"), 1).over(wOrd) - col("value"))
+      .join(nxt, Seq("rn"))
+      .withColumn("width", col("next_v") - col("value"))
       .crossJoin(broadcast(tot))
-      .filter(col("width").isNotNull)
       .select(col("n_a"), col("n_b"),
         round(
           abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))

@@ -759,13 +759,16 @@ object TextQueries {
     * quadratic in buckets; this is one pass.
     *
     * Scale: one token exchange to first-seen docs (map-combinable
-    * min), one fold to the bucket axis; the running-sum window orders
-    * |buckets| rows — corpus/|bucket| of them, bounded like a day
-    * axis. Token occupancy per bucket also reported, so the curve
-    * reads as "new types per N docs" against "tokens per N docs".
+    * min), one fold to the bucket axis. The bucket axis is
+    * corpus/[[VocabGrowthBucket]] rows — it GROWS with the corpus, so
+    * the two running sums come from
+    * [[graft.operators.ScaleOps.partitionedRank]] (parallel
+    * range-partitioned windows + broadcast prefix offsets), never a
+    * single ordered partition. Token occupancy per bucket also
+    * reported, so the curve reads as "new types per N docs" against
+    * "tokens per N docs".
     */
   def qVocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     val firstSeen = tok.groupBy("t").agg(min(col("doc_id")).as("first_doc"))
@@ -775,13 +778,13 @@ object TextQueries {
     val occ = tok
       .groupBy(expr(s"doc_id div $VocabGrowthBucket").as("bucket"))
       .agg(count(lit(1)).as("n_tokens"))
-    val w = Window.orderBy(asc_nulls_first("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    occ.join(newTypes, Seq("bucket"), "left")
+    val perBucket = occ.join(newTypes, Seq("bucket"), "left")
       .select(col("bucket"), col("n_tokens"),
         coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
-      .withColumn("cum_vocab", sum(col("n_new_types")).over(w))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    ScaleOps.partitionedRank(perBucket, Seq(asc_nulls_first("bucket")),
+      sums = Seq("cum_vocab" -> col("n_new_types"),
+        "cum_tokens" -> col("n_tokens")))
+      .select("bucket", "n_tokens", "n_new_types", "cum_vocab", "cum_tokens")
       .orderBy(asc_nulls_first("bucket"))
   }
 

@@ -1,7 +1,10 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -164,6 +167,96 @@ class PlanAuditSpec extends AnyFunSuite {
         case _ => false
       }, s"$name has a BroadcastNestedLoopJoin whose build side is not a broadcast exchange")
     }
+
+  /** Queries allowed a window fed by an `Exchange SinglePartition`
+    * because the frame entering the window is BOUNDED — by a value
+    * domain, a calendar axis, or a schema-sized grid — not
+    * corpus-proportional. Every entry names its bound. Structurally
+    * provable bounded shapes (a below-exchange limit, a global 1-row
+    * fold, or partitionedRank's `__pr_pid` per-shuffle-partition
+    * stats frame) are recognized without being listed.
+    */
+  private val boundedGlobalWindows: Map[String, String] = Map(
+    // fixed replica/grid axes — schema- or constant-sized at any scale
+    "q_bootstrap_ci" -> "40 bootstrap replica cells (constant)",
+    "q_contingency" -> "segment × priority grid (5×5)",
+    "q_cramers_v" -> "segment × priority grid (5×5)",
+    "q_mutual_info" -> "event-type × hour grid",
+    "q_cond_entropy" -> "event-type × category grid",
+    "q_weekly_rhythm" -> "7-day × 24-hour grid (168 rows)",
+    "q_cosine_hist" -> "fixed cosine bins",
+    "q_hist2d" -> "fixed 2-D value bins",
+    "q_token_len_dist" -> "token-length domain",
+    "q_user_activity_hist" -> "fixed activity buckets",
+    "q_lines_per_order" -> "lines-per-order domain (≤ max order size)",
+    "q_sample_temperature" -> "|sources| rows",
+    // calendar axes — days/weeks in the observed span, not corpus rows
+    "q_churn" -> "|weeks| rows",
+    "q_cum_distinct" -> "|days| rows",
+    "q_pct_change" -> "|days| rows",
+    "q_rolling_corr" -> "|days| rows",
+    "q_survival" -> "distinct lifetime days (≤ span)",
+    "q_power_users" -> "days-active histogram (≤ span days)")
+
+  private def isWindow(p: SparkPlan): Boolean =
+    p.getClass.getSimpleName.startsWith("Window")
+
+  /** The first shuffle exchange strictly below `p` along single-child
+    * descent (the exchange that feeds this operator's distribution).
+    */
+  @annotation.tailrec
+  private def feedingExchange(p: SparkPlan): Option[ShuffleExchangeExec] =
+    p.children match {
+      case Seq(e: ShuffleExchangeExec) => Some(e)
+      case Seq(child) => feedingExchange(child)
+      case _ => None
+    }
+
+  /** Nodes below `p` down to (and excluding) the next shuffle
+    * exchange — the producing stage of `p`'s input.
+    */
+  private def stageBelow(p: SparkPlan): Seq[SparkPlan] = p match {
+    case _: ShuffleExchangeExec => Seq.empty
+    case _ => p +: p.children.flatMap(stageBelow)
+  }
+
+  /** Structural evidence the exchange's input is bounded regardless of
+    * corpus size: a limit upstream in the same stage, an ungrouped
+    * (1-row) aggregate, or ScaleOps.partitionedRank's per-partition
+    * stats aggregate (grouped by `__pr_pid` — ≤ shuffle-partition
+    * CONFIG rows by construction).
+    */
+  private def boundedByConstruction(below: Seq[SparkPlan]): Boolean =
+    below.exists {
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.isEmpty ||
+          a.groupingExpressions.exists(_.references.exists(
+            _.name == "__pr_pid"))
+      case _ => false
+    }
+
+  test("no corpus-scaled single-partition window (global-order rank/cumsum)") {
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val nodes = flatten(fn(spark, sfDir).queryExecution.executedPlan)
+        nodes.filter(isWindow).flatMap { w =>
+          feedingExchange(w) match {
+            case Some(e) if e.outputPartitioning == SinglePartition &&
+                !boundedByConstruction(e.children.flatMap(stageBelow)) &&
+                !boundedGlobalWindows.contains(name) =>
+              Some(s"$name: ${w.nodeName} fed by Exchange SinglePartition over " +
+                e.child.nodeName)
+            case _ => None
+          }
+        }.headOption
+    }
+    assert(violations.isEmpty,
+      "single-partition windows over unproven axes (declare in " +
+        "boundedGlobalWindows with the bound, or rewrite via " +
+        "ScaleOps.partitionedRank):\n" + violations.mkString("\n"))
+  }
 
   test("no cartesian products; nested-loop joins only in declared pairwise baselines") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

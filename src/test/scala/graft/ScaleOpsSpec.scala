@@ -124,4 +124,63 @@ class ScaleOpsSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("partitionedRank matches the single-partition window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // negative values and heavy ties; (v, id) is the tie-broken total
+    // order the operator's contract requires
+    val df = spark.range(0, 5000).select($"id",
+      (pmod($"id" * 2654435761L, lit(97)) - 48).as("v"))
+    val order = Seq(col("v").asc, col("id").asc)
+    // two sum types at once: long (the common case) and decimal(38,0)
+    // (q_abc's exact-cents convention) — the offset coalesce must
+    // coerce correctly for both
+    val got = ScaleOps.partitionedRank(df, order,
+      sums = Seq("run" -> col("v"),
+        "dec" -> col("v").cast("decimal(38,0)")),
+      numPartitions = 8)
+    val w = Window.orderBy(order: _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("run", sum($"v").over(wRun))
+      .withColumn("dec", sum($"v".cast("decimal(38,0)")).over(wRun))
+    val cols = Seq("id", "v", "rn", "run", "dec")
+    assert(got.select(cols.map(col): _*)
+      .exceptAll(want.select(cols.map(col): _*)).count() == 0)
+    assert(want.select(cols.map(col): _*)
+      .exceptAll(got.select(cols.map(col): _*)).count() == 0)
+    // the broadcast scalars: one distinct (n_total, tot_run, tot_dec)
+    // row equal to the grand totals
+    val t = got.select("n_total", "tot_run", "tot_dec").distinct().collect()
+    val sumV = df.agg(sum($"v")).head.getLong(0)
+    assert(t.length == 1 && t(0).getLong(0) == 5000L &&
+      t(0).getLong(1) == sumV &&
+      t(0).getDecimal(2).longValueExact() == sumV)
+    // empty input degenerates to an empty frame, not an error
+    assert(ScaleOps.partitionedRank(df.filter(lit(false)), order,
+      sums = Seq("run" -> col("v")), numPartitions = 8).count() == 0)
+    // the stats branch must read the range shuffle through AQE stage
+    // reuse — the fold above the operator runs ONCE (the property the
+    // scaladoc promises; a regression here doubles the upstream work)
+    got.collect()
+    val executed = got.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      "partitionedRank's stats branch must reuse the range exchange:\n" +
+        executed.take(2000))
+  }
+
+  test("ntileFromRank replicates the shared Spark/DuckDB ntile definition") {
+    import org.apache.spark.sql.expressions.Window
+    // n < b, n = b, n mod b = 0, and two remainder cases
+    for (n <- Seq(3L, 10L, 23L, 97L, 100L)) {
+      val df = spark.range(1, n + 1).select($"id")
+      val want = df.withColumn("nt",
+        ntile(10).over(Window.orderBy($"id".asc)).cast("long"))
+      val bad = want
+        .withColumn("nt2", ScaleOps.ntileFromRank($"id", lit(n), 10))
+        .filter($"nt" =!= $"nt2")
+      assert(bad.count() == 0, s"ntile mismatch at n=$n")
+    }
+  }
 }

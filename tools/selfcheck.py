@@ -90,8 +90,16 @@ ITERATIVE = {"q_pagerank": pagerank_iterative}
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    # --skip-unrolled: skip the iterative-pagerank faithfulness
+    # cross-check (the unrolled 10-round CTE SQL) — pass it EXPLICITLY
+    # when the data is too large for the unrolled form to spill-fit
+    # (the synthetic 10x/100x sweeps). An explicit flag, not path
+    # sniffing: "sf1" as a substring also matched sf10 and any
+    # directory containing it, silently skipping the check.
+    argv = [a for a in sys.argv[1:] if a != "--skip-unrolled"]
+    skip_unrolled = "--skip-unrolled" in sys.argv[1:]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
@@ -116,7 +124,7 @@ def main():
                 # unrolled oracle_sql.json SQL is also feasible — run it
                 # and require the hook to agree, so the iterative form
                 # can never drift from the contract SQL it stands in for
-                if "sf1" not in sf_dir:
+                if not skip_unrolled:
                     unrolled = con.execute(sql).fetch_arrow_table()
                     if not duck.equals(unrolled):
                         print(f"FAIL {name}: iterative hook diverges "

@@ -7,12 +7,20 @@ DuckDB side overlaps the still-running Spark side. Resumable: results
 accumulate in a state file; already-judged queries are skipped.
 
 Usage:
-  sf1_sweep.py <sfDir> <verifyOutDir> <oracleSqlJson> <round> [--final]
+  sf1_sweep.py <sfDir> <verifyOutDir> <oracleSqlJson> <round> \
+      [--final] [--skip-unrolled] [--label SF1]
 
-With --final, waits for nothing: judges what's available, then writes
-the repo artifact CORRECTNESS_SF1_r<round>.json from the state file.
+--skip-unrolled skips the iterative-pagerank faithfulness cross-check
+(the unrolled CTE SQL is spill-infeasible at 10x+; an EXPLICIT flag,
+not path sniffing). --label names the artifact scale tier:
+CORRECTNESS_<label>_r<round>.json. With --final, waits for nothing:
+judges what's available, then writes the artifact from the state
+file. The state file is keyed by (sfDir, round, label) — a sweep for
+a new round/scale starts clean instead of inheriting stale judgments,
+and concurrent sweeps don't collide.
 Dev tool only — NOT part of the Scala library.
 """
+import hashlib
 import json
 import os
 import sys
@@ -24,15 +32,13 @@ import pyarrow.dataset as ds
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from selfcheck import ITERATIVE, table_rows  # noqa: E402
 
-STATE = "/tmp/sf1_sweep_state.json"
 
-
-def judge(con, name, sql, out_dir, sf_dir):
+def judge(con, name, sql, out_dir, skip_unrolled):
     t0 = time.time()
     spark_tbl = ds.dataset(f"{out_dir}/{name}").to_table()
     if name in ITERATIVE:
         duck = ITERATIVE[name](con)
-        if "sf1" not in sf_dir:
+        if not skip_unrolled:
             unrolled = con.execute(sql).fetch_arrow_table()
             if not duck.equals(unrolled):
                 return {"status": "fail",
@@ -57,10 +63,22 @@ def judge(con, name, sql, out_dir, sf_dir):
 
 
 def main():
-    sf_dir, out_dir, oracle_json, rnd = sys.argv[1:5]
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir, out_dir, oracle_json, rnd = pos[:4]
     final = "--final" in sys.argv
+    skip_unrolled = "--skip-unrolled" in sys.argv
+    label = (sys.argv[sys.argv.index("--label") + 1]
+             if "--label" in sys.argv else "SF1")
+    key = hashlib.md5(f"{sf_dir}|{rnd}|{label}".encode()).hexdigest()[:10]
+    state_path = f"/tmp/sweep_state_{label}_r{rnd}_{key}.json"
+    meta = {"sf_dir": sf_dir, "round": rnd, "label": label}
     oracle = json.load(open(oracle_json))
-    state = json.load(open(STATE)) if os.path.exists(STATE) else {}
+    state = (json.load(open(state_path))
+             if os.path.exists(state_path) else {})
+    if state.pop("_meta", None) not in (None, meta):
+        print(f"[sweep] stale state at {state_path} (meta mismatch); "
+              "resetting", flush=True)
+        state = {}
     con = duckdb.connect()
     con.execute("SET threads TO 8")
     con.execute("SET memory_limit='24GB'")
@@ -76,7 +94,8 @@ def main():
         if not os.path.exists(f"{out_dir}/{name}/_SUCCESS"):
             continue
         try:
-            state[name] = judge(con, name, oracle[name], out_dir, sf_dir)
+            state[name] = judge(con, name, oracle[name], out_dir,
+                                skip_unrolled)
         except Exception as e:
             state[name] = {"status": "fail",
                            "reason": f"error: {str(e)[:300]}"}
@@ -84,31 +103,37 @@ def main():
         print(f"{state[name]['status'].upper():4s} {name}: "
               f"{state[name].get('rows', state[name].get('reason'))}",
               flush=True)
-        json.dump(state, open(STATE, "w"), indent=1, sort_keys=True)
+        json.dump({**state, "_meta": meta}, open(state_path, "w"),
+                  indent=1, sort_keys=True)
     remaining = [n for n in sorted(oracle) if n not in state]
     print(f"[sweep] judged {n_round} this pass; "
           f"{len(remaining)} still pending: {remaining[:8]}", flush=True)
     if final:
         fails = {n: r for n, r in state.items() if r["status"] != "ok"}
+        scale_desc = {
+            "SF1": ("1.0-synthetic (10x sf0.1 via graft.SynthScale: "
+                    "key-shifted replicas, disjoint-token documents, "
+                    "jittered embeddings; single-file tables matching "
+                    "the driver fixture layout)"),
+            "SF10": ("10-synthetic (100x sf0.1 = 10x the synthetic sf1 "
+                     "via graft.SynthScale, same replication "
+                     "conventions)"),
+        }.get(label, f"{label}-synthetic via graft.SynthScale")
         art = {
-            "sf": ("1.0-synthetic (10x sf0.1 via graft.SynthScale: "
-                   "key-shifted replicas, disjoint-token documents, "
-                   "jittered embeddings; single-file tables matching the "
-                   "driver fixture layout)"),
+            "sf": scale_desc,
             "round": int(rnd),
-            "note": ("FULL-surface sweep one decade past the largest "
-                     "driver fixture: every oracle-checked query (round-10 "
-                     "ran a 23-query expensive tail only). q_pagerank now "
-                     "INCLUDED via the resource-feasible iterative oracle "
+            "note": ("FULL-surface sweep past the largest driver "
+                     "fixture: every oracle-checked query. q_pagerank "
+                     "judged via the resource-feasible iterative oracle "
                      "(temp-table rounds in tools/selfcheck.py, "
-                     "cross-checked equal to the unrolled contract SQL at "
-                     "driver-fixture scales)."),
+                     "cross-checked equal to the unrolled contract SQL "
+                     "at driver-fixture scales)."),
             "n_ok": sum(1 for r in state.values() if r["status"] == "ok"),
             "n_fail": len(fails),
             "failures": sorted(fails),
             "queries": {n: state[n] for n in sorted(state)},
         }
-        path = f"CORRECTNESS_SF1_r{rnd}.json"
+        path = f"CORRECTNESS_{label}_r{rnd}.json"
         json.dump(art, open(path, "w"), indent=1)
         print(f"[sweep] wrote {path}: n_ok={art['n_ok']} "
               f"n_fail={art['n_fail']}")
