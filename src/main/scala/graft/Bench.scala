@@ -93,12 +93,16 @@ object Bench {
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMed = results.map(_._3).filter(_ >= 0).sum
-    // Pipeline-IO accounting, split out like bpe_train_cold_sec: these
+    // Pipeline accounting, split out like bpe_train_cold_sec: these
     // queries execute a full multi-batch ledger WRITE pipeline (bucketed
-    // table creates + appends + CC rounds) inside one bench entry — the
-    // cost is real ingest IO by design, not query compute, so it gets
-    // its own named field and an ex-pipeline total that stays comparable
-    // round-over-round as more pipeline flows join the surface.
+    // table creates + appends + CC rounds) inside one bench entry.
+    // pipeline_sec is the WALL TIME of those pipeline-flow queries
+    // (ingest IO dominates it, but probe compute and CC rounds are
+    // included — it is not an IO meter; IoMeter measures bytes), so it
+    // gets its own named field and an ex-pipeline total that stays
+    // comparable round-over-round as more pipeline flows join the
+    // surface. The SAME key names appear in bench_full_last.json and
+    // on stdout.
     val pipelineQueries = Set("q_dedup_incremental", "q_dedup_incr_clusters")
     val pipelineIo = results
       .filter(r => pipelineQueries(r._1) && r._2 >= 0).map(_._2).sum
@@ -115,8 +119,8 @@ object Bench {
       try w.println(
         f"""{"sf_dir":"$sfDir","total_min":$total%.3f,"total_med":$totalMed%.3f,""" +
           f""""bpe_train_cold_sec":$bpeTrainCold%.3f,""" +
-          f""""pipeline_io_sec":$pipelineIo%.3f,""" +
-          f""""total_min_ex_pipeline":$totalExPipeline%.3f,"queries":$qjson}""")
+          f""""pipeline_sec":$pipelineIo%.3f,""" +
+          f""""total_ex_pipeline":$totalExPipeline%.3f,"queries":$qjson}""")
       finally w.close()
     } catch { case _: Throwable => () }
     // Stop Spark BEFORE the summary line so no shutdown logging can land
@@ -147,7 +151,7 @@ object Bench {
       .mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       f""""median_total":$totalMed%.3f,"queries_count":${results.size},""" +
-      f""""pipeline_io_sec":$pipelineIo%.3f,""" +
+      f""""pipeline_sec":$pipelineIo%.3f,""" +
       f""""total_ex_pipeline":$totalExPipeline%.3f,""" +
       f""""slowest":$slowestTail,"sf":$sfNum}""")
     Console.out.flush()

@@ -534,17 +534,20 @@ object ScaleSmoke {
       "ceiling above inverts into proportionality here.\n\n")
     sb.append("probe_read_mb isolates the point-lookup read path ")
     sb.append("(candidatePairsAgainst alone). It falls with batch keys until ")
-    sb.append("it saturates at the LAYOUT's per-probe minimum: the probe plan ")
-    sb.append("scans the pruned ledger twice (hot-bucket-cap totals + the ")
-    sb.append("pair join), and every file with any probed key in range ")
-    sb.append("contributes footer/dictionary pages plus at least one row ")
-    sb.append("group — so the floor is ~2 scans x files-touched x row-group ")
-    sb.append("size (here 32 files from one bulk-load write), not zero. At a ")
-    sb.append("production layout (thousands of files over many TB) that ")
-    sb.append("per-file minimum is a vanishing fraction of the corpus, which ")
-    sb.append("is the claim that matters: a 256x smaller batch never re-reads ")
-    sb.append("the corpus. ingest_read_mb is the full ingest (probe + its own ")
-    sb.append("pair-materialization re-read + the batch source).\n\n")
+    sb.append("it saturates at the LAYOUT's per-probe minimum: every file ")
+    sb.append("with any probed key in range contributes footer/dictionary ")
+    sb.append("pages plus at least one row group — so the floor is ")
+    sb.append("~files-touched x row-group size (here 32 files from one ")
+    sb.append("bulk-load write), not zero. The probe reads the pruned ledger ")
+    sb.append("ONCE: hot-bucket-cap totals and the pair join both consume ")
+    sb.append("the same union exchange (AQE stage reuse dedupes the ")
+    sb.append("branches) — earlier rounds scanned it twice, which doubled ")
+    sb.append("this floor. At a production layout (thousands of files over ")
+    sb.append("many TB) that per-file minimum is a vanishing fraction of ")
+    sb.append("the corpus, which is the claim that matters: a 256x smaller ")
+    sb.append("batch never re-reads the corpus. ingest_read_mb is the full ")
+    sb.append("ingest (probe + its own pair-materialization re-read + the ")
+    sb.append("batch source).\n\n")
     sb.append("| batch_docs | batch_band_keys | ledger_rows_before | pairs_out | probe_read_mb | ingest_sec | ingest_read_mb |\n")
     sb.append("|---|---|---|---|---|---|---|\n")
     for ((n, i) <- Seq(2048, 512, 128, 32, 8).zipWithIndex) {

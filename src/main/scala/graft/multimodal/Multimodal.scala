@@ -73,20 +73,58 @@ object Multimodal {
     * external dependencies, because an MJPEG stream is concatenated
     * baseline JPEG images (the webcam / AVI-'MJPG' / http multipart
     * video format) and the JPEG codec itself ships in the JDK
-    * (javax.imageio). Frame boundaries are the JPEG SOI (FF D8 FF) and
-    * EOI (FF D9) markers; inside baseline entropy-coded data a raw FF
-    * is always byte-stuffed as FF 00 (or is an RST marker FF D0-D7),
-    * so a bare FF D9 IS the frame end — the scan needs no bit-level
-    * decoding. Caveat, documented not hidden: a frame embedding its
-    * own thumbnail JPEG (EXIF APP1) would end at the thumbnail's EOI;
-    * camera MJPEG streams don't embed thumbnails, and the decoder
-    * degrades per-frame (skip), never per-task.
+    * (javax.imageio). Frame boundaries come from walking the JPEG
+    * MARKER STRUCTURE, not from a raw FF D9 scan: length-prefixed
+    * segments (APPn/COM/DQT/DHT/SOF/…) are skipped wholesale via
+    * their 2-byte length fields — EXIF/ICC/XMP payloads (including an
+    * embedded thumbnail JPEG with its own EOI) may contain arbitrary
+    * FF D9 bytes and must not end the frame — and only inside
+    * SOS-entropy data (where a raw FF is always byte-stuffed FF 00 or
+    * an RST marker FF D0–D7) is the next real marker scanned for.
+    * A structurally corrupt or truncated frame drops the remainder of
+    * the stream (per-payload degradation; the decode layer already
+    * degrades per-frame).
     */
   object MjpegCodec extends Serializable {
     /** Cheap sniff: a JPEG/MJPEG payload starts SOI + marker prefix. */
     def isMjpeg(content: Array[Byte]): Boolean =
       content.length >= 4 && (content(0) & 0xff) == 0xff &&
         (content(1) & 0xff) == 0xd8 && (content(2) & 0xff) == 0xff
+
+    /** End offset (exclusive) of the frame whose SOI is at `start`, or
+      * -1 if the structure is corrupt/truncated. Walks markers: SOI
+      * was consumed by the caller; standalone markers (TEM, RSTn) have
+      * no payload; SOS switches to the entropy scan; everything else
+      * carries a big-endian length that includes its own 2 bytes.
+      */
+    private def frameEnd(content: Array[Byte], start: Int): Int = {
+      val n = content.length
+      @inline def u(i: Int) = content(i) & 0xff
+      var j = start + 2
+      while (j + 1 < n) {
+        if (u(j) != 0xff) return -1
+        while (j + 1 < n && u(j + 1) == 0xff) j += 1 // fill bytes
+        if (j + 1 >= n) return -1
+        val m = u(j + 1)
+        if (m == 0xd9) return j + 2 // EOI
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) j += 2 // standalone
+        else if (j + 3 >= n) return -1
+        else {
+          val len = (u(j + 2) << 8) | u(j + 3)
+          if (len < 2) return -1
+          j += 2 + len // segment payload skipped via its length field
+          if (m == 0xda) {
+            // SOS: scan entropy-coded data for the next true marker
+            // (not stuffed FF 00, not RST, not a fill byte)
+            while (j + 1 < n && !(u(j) == 0xff && u(j + 1) != 0x00 &&
+                u(j + 1) != 0xff && !(u(j + 1) >= 0xd0 && u(j + 1) <= 0xd7)))
+              j += 1
+            if (j + 1 >= n) return -1
+          }
+        }
+      }
+      -1
+    }
 
     /** (start, endExclusive) byte ranges of each complete JPEG frame. */
     def frameRanges(content: Array[Byte]): IndexedSeq[(Int, Int)] = {
@@ -96,14 +134,8 @@ object Multimodal {
       while (i + 3 < n) {
         if ((content(i) & 0xff) == 0xff && (content(i + 1) & 0xff) == 0xd8 &&
             (content(i + 2) & 0xff) == 0xff) {
-          var j = i + 2
-          var end = -1
-          while (end < 0 && j + 1 < n) {
-            if ((content(j) & 0xff) == 0xff && (content(j + 1) & 0xff) == 0xd9)
-              end = j + 2
-            j += 1
-          }
-          if (end < 0) i = n // truncated tail frame: drop, stop
+          val end = frameEnd(content, i)
+          if (end < 0) i = n // corrupt/truncated tail frame: drop, stop
           else { out += ((i, end)); i = end }
         } else i += 1
       }

@@ -168,14 +168,27 @@ object ClusterLedger {
     * the read path patch mode trades its cheap writes for — still a
     * single narrow join, never an iteration (the patch map has no
     * chains by construction, see the class doc).
+    *
+    * Both tables are refreshed before planning: the patch map is
+    * OVERWRITTEN every fold, and a caller whose session did not do
+    * the last write — Structured Streaming's foreachBatch runs in a
+    * CLONED session per query, so alternating streamed and manual
+    * folds is exactly this — can hold a stale cached file listing and
+    * die with FILE_NOT_EXIST mid-scan (caught by the
+    * compact-interleave replay in StreamingLedgerSpec). The refresh
+    * re-lists two delta-sized directories; negligible next to the
+    * fold.
     */
-  def resolvePatch(spark: SparkSession, ledgerTable: String): DataFrame =
+  def resolvePatch(spark: SparkSession, ledgerTable: String): DataFrame = {
+    spark.catalog.refreshTable(ledgerTable)
+    spark.catalog.refreshTable(patchTable(ledgerTable))
     spark.table(ledgerTable)
       .join(broadcast(spark.table(patchTable(ledgerTable))
         .withColumnRenamed("from_label", "component")),
         Seq("component"), "left")
       .select(col("id"),
         coalesce(col("to_label"), col("component")).as("component"))
+  }
 
   /** Fold one batch in patch-append mode. Writes: the batch's
     * first-time ids labeled as of admission (APPEND, delta-sized) and

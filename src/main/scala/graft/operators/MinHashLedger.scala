@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental NEAR-dup detection across ingestion runs: a persistent
@@ -253,11 +254,13 @@ object MinHashLedger {
     * batch re-appends its band rows blindly (at-least-once append is
     * the cheap, lock-free contract — pair output stays correct because
     * emission dedupes per pair, and the signature per (bkey, doc_id)
-    * is deterministic so duplicates are bit-identical). What
-    * duplicates and accumulated runs DO cost is probe fan-out (a probe
-    * reads ≤ keys row groups PER RUN) and df inflation toward
-    * `bucketCap`; periodic compaction restores minimality — the LSM
-    * amortization, priced separately from probes in SCALING.md. The
+    * is deterministic so duplicates are bit-identical, and the
+    * hot-bucket cap counts distinct (bkey, doc_id), so duplicates
+    * cannot inflate df past `bucketCap`). What duplicates and
+    * accumulated runs DO cost is probe fan-out (a probe reads ≤ keys
+    * row groups PER RUN); periodic compaction restores minimality —
+    * the LSM amortization, priced separately from probes in
+    * SCALING.md. The
     * distinct fold materializes to `tmpDir` first — a table cannot be
     * overwritten from a plan that reads it.
     */
@@ -271,6 +274,11 @@ object MinHashLedger {
         .select(xxhash64(col("bkey")).as("bkh"), col("bkey"), col("doc_id"),
           col("sig")),
       ledgerTable, SaveMode.Overwrite)
+    // the overwrite replaced every file; refresh here (once per
+    // compaction, not per probe) so any OTHER session in this JVM —
+    // foreachBatch's cloned sessions included — re-lists instead of
+    // scanning dead files (see ClusterLedger.resolvePatch's note)
+    spark.catalog.refreshTable(ledgerTable)
   }
 
   /** Bulk backfill: append a corpus's band rows as ONE sorted run
@@ -301,21 +309,41 @@ object MinHashLedger {
       maxPushdownKeys: Int = MaxPushdownKeys): DataFrame = {
     require(bucketCap > 1, "bucketCap must exceed 1")
     val old = prunedLedger(spark, fresh, ledgerTable, maxPushdownKeys)
-    // hot-bucket guard over the POST-append population. Only buckets
-    // with a batch member can emit pairs this run, so totals are
-    // computed for the batch's keys alone: batch-side counts plus the
-    // pruned ledger's rows (the In filter admits every ledger row of
-    // every batch bucket, so the counts are exact).
-    val totals = fresh.groupBy("bkey").agg(count(lit(1)).as("n_new"))
-      .join(old.groupBy("bkey").agg(count(lit(1)).as("n_old")),
-        Seq("bkey"), "left")
-      .select(col("bkey"),
-        (col("n_new") + coalesce(col("n_old"), lit(0L))).as("df"))
-    val okKeys = totals.filter(col("df") > 1 && col("df") <= bucketCap)
-      .select("bkey")
-    val freshOk = fresh.join(okKeys, Seq("bkey"))
-    val corpusOk = old.select("bkey", "doc_id", "sig").join(okKeys, Seq("bkey"))
-      .unionAll(freshOk.select("bkey", "doc_id", "sig"))
+    // ONE pruned scan feeds everything: ledger rows and batch rows
+    // union under an is_new flag, repartition on bkey, and every
+    // downstream consumer (the per-(bkey,doc_id) dedupe, the
+    // hot-bucket guard, both join sides) reads THAT exchange — under
+    // AQE the duplicated branches reuse the one shuffle stage, so the
+    // point-lookup parquet read happens once per probe (previously
+    // twice: cap totals + pair join — it doubled the per-probe floor
+    // in SCALING.md's regime table).
+    val all = old.select(col("bkey"), col("doc_id"), col("sig"),
+        lit(false).as("is_new"))
+      .unionAll(fresh.select(col("bkey"), col("doc_id"), col("sig"),
+        lit(true).as("is_new")))
+      .repartition(col("bkey"))
+    // hot-bucket guard over the POST-append population, counted as
+    // DISTINCT DOCS per bucket, not rows: accumulated LSM runs and
+    // replayed micro-batches re-append bit-identical band rows (the
+    // retry contract), and a row count would let those duplicates
+    // push a bucket over `bucketCap` and suppress pairs the first
+    // attempt emitted — distinct (bkey, doc_id) makes the cap
+    // decision replay-stable and compaction-invariant. The dedupe
+    // prefers the batch copy (is_new desc) so a re-ingested doc still
+    // probes. Both windows cluster on bkey, so the one repartition
+    // above satisfies them and the join below with no further
+    // exchange.
+    val wDoc = Window.partitionBy("bkey", "doc_id")
+      .orderBy(col("is_new").desc)
+    val wB = Window.partitionBy("bkey")
+    val ok = all
+      .withColumn("__dup", row_number().over(wDoc))
+      .filter(col("__dup") === 1).drop("__dup")
+      .withColumn("df", count(lit(1)).over(wB))
+      .withColumn("has_new", max(col("is_new")).over(wB))
+      .filter(col("df") > 1 && col("df") <= bucketCap && col("has_new"))
+    val freshOk = ok.filter(col("is_new")).select("bkey", "doc_id", "sig")
+    val corpusOk = ok.select("bkey", "doc_id", "sig")
     val estJaccard = round(
       size(filter(zip_with(
         split(col("a.sig"), "\\|"), split(col("b.sig"), "\\|"),

@@ -30,10 +30,13 @@ import graft.operators.{ClusterLedger, MinHashLedger}
   * A replayed batch is SAFE on both ledgers by their retry contracts:
   * re-appended band rows are bit-identical duplicates that pair
   * emission dedupes and compaction removes (MinHashLedger retry spec),
-  * and the cluster patch fold is idempotent (ClusterLedger retry
-  * spec). So the composition needs no two-phase commit across the
-  * three sinks (band table, pairs dir, patch table) — at-least-once
-  * per sink converges to the exactly-once result.
+  * the hot-bucket cap counts DISTINCT (bkey, doc_id) — replayed
+  * duplicate rows cannot push a bucket over `BucketCap` and suppress
+  * pairs the first attempt emitted — and the cluster patch fold is
+  * idempotent (ClusterLedger retry spec). So the composition needs no
+  * two-phase commit across the three sinks (band table, pairs dir,
+  * patch table) — at-least-once per sink converges to the
+  * exactly-once result.
   *
   * Scale: each micro-batch costs probe IO ∝ batch keys (SCALING.md's
   * ledger tables) plus a delta-sized patch write — the state the

@@ -42,6 +42,31 @@ class MjpegSpec extends AnyFunSuite {
     assert(truncated.length == 5)
   }
 
+  test("marker-segment payloads containing FF D9 do not truncate the frame") {
+    // simulate an EXIF APP1 carrying binary metadata — including a
+    // thumbnail-like FF D8 FF / FF D9 byte pair — injected right after
+    // frame 0's SOI; the length-field walk must skip it wholesale
+    val payload = Array[Byte](
+      'E', 'x', 'i', 'f', 0, 0,
+      0xff.toByte, 0xd8.toByte, 0xff.toByte, // looks like a nested SOI
+      1, 2, 3,
+      0xff.toByte, 0xd9.toByte, // looks like EOI — must NOT end the frame
+      4, 5, 6)
+    val len = payload.length + 2
+    val app1 = Array(0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+    val frame0 = frames.head.take(2) ++ app1 ++ frames.head.drop(2)
+    val stream = frame0 ++ frames.tail.reduce(_ ++ _)
+    val ranges = MjpegCodec.frameRanges(stream)
+    assert(ranges.length == 6, s"expected 6 frames, got ${ranges.length}")
+    assert(ranges.head == ((0, frame0.length)),
+      "APP1 payload EOI truncated frame 0")
+    // the widened frame still decodes (ImageIO skips unknown APP1)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MjpegCodec.frames(stream).head))
+    assert(img != null && img.getWidth == 32 && img.getHeight == 24)
+  }
+
   test("extracted frames are decodable JPEGs with the source dimensions") {
     val fs = MjpegCodec.frames(mjpeg)
     assert(fs.length == 6)
