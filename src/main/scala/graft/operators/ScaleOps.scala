@@ -110,6 +110,19 @@ object ScaleOps {
     *      contiguous ranges (the same shuffle a distributed sort
     *      does; n is explicit, so AQE never re-coalesces it — the
     *      partition ids must mean the same thing on every branch).
+    *      The ranged frame is pinned with a LAZY localCheckpoint:
+    *      range boundaries come from SAMPLING a shuffle whose input
+    *      order is nondeterministic, so two independent
+    *      materializations of "the same" exchange can cut DIFFERENT
+    *      boundaries — and the window branch and the stats branch
+    *      below would then disagree on what each pid means,
+    *      silently corrupting every offset (caught by the sf0.1
+    *      full-surface sweep as a nondeterministic q_cliff_delta;
+    *      AQE stage reuse fixes the simple shapes but is not
+    *      guaranteed in composed plans). Checkpointing freezes ONE
+    *      boundary choice and one pid per row in data; the
+    *      materialization is the same volume the global-sort window
+    *      this operator replaces would shuffle anyway.
     *   2. One window per RANGE (partitioned by `spark_partition_id`)
     *      yields the local row_number and local running sums — n
     *      parallel sorts instead of one.
@@ -125,13 +138,10 @@ object ScaleOps {
     * Ranges only decide WHERE the order is cut, never the order
     * itself, so results are EXACT for any boundary choice — `order`
     * must be a tie-broken total order, the same contract as the
-    * window this replaces. The range exchange is read by both the
-    * window branch and the stats branch through ONE shuffle: under
-    * AQE, exchange reuse happens at stage-creation time, so the
-    * AQE-initial plans in EXPLAINS.md show the two branches textually
-    * duplicated while the EXECUTED plan (verified: the stats branch
-    * reads `ReusedExchange … rangepartitioning`) materializes the
-    * fold once.
+    * window this replaces — and the checkpoint above guarantees both
+    * branches read the SAME boundary choice, so the fold above the
+    * operator also runs exactly once by construction (not by hoping
+    * AQE stage reuse fires).
     *
     * Output: the input columns plus `rn` (1-based global row number,
     * long), `n_total` (total row count, long), and per `sums` entry
@@ -146,6 +156,7 @@ object ScaleOps {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val parted = df.repartitionByRange(n, order: _*)
       .withColumn("__pr_pid", spark_partition_id())
+      .localCheckpoint(false)
     val wLoc = Window.partitionBy(col("__pr_pid")).orderBy(order: _*)
     val wRun = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sums.foldLeft(

@@ -160,14 +160,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     // empty input degenerates to an empty frame, not an error
     assert(ScaleOps.partitionedRank(df.filter(lit(false)), order,
       sums = Seq("run" -> col("v")), numPartitions = 8).count() == 0)
-    // the stats branch must read the range shuffle through AQE stage
-    // reuse — the fold above the operator runs ONCE (the property the
-    // scaladoc promises; a regression here doubles the upstream work)
-    got.collect()
-    val executed = got.queryExecution.executedPlan.toString
-    assert(executed.contains("ReusedExchange"),
-      "partitionedRank's stats branch must reuse the range exchange:\n" +
-        executed.take(2000))
+  }
+
+  test("partitionedRank is deterministic across executions (boundary-sample independence)") {
+    // Regression guard for the round-12 q_cliff_delta bug: range
+    // boundaries come from SAMPLING a shuffle whose input order is
+    // nondeterministic, so if the window branch and the stats branch
+    // ever materialize the exchange independently (no checkpoint, no
+    // AQE reuse), their pids disagree and every offset silently
+    // corrupts — visible only as run-to-run variation of aggregates
+    // over the running sums. A shuffled (hash-aggregated) input and a
+    // cliff-delta-shaped fold reproduce it; 5 executions must agree.
+    val ev = spark.range(0, 60000).select(
+      (pmod($"id" * 104729, lit(15000)) / 100.0).as("value"),
+      pmod($"id", lit(2)).as("side"))
+    val byValue = ev.groupBy("value").agg(
+      sum(when($"side" === 0, 1L).otherwise(0L)).as("c_a"),
+      sum(when($"side" === 1, 1L).otherwise(0L)).as("c_b"))
+    def fold(): (Long, Long) = {
+      val cum = ScaleOps.partitionedRank(byValue,
+        Seq(asc_nulls_first("value")),
+        sums = Seq("cum_b" -> col("c_b")), numPartitions = 8)
+      val r = cum.select(
+        (col("c_a") * (col("cum_b") - col("c_b"))).as("gt"),
+        (col("c_a") * (col("tot_cum_b") - col("cum_b"))).as("lt"))
+        .agg(sum($"gt"), sum($"lt")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val runs = (0 until 5).map(_ => fold())
+    assert(runs.distinct.size == 1,
+      s"partitionedRank fold is nondeterministic across executions: $runs")
   }
 
   test("ntileFromRank replicates the shared Spark/DuckDB ntile definition") {
