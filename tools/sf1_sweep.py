@@ -8,7 +8,7 @@ accumulate in a state file; already-judged queries are skipped.
 
 Usage:
   sf1_sweep.py <sfDir> <verifyOutDir> <oracleSqlJson> <round> \
-      [--final] [--skip-unrolled] [--label SF1]
+      [--final] [--skip-unrolled] [--label SF1] [--subset FILE]
 
 --skip-unrolled skips the iterative-pagerank faithfulness cross-check
 (the unrolled CTE SQL is spill-infeasible at 10x+; an EXPLICIT flag,
@@ -17,7 +17,11 @@ CORRECTNESS_<label>_r<round>.json. With --final, waits for nothing:
 judges what's available, then writes the artifact from the state
 file. The state file is keyed by (sfDir, round, label) — a sweep for
 a new round/scale starts clean instead of inheriting stale judgments,
-and concurrent sweeps don't collide.
+and concurrent sweeps don't collide. --subset FILE (one query name per
+line) restricts the sweep to a declared deep-tail list — used for the
+expensive outer decades where a full-surface pass is wall-clock
+infeasible; the artifact note then names the subset honestly instead
+of claiming full coverage.
 Dev tool only — NOT part of the Scala library.
 """
 import hashlib
@@ -69,10 +73,19 @@ def main():
     skip_unrolled = "--skip-unrolled" in sys.argv
     label = (sys.argv[sys.argv.index("--label") + 1]
              if "--label" in sys.argv else "SF1")
+    subset = None
+    if "--subset" in sys.argv:
+        subset_path = sys.argv[sys.argv.index("--subset") + 1]
+        subset = {ln.strip() for ln in open(subset_path)
+                  if ln.strip() and not ln.startswith("#")}
     key = hashlib.md5(f"{sf_dir}|{rnd}|{label}".encode()).hexdigest()[:10]
     state_path = f"/tmp/sweep_state_{label}_r{rnd}_{key}.json"
     meta = {"sf_dir": sf_dir, "round": rnd, "label": label}
     oracle = json.load(open(oracle_json))
+    if subset is not None:
+        unknown = subset - set(oracle)
+        assert not unknown, f"subset names not in oracle map: {unknown}"
+        oracle = {n: s for n, s in oracle.items() if n in subset}
     state = (json.load(open(state_path))
              if os.path.exists(state_path) else {})
     if state.pop("_meta", None) not in (None, meta):
@@ -119,15 +132,25 @@ def main():
                      "via graft.SynthScale, same replication "
                      "conventions)"),
         }.get(label, f"{label}-synthetic via graft.SynthScale")
+        note = ("FULL-surface sweep past the largest driver "
+                "fixture: every oracle-checked query. q_pagerank "
+                "judged via the resource-feasible iterative oracle "
+                "(temp-table rounds in tools/selfcheck.py, "
+                "cross-checked equal to the unrolled contract SQL "
+                "at driver-fixture scales)."
+                if subset is None else
+                f"DECLARED-SUBSET deep-tail sweep ({len(oracle)} "
+                "queries): the slowest bench queries plus the full "
+                "dedup/ledger/graph chains and every query rewired "
+                "onto ScaleOps.partitionedRank this round. NOT "
+                "full-surface — the full 307-query net runs at SF01 "
+                "and SF1; this tier exists to expose bugs only "
+                "visible another decade up. q_pagerank judged via "
+                "the iterative oracle in tools/selfcheck.py.")
         art = {
             "sf": scale_desc,
             "round": int(rnd),
-            "note": ("FULL-surface sweep past the largest driver "
-                     "fixture: every oracle-checked query. q_pagerank "
-                     "judged via the resource-feasible iterative oracle "
-                     "(temp-table rounds in tools/selfcheck.py, "
-                     "cross-checked equal to the unrolled contract SQL "
-                     "at driver-fixture scales)."),
+            "note": note,
             "n_ok": sum(1 for r in state.values() if r["status"] == "ok"),
             "n_fail": len(fails),
             "failures": sorted(fails),
