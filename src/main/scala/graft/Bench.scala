@@ -47,7 +47,23 @@ object Bench {
     // a few queries, which r6 showed produces 15x phantom regressions
     // (q_unpivot 4.17s recorded vs 0.55s steady-state in a fresh JVM).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional subset (comma-separated names, or a file path via @/path)
+    // for the outer-decade scaling runs, where timing the full surface
+    // is wall-clock infeasible. The driver never sets this — its
+    // BENCH_r{N} numbers stay full-surface and comparable.
+    val subset: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_SUBSET")
+      .map { s =>
+        val names =
+          if (s.startsWith("@"))
+            scala.io.Source.fromFile(s.drop(1)).getLines()
+              .map(_.trim).filter(n => n.nonEmpty && !n.startsWith("#")).toSet
+          else s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty, s"unknown bench subset: ${unknown.mkString(",")}")
+        names
+      }.getOrElse(SparkEntry.queries.keySet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (n, _) => subset(n) }.sortBy(_._1)
     // BPE training cost, accounted explicitly: the merge table is
     // memoized per (corpus, k, tokenizer) for the JVM's lifetime, so
     // after this first run every q_bpe_merges/q_bpe_encode rep prices
@@ -56,7 +72,9 @@ object Bench {
     // very first execution (fresh JVM, memo empty) IS the cold train;
     // record it so the artifact states train vs encode cost instead of
     // hiding training inside whichever query touches the memo first.
-    val bpeTrainCold = run(SparkEntry.queries("q_bpe_merges"))
+    val bpeTrainCold =
+      if (subset("q_bpe_merges")) run(SparkEntry.queries("q_bpe_merges"))
+      else -1.0
     println(f"""{"metric":"cold","name":"bpe_train","sec":$bpeTrainCold%.3f}""")
     ordered.foreach { case (_, fn) => run(fn) }
 

@@ -34,14 +34,15 @@ import duckdb
 import pyarrow.dataset as ds
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from selfcheck import ITERATIVE, table_rows  # noqa: E402
+from selfcheck import CC_ITERATIVE, ITERATIVE, cc_iterative, table_rows  # noqa: E402
 
 
 def judge(con, name, sql, out_dir, skip_unrolled):
     t0 = time.time()
     spark_tbl = ds.dataset(f"{out_dir}/{name}").to_table()
-    if name in ITERATIVE:
-        duck = ITERATIVE[name](con)
+    if name in ITERATIVE or name in CC_ITERATIVE:
+        duck = (ITERATIVE[name](con) if name in ITERATIVE
+                else cc_iterative(con, sql))
         if not skip_unrolled:
             unrolled = con.execute(sql).fetch_arrow_table()
             if not duck.equals(unrolled):
@@ -93,8 +94,12 @@ def main():
               "resetting", flush=True)
         state = {}
     con = duckdb.connect()
-    con.execute("SET threads TO 8")
-    con.execute("SET memory_limit='24GB'")
+    # Overridable for the outer decades, where the heavy recursive-CTE
+    # cluster oracles need the whole box (8/24GB left the 100x sweep
+    # spilling 11GB and pinned to one query for 40+ min).
+    con.execute(f"SET threads TO {os.environ.get('DUCK_THREADS', '8')}")
+    con.execute("SET memory_limit="
+                f"'{os.environ.get('DUCK_MEM', '24GB')}'")
     os.makedirs("/tmp/duck_spill", exist_ok=True)
     con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in ("region nation customer supplier part orders lineitem "
