@@ -594,9 +594,12 @@ object AnalyticsQueries {
     * node-count rows only.
     */
   def qClusteringCoef(spark: SparkSession, sfDir: String): DataFrame = {
+    // pinned: consumed by its own degree union (twice) and by
+    // triangleCounts — one pair-explode execution instead of three
     val und = BehaviorQueries.cooccurPairCounts(Tables.lineitem(spark, sfDir))
       .filter(col("n_orders") >= PagerankMinCooccur)
       .select(col("p1").as("u"), col("p2").as("v"))
+      .localCheckpoint(false)
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -823,6 +826,9 @@ object AnalyticsQueries {
         Window.partitionBy("event_type").orderBy(col("h").asc)))
       .filter(col("rn") <= K)
       .select(col("event_type"), col("h"))
+      // pinned: consumed by the type dimension (twice, via the pair
+      // grid) and the pooled join — one sketch build instead of three
+      .localCheckpoint(false)
     val types = sk.select(col("event_type")).distinct()
     val pairs = types.select(col("event_type").as("t1"))
       .crossJoin(broadcast(types.select(col("event_type").as("t2"))))

@@ -750,10 +750,15 @@ object BehaviorQueries {
       Seq(col("score").desc, col("user_id").asc))
       .withColumn("decile",
         ScaleOps.ntileFromRank(col("rn"), col("n_total"), 10))
-    val tot = perUser.agg(sum(col("buyer")).as("tot_buyers"),
-      count(lit(1)).as("tot_users"))
-    deciled.groupBy("decile")
-      .agg(count(lit(1)).as("n_users"), sum(col("buyer")).as("n_buyers"))
+    // totals derive from the 10-row decile frame itself (tot_users is
+    // partitionedRank's n_total) instead of a second full pass over
+    // the per-user fold — one corpus aggregation, not two
+    val byDecile = deciled.groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("buyer")).as("n_buyers"),
+        max(col("n_total")).as("tot_users"))
+      .localCheckpoint(false)
+    val tot = byDecile.agg(sum(col("n_buyers")).as("tot_buyers"))
+    byDecile
       .crossJoin(broadcast(tot))
       .select(col("decile").cast("int").as("decile"),
         col("n_users"), col("n_buyers"),
