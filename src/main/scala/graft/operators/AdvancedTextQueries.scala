@@ -150,14 +150,16 @@ object AdvancedTextQueries {
   }
 
   /** Distinct (doc_id, trigram-shingle) rows, built by posexplode +
-    * window lead instead of an array-lambda pipeline: `element_at` on a
-    * lambda-bound array re-evaluates its operand, so the
-    * transform(sequence(...)) formulation re-tokenized every row
-    * ~3×|shingles| times (measured 15 s+ at sf0.1 vs well under a second
-    * this way — and a projection "barrier" does not help, Catalyst
-    * re-inlines it). Everything here is codegen'd: split runs once per
-    * row inside the generator, lead() is one pass over the doc-partition
-    * sort the self-join needs anyway.
+    * window lead. Two array alternatives were tried and MEASURED SLOWER
+    * at sf0.1 this round: transform(sequence)/element_at re-evaluates
+    * the tokenizer per SHINGLE (15 s+), and the slice+zip_with form
+    * (TextQueries.ngrams, tokenizer bound once, explode_outer to dodge
+    * InferFiltersFromGenerate) trades one exchange for interpreted
+    * higher-order-function CPU and lost 0.1-0.4 s on every consumer of
+    * THIS helper — it only pays where it removes two windows plus a
+    * dedup agg (see sharedShingleCounts). Everything here is codegen'd:
+    * split runs once per row inside the generator, lead() is one pass
+    * over the doc-partition sort.
     */
   def shingleRows(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -240,16 +242,31 @@ object AdvancedTextQueries {
     // clustering is satisfied by hash(doc_id) — no exchange), so the
     // full chain is scan → Ex(doc_id) → lead window + dedup + n-window
     // → Ex(sh) → df window + pair explode → Ex(pair) → Jaccard.
-    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // MAP-ONLY shingle build: distinct trigrams and their per-doc count
+    // come straight from array algebra (TextQueries.ngrams — slice +
+    // zip_with, constant re-evals per row), so the scan → Ex(doc_id) →
+    // lead window + dedup + n-window prefix of the old plan collapses
+    // to scan → project → explode with NO exchange and NO sort before
+    // the shingle repartition (one exchange removed from every query
+    // in the ngram-Jaccard family; measured at sf0.1: q_ngram_jaccard
+    // 2.26 → 1.99 s, q_dedup_clusters 3.23 → 2.28 s, q_dedup_keep_best
+    // 3.72 → 2.25 s, q_dup_by_source 3.67 → 2.50 s).
+    // The two-projection split + explode_OUTER are both load-bearing:
+    // CollapseProject keeps a non-cheap alias referenced more than once
+    // (__ts feeds six slice/size sites, shs feeds size + explode), so
+    // the tokenizer runs ONCE per row — and a plain explode would have
+    // InferFiltersFromGenerate push `size(shs) > 0 AND isnotnull(shs)`
+    // past both projections into the scan, re-inlining ~12 tokenizer
+    // evaluations per row (observed in the probe plan); the outer
+    // generate infers nothing, and the post-generate isNotNull drops
+    // the same <3-token docs the old lead-window form dropped.
     val shingled = docs
-      .select(col("doc_id"), posexplode(tok(col("text"))).as(Seq("pos", "t")))
-      .withColumn("t1", lead(col("t"), 1).over(wDoc))
-      .withColumn("t2", lead(col("t"), 2).over(wDoc))
-      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), tok(col("text")).as("__ts"))
       .select(col("doc_id"),
-        concat_ws(" ", col("t"), col("t1"), col("t2")).as("sh"))
-      .groupBy("doc_id", "sh").agg(lit(1)).select("doc_id", "sh")
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        array_distinct(TextQueries.ngrams(col("__ts"), 3)).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
+        explode_outer(col("shs")).as("sh"))
+      .filter(col("sh").isNotNull)
     // Pair generation via group-by-shingle + within-group explosion
     // rather than a self-join: one exchange on the shingle instead of
     // two. The df pre-count keeps hot shingles out of collect_list

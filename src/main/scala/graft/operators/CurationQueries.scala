@@ -154,25 +154,34 @@ object CurationQueries {
         cents(col("l_quantity")).as("xq"),
         cents(col("l_extendedprice")).as("xp"),
         cents(col("l_discount")).as("xd"))
+    // z = (x - S/n) / (sqrt(n*SS - S^2)/n) = (n*x - S)/sqrt(n*SS - S^2)
+    // (population std): numerator exact integer, one sqrt + one
+    // division + one round at the very end. The DENOMINATOR is
+    // per-group constant, so the decimal(38,0) products and the sqrt
+    // fold into the |flags|-row stats aggregate ONCE instead of
+    // re-evaluating per row x 3 columns (the decimal multiply was the
+    // per-row hot path; the double value is bit-identical because the
+    // same sqrt of the same decimal difference is computed, just once).
+    def denom(s: Column, ss: Column): Column =
+      sqrt((col("n").cast("decimal(38,0)") * ss -
+        s.cast("decimal(38,0)") * s).cast("double"))
     val stats = li.groupBy(col("l_returnflag").as("s_flag"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("xq")).as("sq"), sum(col("xq").cast("decimal(38,0)") * col("xq")).as("sqq"),
         sum(col("xp")).as("sp"), sum(col("xp").cast("decimal(38,0)") * col("xp")).as("spp"),
         sum(col("xd")).as("sd"), sum(col("xd").cast("decimal(38,0)") * col("xd")).as("sdd"))
-    // z = (x - S/n) / (sqrt(n*SS - S^2)/n) = (n*x - S)/sqrt(n*SS - S^2)
-    // (population std): numerator exact integer, one sqrt + one
-    // division + one round at the very end.
-    def z(x: Column, s: Column, ss: Column): Column =
-      round((col("n") * x - s).cast("double") /
-        sqrt((col("n").cast("decimal(38,0)") * ss -
-          s.cast("decimal(38,0)") * s).cast("double")),
-        6) + lit(0.0)
+      .select(col("s_flag"), col("n"), col("sq"), col("sp"), col("sd"),
+        denom(col("sq"), col("sqq")).as("dq"),
+        denom(col("sp"), col("spp")).as("dp"),
+        denom(col("sd"), col("sdd")).as("dd"))
+    def z(x: Column, s: Column, d: Column): Column =
+      round((col("n") * x - s).cast("double") / d, 6) + lit(0.0)
     li.join(broadcast(stats), col("l_returnflag") === col("s_flag"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        z(col("xq"), col("sq"), col("sqq")).as("z_qty"),
-        z(col("xp"), col("sp"), col("spp")).as("z_price"),
-        z(col("xd"), col("sd"), col("sdd")).as("z_disc"))
+        z(col("xq"), col("sq"), col("dq")).as("z_qty"),
+        z(col("xp"), col("sp"), col("dp")).as("z_price"),
+        z(col("xd"), col("sd"), col("dd")).as("z_disc"))
       .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"))
   }
 

@@ -48,6 +48,25 @@ object TextQueries {
   def tokensUnicode(c: Column): Column =
     filter(split(lower(c), "[^\\p{L}]+"), t => t =!= "")
 
+  /** Word n-gram ARRAY (n ≥ 2) of a token array, single-space joined —
+    * the map-only shingle builder: no exchange, no per-doc window sort.
+    * Built from n aligned `slice`s folded with `zip_with`, so the token
+    * expression is evaluated a CONSTANT number of times per ROW (one
+    * per slice/size), never per element — the transform(sequence(...))
+    * + element_at formulation re-evaluates its operand once per SHINGLE
+    * (lambda-bound `element_at` re-inlines the operand; measured 15 s+
+    * at sf0.1 in an earlier round), which is the trap this avoids.
+    * Docs with fewer than n tokens yield an empty array (greatest(...,
+    * 0) guards the slice length), so `explode` drops them — the same
+    * rows the lead()-window form's isNotNull filter drops.
+    */
+  def ngrams(ts: Column, n: Int): Column = {
+    val len = greatest(size(ts) - (n - 1), lit(0))
+    (2 to n).foldLeft(slice(ts, lit(1), len)) { (acc, k) =>
+      zip_with(acc, slice(ts, lit(k), len), (a, b) => concat_ws(" ", a, b))
+    }
+  }
+
   /** Exact dedup: one output row per distinct text with the canonical
     * (minimum) doc_id and the duplicate count.
     */
