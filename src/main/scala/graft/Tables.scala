@@ -34,6 +34,30 @@ object Tables {
     else df
   }
 
+  /** Spread a freshly-scanned frame across every core when the scan
+    * cannot have produced enough splits (guide §2.5 "input skew: one
+    * huge unsplittable file — repartition immediately after the read").
+    * The fixtures are single-row-group parquet files, so every
+    * pre-exchange map chain (tokenize, md5 fingerprints, MinHash
+    * signatures, pair explodes) otherwise runs in ONE task regardless
+    * of core count. Scale-adaptive, not a local-mode constant: the
+    * guard compares the scan's stats size against parallelism ×
+    * openCostInBytes — exactly the packing bound under which Spark
+    * cannot emit one split per core — so a corpus-sized input (many
+    * files / row groups) skips the extra exchange entirely, and the
+    * shuffled volume in the small case is by construction under one
+    * open-cost unit per core. Hash-keyed (never round-robin), so task
+    * retries reproduce the same placement (guide §2.5 rand() caveat).
+    */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
+    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(p) * openCost
+    if (small) df.repartition(p, key) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

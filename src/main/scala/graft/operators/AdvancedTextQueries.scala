@@ -260,7 +260,7 @@ object AdvancedTextQueries {
     // evaluations per row (observed in the probe plan); the outer
     // generate infers nothing, and the post-generate isNotNull drops
     // the same <3-token docs the old lead-window form dropped.
-    val shingled = docs
+    val shingled = graft.Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"), tok(col("text")).as("__ts"))
       .select(col("doc_id"),
         array_distinct(TextQueries.ngrams(col("__ts"), 3)).as("shs"))
@@ -803,7 +803,7 @@ object AdvancedTextQueries {
   def substringFingerprintPairs(docs: DataFrame, k: Int, modP: Int,
       dfCap: Int, minShared: Int): DataFrame = {
     val nGrams = length(col("text")) - (k - 1)
-    val fp = docs
+    val fp = graft.Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"), col("text"),
         explode(when(nGrams >= 1, sequence(lit(1), nGrams))
           .otherwise(array().cast("array<int>"))).as("pos"))
@@ -1380,7 +1380,9 @@ object AdvancedTextQueries {
     */
   def qMinhashCalibration(spark: SparkSession, sfDir: String): DataFrame = {
     val toksD = array_sort(array_distinct(tokens(col("text"))))
-    val base = Tables.documents(spark, sfDir)
+    // spread: 20 min-hash folds per doc on a one-split scan otherwise
+    // run single-core (guide §2.5)
+    val base = Tables.spread(Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), toksD.as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .withColumn("sig4", concat_ws("|",

@@ -244,7 +244,12 @@ object BehaviorQueries {
     * covers the pair explosion + aggregation, not the truncation.
     */
   def cooccurPairCounts(lineitem: DataFrame): DataFrame = {
-    val li = lineitem.select("l_orderkey", "l_partkey")
+    // spread: the scan is one split at fixture scale, so the
+    // map-side collect_set partials would run on one core; the
+    // repartition keys on l_orderkey, which the groupBy reuses —
+    // still exactly one exchange in the plan
+    val li = graft.Tables.spread(
+      lineitem.select("l_orderkey", "l_partkey"), col("l_orderkey"))
     li.groupBy("l_orderkey")
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
       // all ordered pairs (parts(i), parts(j)) with i < j; slice is
@@ -469,29 +474,32 @@ object BehaviorQueries {
       .groupBy(col("event_type").as("from_type"),
         col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
-    val rowsum = c.groupBy("from_type").agg(sum(col("n")).as("r"))
-    val edges = c.join(rowsum, Seq("from_type")).localCheckpoint(true)
-    val nodes = c.select(col("from_type").as("event_type"))
-      .unionAll(c.select(col("to_type").as("event_type")))
-      .distinct().localCheckpoint(true)
-    val n = nodes.count()
-    var x = nodes.withColumn("x", lit(scale / n))
+    // ONE corpus fold (the lead()+groupBy exchange above) collapses the
+    // stream to the |types|² transition matrix — a fixed-size model,
+    // bounded by the event-type vocabulary, never by corpus volume. The
+    // 20 power-iteration rounds then run on the DRIVER over that
+    // collected matrix (the kMeans-model / PCA-Gramian precedent): the
+    // distributed loop spent ~60 tiny Spark jobs on |types|-row frames.
+    // BigInt replays Spark's integer ops bit-exactly (x·n with
+    // truncating div by the row sum, decimal L1 renormalization with
+    // truncating div — BigInt `/` rounds toward zero like
+    // IntegralDivide), so stat_fp is unchanged (oracle hash-checked).
+    // Measured 3.72 → ~1.1 s at sf0.1.
+    val edges = c.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rowsum = edges.groupBy(_._1).map { case (f, es) => (f, es.map(_._3).sum) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    var x = nodes.map(t => (t, BigInt(scale / n))).toMap
     for (_ <- 1 to StationaryIters) {
-      val raw = x.join(edges, x("event_type") === edges("from_type"))
-        .select(col("to_type").as("event_type"),
-          expr("x * n div r").as("m"))
-        .groupBy("event_type").agg(sum(col("m")).as("raw"))
-      val full = nodes.join(raw, Seq("event_type"), "left")
-        .select(col("event_type"), coalesce(col("raw"), lit(0L)).as("raw"))
-      val tot = full.agg(sum(col("raw").cast("decimal(38,0)")).as("l1"))
-      x = full.crossJoin(broadcast(tot))
-        .select(col("event_type"),
-          expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $scale) div l1" +
-            " AS BIGINT)").as("x"))
-        .localCheckpoint(false)
+      val raw = scala.collection.mutable.Map(nodes.map(t => (t, BigInt(0))): _*)
+      edges.foreach { case (f, t, cnt) =>
+        raw(t) += (x(f) * cnt) / rowsum(f) }
+      val l1 = raw.values.sum
+      x = nodes.map(t => (t, (raw(t) * scale) / l1)).toMap
     }
-    x.select(col("event_type"), col("x").as("stat_fp"),
+    import spark.implicits._
+    nodes.map(t => (t, x(t).toLong)).toSeq.toDF("event_type", "x")
+      .select(col("event_type"), col("x").as("stat_fp"),
         (round(col("x").cast("double") / scale, 6) + lit(0.0))
           .as("stationary"))
       .orderBy(asc_nulls_first("event_type"))

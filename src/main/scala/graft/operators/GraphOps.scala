@@ -32,11 +32,59 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Edge cap for the driver union-find shortcut in
+    * [[connectedComponents]]: a symmetrized edge list at or under this
+    * many rows (≤ ~2 MB of longs) resolves locally in one action; a
+    * larger one falls back to the distributed loop. The same
+    * bounded-driver-model move as MinHashLedger's point-lookup key
+    * pushdown (collect up to a cap, fall back past it).
+    */
+  val LocalCcMaxEdges = 65536
+
   /** edges(src, dst) → (id, component) for every vertex appearing in
     * any edge; component = the minimum vertex id reachable from `id`.
+    *
+    * Small graphs — near-dup pair graphs after the df-cap, and the
+    * cluster ledger's delta-bounded super-node graphs — resolve by a
+    * DRIVER union-find over the one materialized (and capped) edge
+    * collect: min-label components are unique, so the result is
+    * bit-identical to the distributed loop's, without the loop's
+    * per-round action + checkpoint + convergence probe (measured
+    * ~1 s saved per CC call at sf0.1 across the dedup-cluster family
+    * and the incremental ledger's three batch folds). Past
+    * [[LocalCcMaxEdges]] the distributed pointer-jumping loop runs
+    * unchanged — the 100 TB path, proven separately by
+    * [[connectedComponentsWithRounds]] (which ScaleSmoke drives
+    * explicitly for the adversarial-diameter evidence).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 40): DataFrame =
-    connectedComponentsWithRounds(edges, maxIter)._1
+  def connectedComponents(edges: DataFrame, maxIter: Int = 40): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val take = sym.limit(LocalCcMaxEdges + 1).collect()
+    if (take.length > LocalCcMaxEdges)
+      return connectedComponentsWithRounds(sym, maxIter)._1
+    // driver union-find with min-label canonicalization
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    take.foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    import spark.implicits._
+    parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      .toDF("id", "component")
+  }
 
   /** connectedComponents plus the number of rounds it took — the
     * evidence channel ScaleSmoke records for the adversarial-diameter
@@ -318,11 +366,17 @@ object GraphOps {
     // without this, every round pays its heaviest stage twice.
     def normalize(s: DataFrame): DataFrame = {
       val cached = s.localCheckpoint(false)
-      val tot = cached.agg(sum(col("raw").cast("decimal(38,0)")).as("l1"))
-      cached.crossJoin(broadcast(tot))
-        .select(col("node"),
-          expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $scale) div l1 AS BIGINT)")
-            .as("score"))
+      // the L1 total is ONE row — fold it to a driver scalar and inline
+      // it as a literal (the CC-loop convergence-probe precedent,
+      // GraphOps head() above) instead of a crossJoin(broadcast(agg)):
+      // same truncating decimal div on the same value, minus one
+      // BroadcastExchange stage per normalize (2 per round × 5 rounds)
+      val l1 = cached.agg(sum(col("raw").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+      cached.select(col("node"),
+        expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $scale) div " +
+          s"CAST('${l1.toPlainString}' AS DECIMAL(38,0)) AS BIGINT)")
+          .as("score"))
     }
     var hubs = srcs.withColumn("score", lit(scale))
     var auths: DataFrame = null

@@ -203,10 +203,19 @@ object MinHashLedger {
   private[operators] def writeSorted(df: DataFrame, table: String,
       mode: SaveMode): Unit = {
     val spark = df.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
     if (mode == SaveMode.Append) assertLedgerLayout(spark, table)
+    // NO explicit partition count: with the count unpinned, AQE
+    // coalesces the range shuffle to advisory-sized partitions, so a
+    // small batch appends ONE file instead of numShufflePartitions
+    // near-empty ones (guide §6 — small files hurt twice: the probe
+    // re-lists and re-reads every footer per point lookup, measured as
+    // the dominant probe cost growth across batches at sf0.1) while a
+    // corpus-sized run still fans out. Coalesced partitions are unions
+    // of ADJACENT ranges and sortWithinPartitions re-sorts inside each,
+    // so every file remains one sorted run over bkh — the layout the
+    // point-lookup prune needs.
     val w = df
-      .repartitionByRange(n, col("bkh"))
+      .repartitionByRange(col("bkh"))
       .sortWithinPartitions("bkh")
       .write.mode(mode)
       .option("parquet.block.size", RowGroupBytes.toString)

@@ -64,7 +64,12 @@ object MinHashLsh {
     */
   def candidatePairs(docs: DataFrame, bucketCap: Int = BucketCap): DataFrame = {
     require(bucketCap > 1, "bucketCap must exceed 1")
-    val sig = signatures(docs)
+    // spread the CORPUS before the 16 min-hash transforms (the scan is
+    // one split at fixture scale — guide §2.5); the ledger's per-batch
+    // bandRows path deliberately does NOT spread: a delta batch is tiny
+    // and the extra exchange measured slower there (q_dedup_incremental
+    // 3.4 s unspread vs 4.7 s spread at sf0.1)
+    val sig = signatures(graft.Tables.spread(docs, col("doc_id")))
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b =>
         concat_ws("|", (0 until RowsPerBand).map(r =>

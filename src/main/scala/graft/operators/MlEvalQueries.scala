@@ -405,17 +405,27 @@ object MlEvalQueries {
     */
   def qPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
     val scale = 1000000L
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .select(col("vec_id"), (col("pos") + 1).as("dim"),
-        round(col("v").cast("double") * 1000000, 0).cast("long").as("q"))
-      .localCheckpoint(true)
-    val s1 = e.groupBy("dim").agg(sum(col("q").cast("decimal(38,0)")).as("s"))
+    // Per-vector quantized array once (map-only), then the dim² outer
+    // product by TWO STACKED GENERATES — each vector fans out to its
+    // 64·64 (a, qa, b, qb) cells in place, with map-side partial
+    // aggregation folding them to 4096 cells per task. The previous
+    // form exploded to (vec_id, dim, q) rows and SELF-JOINED on vec_id:
+    // same n·dim² product rows, plus two exchanges + an eager
+    // checkpoint this shape never pays (guide §2.4 — remove shuffles
+    // outright). Same long products, same decimal sums → same bits.
+    val q = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1000000, 0).cast("long")).as("qv"))
+    val s1 = q.select(posexplode(col("qv")).as(Seq("pos", "qa")))
+      .groupBy((col("pos") + 1).as("dim"))
+      .agg(sum(col("qa").cast("decimal(38,0)")).as("s"))
     val nTotal = Tables.embeddings(spark, sfDir).count()
-    val sab = e.select(col("vec_id"), col("dim").as("a"), col("q").as("qa"))
-      .join(e.select(col("vec_id"), col("dim").as("b"), col("q").as("qb")),
-        Seq("vec_id"))
-      .groupBy("a", "b")
+    val sab = q
+      .select(posexplode(col("qv")).as(Seq("pa", "qa")), col("qv"))
+      .select((col("pa") + 1).as("a"), col("qa"),
+        posexplode(col("qv")).as(Seq("pb", "qb")))
+      .groupBy(col("a"), (col("pb") + 1).as("b"))
       .agg(sum((col("qa") * col("qb")).cast("decimal(38,0)")).as("sab"))
     val cov = sab
       .join(broadcast(s1.select(col("dim").as("a"), col("s").as("s_a"))),
@@ -425,26 +435,32 @@ object MlEvalQueries {
       .select(col("a"), col("b"),
         (lit(nTotal) * col("sab") - col("s_a") * col("s_b"))
           .cast("decimal(38,0)").as("c"))
-      .localCheckpoint(true)
-    var v = spark.range(1, 65)
-      .select(col("id").cast("int").as("dim"), lit(scale).as("x"))
+    // The 10 power-iteration rounds run on the DRIVER over the collected
+    // dim² = 4096-row covariance — a fixed-size model, never corpus
+    // data, exactly the kMeans/initModel precedent (and MLlib's own
+    // RowMatrix collects the Gramian before its local eigensolve). The
+    // distributed form spent ~30 tiny Spark jobs (3 per round: fold,
+    // max-abs, renormalize) on 64-row frames; BigInt replays Spark's
+    // integer ops bit-exactly ((c·x) products, truncating div — BigInt
+    // `/` rounds toward zero like IntegralDivide), so the emitted
+    // loadings are unchanged (oracle hash-checked). Measured 4.09 →
+    // ~1.9 s at sf0.1.
+    val covRows = cov.collect().map { r =>
+      (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger)) }
+    var x = Array.fill(65)(BigInt(scale)) // index 1..64
     for (_ <- 1 to PcaPowerIters) {
-      val w = cov.join(v, cov("b") === v("dim"))
-        .select(col("a").as("dim"),
-          (col("c") * col("x")).cast("decimal(38,0)").as("t"))
-        .groupBy("dim").agg(sum(col("t")).as("w"))
-        .localCheckpoint(false)
-      val m = w.agg(max(abs(col("w"))).as("m"))
-      v = w.crossJoin(broadcast(m))
-        .select(col("dim"),
-          expr(s"CAST((w * $scale) div m AS BIGINT)").as("x"))
-        .localCheckpoint(false)
+      val w = Array.fill(65)(BigInt(0))
+      covRows.foreach { case (a, b, c) => w(a) += c * x(b) }
+      val m = (1 to 64).map(d => w(d).abs).max
+      x = Array.tabulate(65)(d => if (d == 0) BigInt(0) else (w(d) * scale) / m)
     }
-    val sgn = v.orderBy(abs(col("x")).desc, col("dim").asc).limit(1)
-      .select(when(col("x") < 0, -1L).otherwise(1L).as("sgn"))
-    v.crossJoin(broadcast(sgn))
-      .select(col("dim"), (col("x") * col("sgn")).as("loading_fp"),
-        (round((col("x") * col("sgn")).cast("double") / scale, 6) + lit(0.0))
+    val best = (1 to 64).minBy(d => (-x(d).abs, BigInt(d)))
+    val sgn = if (x(best) < 0) -1L else 1L
+    import spark.implicits._
+    (1 to 64).map(d => (d, (x(d) * sgn).toLong))
+      .toDF("dim", "loading_fp")
+      .select(col("dim"), col("loading_fp"),
+        (round(col("loading_fp").cast("double") / scale, 6) + lit(0.0))
           .as("loading"))
       .orderBy(asc_nulls_first("dim"))
   }

@@ -40,7 +40,7 @@ object SetSimJoin {
   /** Word-bigram shingle set per doc: (doc_id, s) distinct rows. */
   private def shingles(docs: DataFrame): DataFrame = {
     val ts = tokens(col("text"))
-    docs
+    graft.Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"), ts.as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"),

@@ -1631,7 +1631,7 @@ object StatsQueries {
     */
   def qBootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
     val reps = 40
-    val o = Tables.orders(spark, sfDir)
+    val o = Tables.spread(Tables.orders(spark, sfDir), col("o_orderkey"))
       .select(col("o_orderkey"), cents(col("o_totalprice")).as("x"))
     // ONE md5 per (order, hash-group) feeds EIGHT replicas — its 32 hex
     // chars slice into eight independent 16-bit values, each weighted
